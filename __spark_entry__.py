@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship learned-index pipeline (fit supervised
+bins → IV-greedy feature selection → kv build → broadcast-join scoring with
+prefix fallback) on sf0.001.  `queries()`/`oracle_sql()` expose one named
+query per implemented operator family (SURVEY.md §2) with DuckDB oracles —
+see inferdb_spark/gate.py for the cross-engine determinism engineering.
 """
 
 from __future__ import annotations
@@ -12,27 +12,51 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: end-to-end learned-index regression on sf0.001 lineitem.
+
+    Mirrors the reference's Standalone entry point (src/transpiler.py:
+    2999-3115): encode features with target-aware bins, select index
+    features greedily by IV, build the kv index + prefix aggregates, score
+    the held-out split via broadcast joins, and return per-row predictions.
+    """
+    from inferdb_spark.catalog import load_table
+    from inferdb_spark.operators.binning import fit_supervised_bins
+    from inferdb_spark.operators.index import build_index
+    from inferdb_spark.operators.iv import greedy_select
+    from inferdb_spark.operators.binning import apply_bins
+    from inferdb_spark.operators.scoring import index_score
+    from inferdb_spark.session import ensure_session_conf
+
+    ensure_session_conf(spark)
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    li = li.withColumn(
+        "row_id", F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    ).withColumn("target", F.col("l_extendedprice"))
+    train = li.filter(F.col("l_orderkey") % 5 != 0)
+    test = li.filter(F.col("l_orderkey") % 5 == 0)
+
+    features = ["l_quantity", "l_discount", "l_tax", "l_linenumber"]
+    specs = [fit_supervised_bins(train, c, "target", max_bins=6) for c in features]
+    enc = apply_bins(train, specs).cache()
+    selected = greedy_select(enc, specs, "target", task="regression")
+    if not selected:  # degenerate data guard
+        selected = specs[:2]
+    index = build_index(train, selected, "target", task="regression")
+    scored = index_score(test, index)
+    return scored.select("row_id", "prediction", F.col("target").alias("actual"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from inferdb_spark import gate
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return gate.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from inferdb_spark import gate
+
+    return gate.oracle_sql()

@@ -1,0 +1,23 @@
+"""inferdb_spark — a PySpark-native analytics engine with the query and
+data-processing capabilities of hpides/inferdb (VLDB'24), rebuilt
+Spark-first.
+
+The reference system trains an sklearn pipeline, replaces the model with a
+learned key→value index (target-aware binning + IV feature selection +
+prefix-fallback lookup), and transpiles both the index and classic model
+pipelines into PostgreSQL SQL.  This package re-expresses every one of those
+capabilities as lazy DataFrame → DataFrame operators so Catalyst/Tungsten
+own the physical plan: binning is a vectorized expression, the SP-GiST index
+probe becomes a broadcast hash join, and the per-row plpgsql prefix-search
+loop becomes build-time prefix aggregates + a coalesce chain of broadcast
+joins (see operators/index.py, operators/scoring.py).
+
+Beyond reference parity, `operators/{dedup,similarity,textprep,multimodal}`
+add the data-prep operators a large-scale training-data pipeline needs.
+"""
+
+from inferdb_spark.session import get_spark
+from inferdb_spark.catalog import load_table, load_tables, register_views
+
+__all__ = ["get_spark", "load_table", "load_tables", "register_views"]
+__version__ = "0.1.0"

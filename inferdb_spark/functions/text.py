@@ -1,0 +1,92 @@
+"""Text primitives for the data-prep operators (dedup, quality, lang-id).
+
+All pure Column expressions (JVM-side regex/array ops) so they vectorize
+and have exact DuckDB-SQL oracles.  Tokenization = lowercase, strip
+non-alphanumerics, split on whitespace — deliberately simple and portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# a small english stopword list (public, standard); kept short so the
+# oracle SQL can inline it
+STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "this", "was", "for", "on", "are", "as", "with", "be", "by",
+]
+
+WORD_SPLIT_RE = r"\s+"
+
+
+def normalize(col: Column) -> Column:
+    """lowercase + keep [a-z0-9 ] + collapse whitespace + trim."""
+    c = F.regexp_replace(F.lower(col), "[^a-z0-9 ]", " ")
+    c = F.regexp_replace(c, " +", " ")
+    return F.trim(c)
+
+
+def tokens(col: Column) -> Column:
+    """array<string> of normalized word tokens (empty array for blank text)."""
+    n = normalize(col)
+    return F.when(F.length(n) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(n, " ")
+    )
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def char_ngrams(col: Column, n: int) -> Column:
+    """array of character n-grams over the normalized text (shingling for
+    minhash / jaccard).  Expression-only: substring over a position range."""
+    norm = normalize(col)
+    # guard: sequence(1, 0) would step DOWN; emit [] for too-short text
+    return F.when(
+        F.length(norm) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(norm) - F.lit(n - 1)),
+            lambda i: norm.substr(i, F.lit(n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def word_ngrams(col: Column, n: int) -> Column:
+    """array of word n-grams (space-joined) for n-gram Jaccard dedup."""
+    t = tokens(col)
+    return F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def stopword_ratio(col: Column) -> Column:
+    t = tokens(col)
+    sw = F.size(F.filter(t, lambda w: w.isin(STOPWORDS)))
+    return F.when(F.size(t) > 0, sw / F.size(t)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(col: Column) -> Column:
+    total = F.length(col)
+    punct = F.length(F.regexp_replace(col, "[^.,;:!?]", ""))
+    return F.when(total > 0, punct / total).otherwise(F.lit(0.0))
+
+
+def alpha_ratio(col: Column) -> Column:
+    total = F.length(col)
+    alpha = F.length(F.regexp_replace(F.lower(col), "[^a-z]", ""))
+    return F.when(total > 0, alpha / total).otherwise(F.lit(0.0))
+
+
+def mean_word_length(col: Column) -> Column:
+    t = tokens(col)
+    return F.when(
+        F.size(t) > 0,
+        F.aggregate(t, F.lit(0), lambda acc, w: acc + F.length(w)).cast("double")
+        / F.size(t),
+    ).otherwise(F.lit(0.0))

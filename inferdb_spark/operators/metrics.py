@@ -1,0 +1,90 @@
+"""Evaluation metrics as single-pass aggregations.
+
+The reference computes accuracy/precision/recall/F1 (macro for multi-class)
+and RMSLE both in Python (sklearn) and in generated SQL
+(src/transpiler.py:241-377; sql_scripts/clf_acc.sql, lr_reg_test.sql:17-21).
+Here each metric is ONE aggregation over the joined (prediction, truth)
+frame — a map-side-combinable plan that scales linearly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from inferdb_spark.functions.math_fns import ln1p_compat, safe_div
+
+
+def binary_classification_report(
+    scored: DataFrame, prediction: str = "prediction", label: str = "label"
+) -> DataFrame:
+    """tp/fp/fn/tn + acc/precision/recall/f1 in one pass
+    (src/transpiler.py:253-273: SUM(CASE WHEN round(p)=t ...))."""
+    p = F.round(F.col(prediction)).cast("int")
+    t = F.col(label).cast("int")
+    agg = scored.agg(
+        F.sum(F.when((p == 1) & (t == 1), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when((p == 1) & (t == 0), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when((p == 0) & (t == 1), 1).otherwise(0)).alias("fn"),
+        F.sum(F.when((p == 0) & (t == 0), 1).otherwise(0)).alias("tn"),
+    )
+    tp, fp, fn, tn = F.col("tp"), F.col("fp"), F.col("fn"), F.col("tn")
+    precision = safe_div(tp, tp + fp)
+    recall = safe_div(tp, tp + fn)
+    return agg.select(
+        tp, fp, fn, tn,
+        ((tp + tn) / (tp + fp + fn + tn)).alias("accuracy"),
+        precision.alias("precision"),
+        recall.alias("recall"),
+        safe_div(F.lit(2) * precision * recall, precision + recall).alias("f1"),
+    )
+
+
+def multiclass_report(
+    scored: DataFrame, prediction: str = "prediction", label: str = "label"
+) -> DataFrame:
+    """Macro-averaged precision/recall/F1 + accuracy, one-vs-rest per class
+    (src/transpiler.py:276-344's per-label CTE loop → one groupBy here)."""
+    p = F.col(prediction).cast("long")
+    t = F.col(label).cast("long")
+    # per-class counts from three small groupBys, joined on class id
+    pred_counts = scored.groupBy(p.alias("cls")).agg(F.count("*").alias("pred_n"))
+    true_counts = scored.groupBy(t.alias("cls")).agg(F.count("*").alias("true_n"))
+    hit_counts = (
+        scored.filter(p == t).groupBy(p.alias("cls")).agg(F.count("*").alias("tp"))
+    )
+    per = (
+        true_counts.join(pred_counts, "cls", "full")
+        .join(hit_counts, "cls", "left")
+        .na.fill(0, ["pred_n", "true_n", "tp"])
+        .select(
+            "cls",
+            safe_div(F.col("tp"), F.col("pred_n")).alias("precision"),
+            safe_div(F.col("tp"), F.col("true_n")).alias("recall"),
+        )
+        .withColumn(
+            "f1",
+            safe_div(
+                F.lit(2) * F.col("precision") * F.col("recall"),
+                F.col("precision") + F.col("recall"),
+            ),
+        )
+    )
+    total = scored.agg(
+        (F.sum(F.when(p == t, 1).otherwise(0)) / F.count("*")).alias("accuracy")
+    )
+    macro = per.agg(
+        F.avg("precision").alias("precision_macro"),
+        F.avg("recall").alias("recall_macro"),
+        F.avg("f1").alias("f1_macro"),
+    )
+    return total.crossJoin(macro)
+
+
+def rmsle(
+    scored: DataFrame, prediction: str = "prediction", label: str = "label"
+) -> DataFrame:
+    """sqrt(mean((ln(p+1)-ln(t+1))^2)) — sql_scripts/lr_reg_test.sql:17-20.
+    Uses literal ln(1+x) (not log1p) to match the SQL spec bit-for-bit."""
+    d = ln1p_compat(F.col(prediction)) - ln1p_compat(F.col(label))
+    return scored.agg(F.sqrt(F.sum(d * d) / F.count("*")).alias("rmsle"))
