@@ -1,0 +1,147 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line: {"metric": ..., "value": <total sec>, "unit": "sec",
+"queries": {name: median_sec, ...}, "sf": <sf>}.
+
+Protocol mirrors BASELINE.md: each query timed `ITERS` times (median
+reported), actions materialize the full result via the noop sink (no
+driver collect bottleneck).  The headline set covers the reference's
+measured stages (translate / score / index build / linear score / e2e)
+plus the heaviest relational + data-prep operators.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+ITERS = int(os.environ.get("BENCH_ITERS", "3"))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def timed(fn) -> float:
+    runs = []
+    for _ in range(ITERS):
+        t0 = time.perf_counter()
+        fn()
+        runs.append(time.perf_counter() - t0)
+    return statistics.median(runs)
+
+
+def main() -> None:
+    from inferdb_spark.catalog import load_table
+    from inferdb_spark.gate import queries as gate_queries
+    from inferdb_spark.operators.binning import BinSpec
+    from inferdb_spark.operators.index import build_index
+    from inferdb_spark.operators.scoring import index_score
+    from inferdb_spark.session import get_spark
+
+    spark = get_spark("inferdb-bench")
+    sf = _sf_from_dir(SF_DIR)
+    results: dict[str, float] = {}
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    li.cache().count()  # warm the page cache / JIT once; queries re-plan per run
+
+    specs = [
+        BinSpec(column="l_quantity", splits=[10.0, 20.0, 30.0, 40.0]),
+        BinSpec(column="l_discount", splits=[0.02, 0.04, 0.06, 0.08]),
+        BinSpec(column="l_tax", splits=[0.02, 0.04, 0.06]),
+    ]
+    train = li.filter(F.col("l_orderkey") % 5 != 0).withColumn(
+        "target", F.col("l_extendedprice")
+    )
+    test = li.filter(F.col("l_orderkey") % 5 == 0)
+
+    # index build: kv groupBy + prefix aggregates (BASELINE.md bench.index_build_ms)
+    def bench_index_build():
+        idx = build_index(train, specs, "target", task="regression")
+        materialize(idx.kv)
+        for pa in idx.prefix_aggs.values():
+            materialize(pa)
+
+    results["index_build"] = timed(bench_index_build)
+
+    idx = build_index(train, specs, "target", task="regression")
+    idx.kv.cache().count()
+    for pa in idx.prefix_aggs.values():
+        pa.cache().count()
+
+    # translate over the full table (bench.translate_ms)
+    from inferdb_spark.operators.scoring import translate
+
+    results["translate"] = timed(lambda: materialize(translate(li, idx)))
+
+    # score: broadcast kv probe + prefix-fallback coalesce (bench.score_ms)
+    results["score"] = timed(lambda: materialize(index_score(test, idx)))
+
+    # e2e: translate -> score -> RMSLE, one action (bench.e2e_ms)
+    from inferdb_spark.functions.math_fns import ln1p_compat
+
+    def bench_e2e():
+        scored = index_score(
+            test.withColumn("actual", F.col("l_extendedprice")), idx
+        )
+        d = ln1p_compat(F.col("prediction")) - ln1p_compat(F.col("actual"))
+        scored.agg(F.sqrt(F.sum(d * d) / F.count("*"))).collect()
+
+    results["e2e_index"] = timed(bench_e2e)
+
+    # dense linear scoring (bench.linear_score_ms — Spark-optimal form)
+    from inferdb_spark.operators.scoring import score_linear_dense
+
+    results["linear_dense"] = timed(
+        lambda: materialize(
+            score_linear_dense(
+                li, ["l_quantity", "l_discount", "l_tax"], [0.125, -4.0, 2.5], -2.25,
+                link="sigmoid",
+            )
+        )
+    )
+
+    # heavy relational + data-prep gate queries at bench scale
+    gq = gate_queries()
+    for name in [
+        "pricing_summary",
+        "join_enrich_revenue",
+        "window_topk_per_group",
+        "coo_sparsify",
+        "text_quality",
+        "dedup_exact",
+    ]:
+        if name in gq:
+            fn = gq[name]
+            results[name] = timed(lambda f=fn: materialize(f(spark, SF_DIR)))
+
+    payload = {
+        "metric": "headline_total",
+        "value": round(sum(results.values()), 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in results.items()},
+        "sf": sf,
+    }
+    print(json.dumps(payload))
+
+
+if __name__ == "__main__":
+    main()
