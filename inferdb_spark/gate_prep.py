@@ -1,0 +1,336 @@
+"""Gate queries: data-prep operators (dedup, similarity, text analysis).
+
+Oracle construction notes: the DuckDB SQL for minhash/simhash/fingerprint
+is GENERATED from the same Python constants as the Spark Column trees, so
+both sides execute the identical integer algorithm.  The md5-based 52-bit
+token hash (functions/hashing.py) is the portability keystone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from inferdb_spark.catalog import load_table
+from inferdb_spark.functions.hashing import MERSENNE_P, perm_params
+from inferdb_spark.gate import gate
+from inferdb_spark.operators import dedup as DD
+from inferdb_spark.operators import similarity as SIM
+from inferdb_spark.operators import textprep as TP
+
+# ---------------------------------------------------------------------------
+# shared constants
+# ---------------------------------------------------------------------------
+
+MH_HASHES, MH_BANDS, MH_SHINGLE = 16, 4, 4
+MH_PARAMS = perm_params(MH_HASHES, seed=42)
+SIMHASH_BITS = 24
+FP_BASE, FP_P = 257, 1000000007
+EMB_DIM = 64
+QUERY_VEC = SIM.make_hyperplanes(1, EMB_DIM, seed=7)[0]
+PLANES = SIM.make_hyperplanes(8, EMB_DIM, seed=42)
+
+# DuckDB fragments -----------------------------------------------------------
+
+_D_NORM = (
+    "trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9 ]', ' ', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+
+
+def _d_md5_52(expr: str) -> str:
+    return (
+        "list_reduce(list_transform(regexp_extract_all(substr(md5(" + expr + "),1,13),"
+        "'.'), c -> cast(strpos('0123456789abcdef', c) - 1 as bigint)), (a,b) -> a*16+b)"
+    )
+
+
+def _d_tokens(c: str) -> str:
+    n = _D_NORM.format(c=c)
+    return f"(CASE WHEN length({n}) = 0 THEN CAST([] AS VARCHAR[]) ELSE string_split({n}, ' ') END)"
+
+
+def _d_char_shingles(c: str, n: int) -> str:
+    norm = _D_NORM.format(c=c)
+    return (
+        f"list_distinct(list_transform(generate_series(1, length({norm}) - {n - 1}),"
+        f" i -> substr({norm}, i, {n})))"
+    )
+
+
+def _d_shingle_hashes(c: str, n: int) -> str:
+    return (
+        f"list_transform({_d_char_shingles(c, n)}, s -> {_d_md5_52('s')} % {MERSENNE_P})"
+    )
+
+
+_D_CORPUS = """
+    corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000, text || ' xtra near duplicate suffix tail'
+      FROM documents WHERE doc_id % 11 = 0
+    )
+"""
+
+
+def _spark_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.unionByName(
+        d.filter(F.col("doc_id") % 11 == 0).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" xtra near duplicate suffix tail")).alias("text"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH candidate pairs
+# ---------------------------------------------------------------------------
+
+_rpb = MH_HASHES // MH_BANDS
+_sig_exprs = ", ".join(
+    f"coalesce(list_min(list_transform(hs, x -> ({a} * x + {b}) % {MERSENNE_P})), {MERSENNE_P}) AS s{i}"
+    for i, (a, b) in enumerate(MH_PARAMS)
+)
+_band_rows = " UNION ALL ".join(
+    "SELECT doc_id, {b} AS band_id, concat_ws('.', {keys}) AS band_key FROM sig".format(
+        b=b, keys=", ".join(f"s{b * _rpb + r}" for r in range(_rpb))
+    )
+    for b in range(MH_BANDS)
+)
+
+
+@gate(
+    "minhash_lsh_pairs",
+    oracle=f"""
+    WITH {_D_CORPUS},
+    hashed AS (
+      SELECT doc_id, {_d_shingle_hashes('text', MH_SHINGLE)} AS hs FROM corpus
+    ),
+    sig AS (SELECT doc_id, {_sig_exprs} FROM hashed),
+    bands AS ({_band_rows})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """,
+)
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: shingle→minhash→band→bucket-join.
+    Signatures are one projection; the self-join shuffles only (band, key,
+    id) triples.  Near-dupes injected deterministically (suffix edit)."""
+    corpus = _spark_corpus(spark, sf_dir)
+    return DD.minhash_lsh_pairs(
+        corpus, "doc_id", "text",
+        n_hashes=MH_HASHES, bands=MH_BANDS, shingle_n=MH_SHINGLE, mode="char", seed=42,
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard verification of LSH candidates
+# ---------------------------------------------------------------------------
+
+
+@gate(
+    "ngram_jaccard_verify",
+    oracle=f"""
+    WITH {_D_CORPUS},
+    hashed AS (
+      SELECT doc_id, {_d_shingle_hashes('text', MH_SHINGLE)} AS hs FROM corpus
+    ),
+    sig AS (SELECT doc_id, {_sig_exprs} FROM hashed),
+    bands AS ({_band_rows}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    sets AS (SELECT doc_id, {_d_char_shingles('text', MH_SHINGLE)} AS sh FROM corpus)
+    SELECT c.id_a, c.id_b,
+           CAST(round(CASE WHEN length(list_distinct(list_concat(x.sh, y.sh))) > 0
+                THEN CAST(length(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                     / length(list_distinct(list_concat(x.sh, y.sh)))
+                ELSE 0.0 END, 6) AS DOUBLE) AS jaccard
+    FROM cand c JOIN sets x ON c.id_a = x.doc_id JOIN sets y ON c.id_b = y.doc_id
+    WHERE CASE WHEN length(list_distinct(list_concat(x.sh, y.sh))) > 0
+          THEN CAST(length(list_intersect(x.sh, y.sh)) AS DOUBLE)
+               / length(list_distinct(list_concat(x.sh, y.sh))) ELSE 0.0 END >= 0.5
+    """,
+)
+def q_ngram_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard on the LSH candidates (the verify stage of the
+    dedup pipeline); emits confirmed pairs with similarity ≥ 0.5."""
+    corpus = _spark_corpus(spark, sf_dir)
+    pairs = DD.minhash_lsh_pairs(
+        corpus, "doc_id", "text",
+        n_hashes=MH_HASHES, bands=MH_BANDS, shingle_n=MH_SHINGLE, mode="char", seed=42,
+    )
+    j = DD.ngram_jaccard(corpus, pairs, "doc_id", "text", ngram_n=MH_SHINGLE, mode="char")
+    return j.filter(F.col("jaccard") >= 0.5).select(
+        "id_a", "id_b", F.round("jaccard", 6).cast("double").alias("jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints
+# ---------------------------------------------------------------------------
+
+_d_token_hashes = (
+    f"list_transform({_d_tokens('text')}, t -> {_d_md5_52('t')})"
+)
+_d_simhash_terms = " + ".join(
+    f"(CASE WHEN list_sum(list_transform(th, x -> CASE WHEN (x >> {j}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END)"
+    for j in range(SIMHASH_BITS)
+)
+
+
+@gate(
+    "simhash_fingerprint",
+    oracle=f"""
+    WITH th_t AS (SELECT doc_id, {_d_token_hashes} AS th FROM documents)
+    SELECT doc_id, CAST(coalesce({_d_simhash_terms}, 0) AS BIGINT) AS fingerprint
+    FROM th_t
+    """,
+)
+def q_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (24-bit here) as a single projection — near-dup blocking at
+    constant per-row cost."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", DD.simhash(F.col("text"), SIMHASH_BITS).alias("fingerprint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# rolling fingerprint
+# ---------------------------------------------------------------------------
+
+
+@gate(
+    "doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform({_d_tokens('text')}, t -> {_d_md5_52('t')} % {FP_P})),
+                (acc, x) -> (acc * {FP_BASE} + x) % {FP_P}) AS BIGINT) AS fingerprint
+    FROM documents
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash document fingerprint (order-sensitive, unlike
+    simhash) — exact integer math, engine-portable."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TP.rolling_fingerprint(F.col("text"), FP_BASE, FP_P).alias("fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# language ID
+# ---------------------------------------------------------------------------
+
+_lang_score_sql = ", ".join(
+    "CASE WHEN length(toks) > 0 THEN CAST(length(list_filter(toks, w -> list_contains({words!r}, w))) AS DOUBLE) / length(toks) ELSE 0.0 END AS s_{lang}".format(
+        words=TP.LANG_PROFILES[lang], lang=lang
+    )
+    for lang in sorted(TP.LANG_PROFILES)
+)
+_lang_rows = " UNION ALL ".join(
+    f"SELECT doc_id, '{lang}' AS lang, s_{lang} AS score, {i} AS idx FROM scores"
+    for i, lang in enumerate(sorted(TP.LANG_PROFILES))
+)
+
+
+@gate(
+    "lang_id",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_d_tokens('text')} AS toks FROM documents),
+    scores AS (SELECT doc_id, {_lang_score_sql} FROM tok),
+    longf AS ({_lang_rows}),
+    m AS (SELECT doc_id, max(score) AS ms FROM longf GROUP BY 1),
+    pick AS (
+      SELECT l.doc_id, min(l.idx) AS best_idx, max(l.score) AS score
+      FROM longf l JOIN m ON l.doc_id = m.doc_id AND l.score = m.ms
+      GROUP BY l.doc_id
+    )
+    SELECT p.doc_id,
+           CASE WHEN p.score > 0 THEN (SELECT min(lang) FROM longf x WHERE x.doc_id = p.doc_id AND x.idx = p.best_idx)
+                ELSE 'und' END AS lang_pred
+    FROM pick p
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID (argmax, alphabetic tiebreak, 'und'
+    when no profile matches)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", TP.detect_language(F.col("text")).alias("lang_pred"))
+
+
+# ---------------------------------------------------------------------------
+# embedding similarity
+# ---------------------------------------------------------------------------
+
+_QV_SQL = "[" + ", ".join(repr(x) for x in QUERY_VEC) + "]"
+_D_DOT_Q = (
+    f"list_sum(list_transform(generate_series(1, {EMB_DIM}),"
+    f" i -> cast(embedding[i] as double) * ({_QV_SQL})[i]))"
+)
+_D_NORM_E = (
+    f"sqrt(list_sum(list_transform(generate_series(1, {EMB_DIM}),"
+    f" i -> cast(embedding[i] as double) * cast(embedding[i] as double))))"
+)
+_QN = "sqrt(list_sum(list_transform(" + _QV_SQL + ", x -> x * x)))"
+
+
+@gate(
+    "embedding_cosine_topk",
+    oracle=f"""
+    WITH sims AS (
+      SELECT vec_id,
+             CASE WHEN {_D_NORM_E} > 0 AND {_QN} > 0
+                  THEN {_D_DOT_Q} / ({_D_NORM_E} * {_QN}) ELSE 0.0 END AS cosine
+      FROM embeddings
+    )
+    SELECT vec_id, CAST(round(cosine, 6) AS DOUBLE) AS cosine
+    FROM sims ORDER BY cosine DESC, vec_id ASC LIMIT 20
+    """,
+)
+def q_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k against a literal query vector — compiles to
+    a map-only projection + TakeOrderedAndProject (per-partition k-heaps,
+    no global sort)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    top = SIM.cosine_topk(e, "embedding", QUERY_VEC, k=20, id_col="vec_id")
+    return top.select("vec_id", F.round("cosine", 6).cast("double").alias("cosine"))
+
+
+_PLANES_SQL = [
+    "[" + ", ".join(repr(x) for x in p) + "]" for p in PLANES
+]
+_D_BUCKET = " + ".join(
+    f"(CASE WHEN list_sum(list_transform(generate_series(1, {EMB_DIM}),"
+    f" i -> cast(embedding[i] as double) * ({ps})[i])) > 0 THEN CAST({2**i} AS BIGINT) ELSE 0 END)"
+    for i, ps in enumerate(_PLANES_SQL)
+)
+
+
+@gate(
+    "embedding_lsh_buckets",
+    oracle=f"""
+    SELECT CAST({_D_BUCKET} AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n,
+           CAST(min(vec_id) AS BIGINT) AS min_id
+    FROM embeddings GROUP BY 1
+    """,
+)
+def q_embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucketing (the ANN scale path): 8 dyadic
+    hyperplanes → 256 buckets; bucket assignment is one projection."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select(
+            SIM.hyperplane_bucket(F.col("embedding"), PLANES).alias("bucket"), "vec_id"
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"), F.min("vec_id").alias("min_id"))
+    )

@@ -1,0 +1,255 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hash math is engine-portable integer arithmetic over md5-derived token
+hashes (functions/hashing.py) so results are reproducible bit-for-bit by an
+independent SQL engine — and, more importantly at 100 TB, deterministic
+across retries/speculative tasks.
+
+Scale design:
+- exact dedup: one shuffle on a content hash (never on the content itself);
+- MinHash+LSH: signatures are a per-row projection (no shuffle); candidate
+  generation shuffles only (band_id, band_key, doc_id) triples — tiny
+  compared to the corpus; the quadratic blow-up is confined to same-bucket
+  collisions, which is the whole point of banding;
+- SimHash: per-row projection to a single BIGINT; near-dup = same bucket on
+  high bits or hamming distance on candidates;
+- n-gram Jaccard verification joins only candidate pairs back to shingle
+  sets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from inferdb_spark.functions.hashing import MERSENNE_P, perm_params
+from inferdb_spark.functions.text import bind_once, char_ngrams, tokens, word_ngrams
+
+
+def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
+    """Keep the lowest-id row per distinct content (hash-groupBy dedup).
+    Returns the deduplicated frame.  The shuffle key is md5(content), never
+    the raw content — constant-width keys regardless of document size."""
+    h = F.md5(F.concat_ws("\x1f", *[F.col(c) for c in content_cols]))
+    keep = (
+        df.select(F.col(id_col), h.alias("_h"))
+        .groupBy("_h")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+def _shingle_hashes(text_col: Column, shingle_n: int, mode: str) -> Column:
+    """Distinct shingles -> 52-bit md5 hashes reduced mod P (array column)."""
+    sh = (
+        char_ngrams(text_col, shingle_n)
+        if mode == "char"
+        else word_ngrams(text_col, shingle_n)
+    )
+    return F.transform(
+        F.array_distinct(sh),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 13), 16, 10).cast("long")
+        % F.lit(MERSENNE_P),
+    )
+
+
+def minhash_signature(
+    text_col: Column,
+    n_hashes: int = 32,
+    shingle_n: int = 4,
+    mode: str = "char",
+    seed: int = 42,
+) -> Column:
+    """array<bigint> MinHash signature as ONE fold over the shingle hashes.
+
+    sig_i = min over shingles of (a_i * h(shingle) + b_i) mod P; empty
+    documents get P (an impossible hash) in every slot so they only match
+    other empty documents.
+
+    Perf-critical shape: a naive per-slot `array_min(transform(hs, perm_i))`
+    re-evaluates the md5 shingle pipeline once per permutation (Catalyst
+    inlines the shared subtree into every slot) — measured 40× slower.  The
+    single aggregate walks the hashes once and least-merges an accumulator
+    array, so each shingle is hashed exactly once regardless of n_hashes.
+    """
+    hs = _shingle_hashes(text_col, shingle_n, mode)
+    params = perm_params(n_hashes, seed)
+    init = F.array(*[F.lit(MERSENNE_P).cast("long") for _ in range(n_hashes)])
+
+    def merge(acc: Column, x: Column) -> Column:
+        permed = F.array(
+            *[(F.lit(a) * x + F.lit(b)) % F.lit(MERSENNE_P) for a, b in params]
+        )
+        return F.zip_with(acc, permed, lambda u, v: F.least(u, v))
+
+    return F.aggregate(hs, init, merge)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 4,
+    mode: str = "char",
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) via banded MinHash LSH.
+
+    rows/band = n_hashes/bands; two docs collide if any band of their
+    signatures is identical.  The self-join runs on (band_id, band_key) —
+    an equi join Catalyst executes as a shuffled hash join keyed on tiny
+    strings, never on the documents.
+    """
+    assert n_hashes % bands == 0
+    rpb = n_hashes // bands
+    sig = df.select(
+        F.col(id_col), minhash_signature(F.col(text_col), n_hashes, shingle_n, mode, seed).alias("sig")
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws(
+                    ".", *[F.element_at("sig", b * rpb + r + 1).cast("string") for r in range(rpb)]
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    bands_df = sig.select(id_col, F.explode(band_structs).alias("b")).select(
+        id_col, F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key")
+    )
+    a = bands_df.alias("a")
+    bdf = bands_df.alias("b")
+    return (
+        a.join(
+            bdf,
+            (F.col(f"a.band_id") == F.col(f"b.band_id"))
+            & (F.col(f"a.band_key") == F.col(f"b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram_n: int = 3,
+    mode: str = "word",
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs: join shingle sets back and
+    compute |∩|/|∪| with array ops — integers, so the similarity is an
+    exact division (engine-portable)."""
+    sh = (
+        char_ngrams(F.col(text_col), ngram_n)
+        if mode == "char"
+        else word_ngrams(F.col(text_col), ngram_n)
+    )
+    sets = df.select(F.col(id_col), F.array_distinct(sh).alias("sh"))
+    out = (
+        pairs.join(sets.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sets.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return out.select(
+        "id_a",
+        "id_b",
+        F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0)).alias("jaccard"),
+    )
+
+
+def simhash(text_col: Column, n_bits: int = 48) -> Column:
+    """SimHash fingerprint (BIGINT) over word-token hashes — one projection.
+
+    bit_j(doc) = 1 iff Σ_tokens (±1 by bit j of h(token)) > 0.  Near-dups
+    have small hamming distance; group by the fingerprint (or high bits)
+    to bucket.  n_bits ≤ 52 (token hashes are 52-bit).
+    """
+    th = F.transform(
+        tokens(text_col),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 13), 16, 10).cast("long"),
+    )
+    # one fold: accumulate all per-bit votes at once (a per-bit aggregate
+    # would re-run the md5 token pipeline n_bits times — see minhash note)
+    init = F.array(*[F.lit(0) for _ in range(n_bits)])
+
+    def merge(acc: Column, x: Column) -> Column:
+        bits = F.array(
+            *[
+                F.when(F.shiftright(x, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                for j in range(n_bits)
+            ]
+        )
+        return F.zip_with(acc, bits, lambda u, v: u + v)
+
+    def fold_bits(votes: Column) -> Column:
+        fp = F.lit(0).cast("long")
+        for j in range(n_bits):
+            fp = fp + F.when(
+                F.element_at(votes, j + 1) > 0, F.lit(2**j).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        return fp
+
+    # bind the folded votes once — referencing the aggregate from every
+    # per-bit term would re-run it n_bits times
+    return bind_once(F.aggregate(th, init, merge), fold_bits)
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, n_bits: int = 48, max_hamming: int = 3,
+    band_bits: int = 12,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on `n_bits/band_bits` disjoint bit
+    bands (a pair within hamming d must agree on ≥1 band if bands >
+    max_hamming), verify with exact hamming distance."""
+    fp_df = df.select(F.col(id_col), simhash(F.col(text_col), n_bits).alias("fp"))
+    n_bands = n_bits // band_bits
+    bands = fp_df.select(
+        id_col,
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftright(F.col("fp"), b * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
+                        .alias("band_key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "fp", F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "id_a", "id_b", hamming_distance(F.col("fp_a"), F.col("fp_b")).alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,153 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, as a 100 TB pipeline needs:
+- brute-force cosine top-k: one map-only projection + TakeOrdered — the
+  exact baseline; scales linearly and never materializes a global sort;
+- random-hyperplane LSH: per-row bucket signature (projection), search
+  within bucket — the approximate scale path.  Hyperplanes are dyadic
+  literals so bucketing is engine-reproducible.
+
+Vector math stays in whole-stage codegen via functions/vector.py; a numpy
+mapInPandas variant is provided for very wide embeddings where the
+expression tree would dominate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from inferdb_spark.functions.vector import as_double_array, cosine_similarity, dot
+
+
+def _query_lit(query_vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in query_vec])
+
+
+def cosine_topk(
+    df: DataFrame,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to a literal query vector.
+
+    orderBy+limit compiles to TakeOrderedAndProject: each partition keeps a
+    k-heap, the driver merges — no global shuffle, the canonical distributed
+    top-k."""
+    sim = cosine_similarity(as_double_array(F.col(vec_col)), _query_lit(query_vec))
+    return (
+        df.select(F.col(id_col), sim.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def hyperplane_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """LSH bucket id: bit_i = sign(v · plane_i).  Planes should be dyadic
+    literals (e.g. ±0.5/±0.25) for cross-engine reproducibility."""
+    v = as_double_array(vec_col)
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        d = dot(v, F.array(*[F.lit(float(x)) for x in p]))
+        bucket = bucket + F.when(d > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def make_hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic dyadic pseudo-random hyperplanes (LCG over ±{0.25,0.5,
+    0.75,1.0}) — exactly representable doubles, identical in any engine."""
+    state = seed
+    planes = []
+    vals = [-1.0, -0.75, -0.5, -0.25, 0.25, 0.5, 0.75, 1.0]
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) % (2**31 - 1)
+            row.append(vals[state % len(vals)])
+        planes.append(row)
+    return planes
+
+
+def lsh_cosine_topk(
+    df: DataFrame,
+    vec_col: str,
+    query_vec: list[float],
+    planes: list[list[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: filter to the query's hyperplane bucket, then
+    exact cosine within it.  The bucket predicate is a pushable projection
+    — at scale, pre-partition or Z-order by bucket and this prunes I/O."""
+    qbucket = 0
+    for i, p in enumerate(planes):
+        d = sum(a * b for a, b in zip(query_vec, p))
+        if d > 0:
+            qbucket += 2**i
+    sim = cosine_similarity(as_double_array(F.col(vec_col)), _query_lit(query_vec))
+    return (
+        df.filter(hyperplane_bucket(F.col(vec_col), planes) == qbucket)
+        .select(F.col(id_col), sim.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def embedding_near_pairs(
+    df: DataFrame,
+    vec_col: str,
+    planes: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH-bucket self-join +
+    exact-cosine verification — the embedding analog of MinHash dedup."""
+    b = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("v"),
+        hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    a, c = b.alias("a"), b.alias("b")
+    cand = a.join(
+        c,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        cosine_similarity(
+            as_double_array(F.col("a.v")), as_double_array(F.col("b.v"))
+        ).alias("cosine"),
+    )
+    return cand.filter(F.col("cosine") >= threshold)
+
+
+def cosine_topk_pandas(
+    df: DataFrame,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """numpy variant for very wide embeddings: per-partition vectorized
+    cosine + local top-k, then global top-k — Arrow-batched, no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(q)
+
+    def part(batches):
+        for pdf in batches:
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(M, axis=1)
+            sims = np.where(norms > 0, (M @ q) / (norms * qn + 1e-300), 0.0)
+            top = np.argsort(-sims)[:k]
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy()[top], "cosine": sims[top]})
+
+    local = df.select(id_col, vec_col).mapInPandas(
+        part, schema=f"{id_col} long, cosine double"
+    )
+    return local.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)

@@ -1,0 +1,110 @@
+"""Text analysis operators: language ID, quality scoring, token counting,
+document fingerprinting — all JVM-side expressions over the documents table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from inferdb_spark.functions.text import (
+    alpha_ratio,
+    mean_word_length,
+    punct_ratio,
+    stopword_ratio,
+    token_count,
+    tokens,
+)
+
+# tiny per-language stopword profiles (public, standard closed-class words)
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "une", "des", "dans", "que"],
+    "es": ["el", "la", "los", "de", "que", "es", "en", "un", "por", "con"],
+    "it": ["il", "la", "che", "di", "non", "una", "per", "sono", "con", "del"],
+}
+
+
+def lang_scores(text_col: Column) -> dict[str, Column]:
+    """Per-language stopword hit ratio (n-gram-free heuristic language ID:
+    fraction of tokens in the language's closed-class profile)."""
+    t = tokens(text_col)
+    n = F.size(t)
+
+    def in_profile(words: list[str]):
+        return lambda w: w.isin(words)
+
+    out = {}
+    for lang, words in LANG_PROFILES.items():
+        hits = F.size(F.filter(t, in_profile(words)))
+        out[lang] = F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+    return out
+
+
+def detect_language(text_col: Column) -> Column:
+    """argmax over language scores; ties break alphabetically ('und' =
+    undetermined when every score is 0)."""
+    scores = lang_scores(text_col)
+    ordered = sorted(scores)  # alphabetic; ties -> lowest index wins via -idx
+    pairs = F.array(
+        *[
+            F.struct(
+                scores[lang].alias("score"),
+                F.lit(-i).alias("negidx"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, lang in enumerate(ordered)
+        ]
+    )
+    best = F.array_max(pairs)
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-signal columns: length, tokens, ratios — one projection."""
+    c = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_chars_q": F.length(c),
+            "n_tokens": token_count(c),
+            "stopword_ratio": stopword_ratio(c),
+            "punct_ratio": punct_ratio(c),
+            "alpha_ratio": alpha_ratio(c),
+            "mean_word_len": mean_word_length(c),
+        }
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scalar quality score in [0,1]: heuristic blend of the signals (long
+    enough, mostly alphabetic, sane word lengths, some stopwords — the
+    standard cheap pre-filter for web-scale corpora)."""
+    q = quality_features(df, text_col)
+    score = (
+        F.least(F.col("n_tokens").cast("double") / 50.0, F.lit(1.0)) * 0.25
+        + F.col("alpha_ratio") * 0.25
+        + F.least(F.col("stopword_ratio") * 4.0, F.lit(1.0)) * 0.25
+        + F.when(
+            (F.col("mean_word_len") >= 3) & (F.col("mean_word_len") <= 10),
+            F.lit(1.0),
+        ).otherwise(F.lit(0.0))
+        * 0.25
+    )
+    return q.withColumn("quality_score", score)
+
+
+def rolling_fingerprint(text_col: Column, base: int = 257, p: int = 1000000007) -> Column:
+    """Polynomial rolling hash over word tokens mod a prime — a stable
+    document fingerprint: fp = Σ h(tok_i)·base^(n-1-i) mod p, folded
+    left-to-right as fp = fp*base + h(tok) (mod p).  Pure integer math, so
+    any engine reproduces it exactly."""
+    th = F.transform(
+        tokens(text_col),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 13), 16, 10).cast("long") % F.lit(p),
+    )
+    return F.aggregate(
+        th,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * F.lit(base) + x) % F.lit(p),
+    )
