@@ -1,0 +1,109 @@
+"""Structured Streaming extensions (SURVEY.md §2.9: the reference has no
+streaming; these are the declared stretch goals, built Spark-native).
+
+Index scoring (translate → broadcast kv probe → coalesce fallback) is
+STATELESS, so the exact same operator graph from operators/scoring.py runs
+unchanged on a streaming DataFrame — the kv/prefix DataFrames are batch
+relations on the build side of stream-batch joins, which Structured
+Streaming broadcasts per microbatch.
+
+Also provided: watermarked windowed aggregation and a custom stateful
+operator (running per-key mean via applyInPandasWithState) as the
+canonical patterns for late-data handling and custom state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from inferdb_spark.operators.index import KVIndex
+from inferdb_spark.operators.scoring import index_score
+
+
+def stream_from_parquet_dir(
+    spark: SparkSession, path_glob_dir: str, schema, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream (for smoke tests real sources are kafka/socket;
+    the operator graph is source-agnostic)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path_glob_dir)
+    )
+
+
+def score_stream(stream_df: DataFrame, index: KVIndex) -> DataFrame:
+    """Stateless streaming scoring: identical operator composition as batch
+    (stream-batch broadcast joins; no watermark needed)."""
+    return index_score(stream_df, index)
+
+
+def windowed_event_aggregate(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    window: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked sliding-window aggregation — the late-data-tolerant
+    groupBy.  Late rows beyond the watermark are dropped; state for closed
+    windows is evicted (bounded state at any scale)."""
+    win = (
+        F.window(F.col(ts_col), window, slide) if slide else F.window(F.col(ts_col), window)
+    )
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(win, F.col(key_col))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(value_col).alias("total"),
+            F.avg(value_col).alias("mean"),
+        )
+    )
+
+
+def running_mean_per_key(
+    stream_df: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Custom stateful operator: exact running mean per key via
+    applyInPandasWithState — the template for reference-style incremental
+    model state on a stream."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    output_schema = f"{key_col} long, n long, mean double"
+    state_schema = "n long, s double"
+
+    def update(key, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf[value_col].sum())
+        state.update((n, s))
+        yield pd.DataFrame({key_col: [key[0]], "n": [n], "mean": [s / n if n else 0.0]})
+
+    timeout_conf = getattr(GroupStateTimeout, timeout, GroupStateTimeout.NoTimeout)
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        update, output_schema, state_schema, "update", timeout_conf
+    )
+
+
+def run_stream_to_memory(
+    out_df: DataFrame, query_name: str, output_mode: str = "update"
+) -> None:
+    """Drive a streaming query to completion synchronously (memory sink) —
+    the smoke-test harness; production sinks are kafka/parquet/foreachBatch."""
+    q = (
+        out_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()

@@ -1,0 +1,138 @@
+"""Dedup / similarity / textprep operator semantics."""
+
+from pyspark.sql import functions as F
+
+from inferdb_spark.operators import dedup as DD
+from inferdb_spark.operators import similarity as SIM
+from inferdb_spark.operators import textprep as TP
+
+
+def _docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (1, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy dog near the river bank tonight"),  # near dup
+        (3, "completely different content about spark distributed query engines and parquet"),
+        (4, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_lowest_id(spark):
+    d = _docs(spark)
+    out = DD.exact_dedup(d, ["text"], "doc_id")
+    ids = sorted(r.doc_id for r in out.collect())
+    assert 0 in ids and 1 not in ids  # dup dropped, keeper kept
+    assert 2 in ids and 3 in ids and 4 in ids
+
+
+def test_minhash_lsh_finds_near_dups_not_distinct(spark):
+    d = _docs(spark).filter("doc_id < 4")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in DD.minhash_lsh_pairs(
+            d, "doc_id", "text", n_hashes=32, bands=8, shingle_n=4
+        ).collect()
+    }
+    assert (0, 1) in pairs  # exact dup always collides
+    assert (0, 2) in pairs or (1, 2) in pairs  # near dup
+    assert all(3 not in p for p in pairs)  # distinct doc never pairs
+
+
+def test_ngram_jaccard_values(spark):
+    d = _docs(spark)
+    pairs = spark.createDataFrame([(0, 1), (0, 3)], "id_a long, id_b long")
+    j = {(r.id_a, r.id_b): r.jaccard for r in DD.ngram_jaccard(d, pairs, "doc_id", "text").collect()}
+    assert j[(0, 1)] == 1.0
+    assert j[(0, 3)] < 0.2
+
+
+def test_simhash_near_dup_distance(spark):
+    d = _docs(spark)
+    fp = {
+        r.doc_id: r.fp
+        for r in d.select("doc_id", DD.simhash(F.col("text"), 32).alias("fp")).collect()
+    }
+    assert fp[0] == fp[1]
+    h02 = bin(fp[0] ^ fp[2]).count("1")
+    h03 = bin(fp[0] ^ fp[3]).count("1")
+    assert h02 < h03  # near dup closer than distinct doc
+
+
+def test_simhash_near_pairs(spark):
+    d = _docs(spark).filter("doc_id < 4")
+    out = {
+        (r.id_a, r.id_b): r.hamming
+        for r in DD.simhash_near_pairs(
+            d, "doc_id", "text", n_bits=48, max_hamming=6, band_bits=12
+        ).collect()
+    }
+    assert (0, 1) in out and out[(0, 1)] == 0
+
+
+def test_cosine_topk_exact(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    top = SIM.cosine_topk(df, "embedding", [1.0, 0.0, 0.0], k=2).collect()
+    assert [r.vec_id for r in top] == [0, 1]
+    assert abs(top[0].cosine - 1.0) < 1e-9
+
+
+def test_lsh_bucket_and_topk_agree_on_strong_match(spark):
+    rows = [(i, [float(i == j) for j in range(8)]) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    planes = SIM.make_hyperplanes(6, 8)
+    q = [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    approx = SIM.lsh_cosine_topk(df, "embedding", q, planes, k=1).collect()
+    assert approx and approx[0].vec_id == 0  # the query's own bucket contains it
+
+
+def test_embedding_near_pairs(spark):
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.999, 0.001]),
+        (2, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    planes = SIM.make_hyperplanes(4, 2)
+    pairs = SIM.embedding_near_pairs(df, "embedding", planes, threshold=0.99).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 1) in found
+    assert all(2 not in p for p in found)
+
+
+def test_detect_language(spark):
+    rows = [
+        (0, "the cat and the dog is in the house for it was that"),
+        (1, "der hund und die katze ist nicht auf der brücke zu und"),
+        (2, "xyzzy plugh qwerty"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.lang for r in df.select("doc_id", TP.detect_language(F.col("text")).alias("lang")).collect()}
+    assert out[0] == "en"
+    assert out[1] == "de"
+    assert out[2] == "und"
+
+
+def test_quality_score_ranges(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog and runs to the forest with great speed today"),
+        (1, "!!!! ???? ,,,, ;;;;"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.quality_score for r in TP.quality_score(df).collect()}
+    assert 0.0 <= out[1] < out[0] <= 1.0
+
+
+def test_rolling_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "gamma beta alpha"), (2, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    fps = {r.doc_id: r.fp for r in df.select("doc_id", TP.rolling_fingerprint(F.col("text")).alias("fp")).collect()}
+    assert fps[0] == fps[2] != fps[1]

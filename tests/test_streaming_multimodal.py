@@ -1,0 +1,118 @@
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from inferdb_spark.operators import multimodal as MM
+from inferdb_spark.operators.binning import BinSpec
+from inferdb_spark.operators.index import build_index
+from inferdb_spark.streaming import scoring_stream as SS
+
+
+def _write_stream_source(spark, tmp):
+    rows = [(i, float(i % 40), float((i * 3) % 200), float(i)) for i in range(400)]
+    df = spark.createDataFrame(rows, "row_id long, x double, z double, y double")
+    df.coalesce(4).write.mode("overwrite").parquet(tmp)
+    return df
+
+
+def test_streaming_index_score_matches_batch(spark):
+    tmp = tempfile.mkdtemp(prefix="inferdb_stream_")
+    try:
+        batch = _write_stream_source(spark, tmp)
+        specs = [
+            BinSpec(column="x", splits=[10.0, 20.0, 30.0]),
+            BinSpec(column="z", splits=[50.0, 100.0, 150.0]),
+        ]
+        idx = build_index(batch, specs, "y", task="regression")
+        stream = SS.stream_from_parquet_dir(spark, tmp, batch.schema, 2)
+        assert stream.isStreaming
+        scored = SS.score_stream(stream, idx)
+        SS.run_stream_to_memory(scored, "scored_out", output_mode="append")
+        got = {
+            r.row_id: r.prediction
+            for r in spark.sql("select * from scored_out").collect()
+        }
+        from inferdb_spark.operators.scoring import index_score
+
+        want = {r.row_id: r.prediction for r in index_score(batch, idx).collect()}
+        assert got == want  # stream scoring == batch scoring, row for row
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_windowed_aggregate(spark):
+    tmp = tempfile.mkdtemp(prefix="inferdb_stream_w_")
+    try:
+        rows = [
+            (i, f"2024-01-01 00:{i % 50:02d}:00", "a" if i % 2 == 0 else "b", float(i))
+            for i in range(100)
+        ]
+        df = spark.createDataFrame(rows, "id long, ts_s string, event_type string, value double").select(
+            "id", F.col("ts_s").cast("timestamp").alias("ts"), "event_type", "value"
+        )
+        df.coalesce(2).write.mode("overwrite").parquet(tmp)
+        stream = SS.stream_from_parquet_dir(spark, tmp, df.schema, 1)
+        agg = SS.windowed_event_aggregate(stream, "ts", "event_type", "value", "10 minutes")
+        # complete mode: the memory sink holds the FULL final state (update
+        # mode appends one row per per-trigger revision -> double counting)
+        SS.run_stream_to_memory(agg, "win_out", output_mode="complete")
+        out = spark.sql("select * from win_out").collect()
+        assert out and all(r.n > 0 for r in out)
+        total = sum(r.n for r in out)
+        assert total == 100
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_stateful_running_mean(spark):
+    tmp = tempfile.mkdtemp(prefix="inferdb_stream_s_")
+    try:
+        rows = [(i % 4, float(i)) for i in range(40)]
+        df = spark.createDataFrame(rows, "user_id long, value double")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        stream = SS.stream_from_parquet_dir(spark, tmp, df.schema, 1)
+        out = SS.running_mean_per_key(stream, "user_id", "value")
+        SS.run_stream_to_memory(out, "state_out", output_mode="update")
+        got = {r.user_id: (r.n, r.mean) for r in spark.sql("select * from state_out").collect()}
+        assert got[0][0] == 10
+        assert abs(got[0][1] - sum(range(0, 40, 4)) / 10) < 1e-9
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_multimodal_feature_extraction_fake(spark):
+    media = MM.synthesize_media_table(spark, 32)
+    feats = MM.extract_image_features(media, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 32
+    assert all(len(r.feat) == 8 for r in rows)
+    assert all(0.0 <= x <= 1.0 for r in rows for x in r.feat)
+    # deterministic: same input -> same features
+    again = MM.extract_image_features(media, fake=True).collect()
+    assert sorted((r.content_id, tuple(r.feat)) for r in rows) == sorted(
+        (r.content_id, tuple(r.feat)) for r in again
+    )
+
+
+def test_multimodal_decode_stub_raises_without_fake(spark):
+    import pytest
+
+    media = MM.synthesize_media_table(spark, 4)
+    with pytest.raises(Exception) as ei:
+        MM.extract_image_features(media, fake=False).collect()
+    assert "NotImplementedError" in str(ei.value) or "real image decode" in str(ei.value)
+
+
+def test_multimodal_frame_sampling(spark):
+    media = MM.synthesize_media_table(spark, 8, media_type="video")
+    frames = MM.sample_video_frames(media, every_ms=500, fake=True)
+    per = frames.groupBy("content_id").count().collect()
+    assert all(r["count"] >= 2 for r in per)  # duration >= 1000ms -> >= 2 frames
+
+
+def test_multimodal_resize(spark):
+    media = MM.synthesize_media_table(spark, 8)
+    out = MM.resize_images(media, 32, 32, fake=True).collect()
+    assert all(len(r.payload) == 32 * 32 // 64 for r in out)
+    assert all(r.width == 32 and r.height == 32 for r in out)
