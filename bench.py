@@ -119,6 +119,57 @@ def main() -> None:
         )
     )
 
+    # MLP scoring: relational-join parity path vs Arrow/numpy fast path
+    from inferdb_spark.gate_ml import NN_B0, NN_B1, NN_W0, NN_W1
+    from inferdb_spark.operators.scoring import score_mlp_pandas, sparsify_coo
+
+    nn_in = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("row_id"),
+        "l_quantity", "l_discount", "l_tax",
+    )
+    results["mlp_pandas"] = timed(
+        lambda: materialize(
+            score_mlp_pandas(
+                nn_in, ["l_quantity", "l_discount", "l_tax"], [NN_W0, NN_W1], [NN_B0, NN_B1]
+            )
+        )
+    )
+
+    # data-prep headliners
+    from inferdb_spark.operators.dedup import minhash_lsh_pairs, simhash
+    from inferdb_spark.operators.similarity import cosine_topk
+
+    docs = load_table(spark, SF_DIR, "documents")
+    ncores = spark.sparkContext.defaultParallelism
+    results["minhash_lsh"] = timed(
+        lambda: materialize(
+            minhash_lsh_pairs(
+                docs, "doc_id", "text", n_hashes=32, bands=4, parallelism=ncores
+            )
+        )
+    )
+    results["minhash_lsh_xxhash"] = timed(
+        lambda: materialize(
+            minhash_lsh_pairs(
+                docs, "doc_id", "text", n_hashes=32, bands=4, hash_fn="xxhash64",
+                parallelism=ncores,
+            )
+        )
+    )
+    docs_par = docs.repartition(ncores).cache()
+    docs_par.count()
+    results["simhash"] = timed(
+        lambda: materialize(
+            docs_par.select("doc_id", simhash(F.col("text"), 48).alias("fp"))
+        )
+    )
+    emb = load_table(spark, SF_DIR, "embeddings")
+    from inferdb_spark.gate_prep import QUERY_VEC
+
+    results["cosine_topk"] = timed(
+        lambda: cosine_topk(emb, "embedding", QUERY_VEC, k=20).collect()
+    )
+
     # heavy relational + data-prep gate queries at bench scale
     gq = gate_queries()
     for name in [
@@ -128,6 +179,7 @@ def main() -> None:
         "coo_sparsify",
         "text_quality",
         "dedup_exact",
+        "query_integration",
     ]:
         if name in gq:
             fn = gq[name]

@@ -381,22 +381,26 @@ _IDX_ORACLE_COMMON = f"""
     ),
     train AS (SELECT * FROM base WHERE is_train),
     test  AS (SELECT * FROM base WHERE NOT is_train),
-    kv AS (
-      SELECT concat_ws('.', b1, b2, b3) AS key,
-             CAST(sum(cents) AS DOUBLE) / count(*) AS value
+    -- one aggregation of the train scan; every coarser level derives from it
+    kvstats AS (
+      SELECT b1, b2, b3, CAST(sum(cents) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
       FROM train GROUP BY b1, b2, b3
+    ),
+    kv AS (
+      SELECT concat_ws('.', b1, b2, b3) AS key, CAST(s AS DOUBLE) / c AS value
+      FROM kvstats
     ),
     p2 AS (
       SELECT concat_ws('.', b1, b2) AS prefix_2,
-             CAST(sum(cents) AS DOUBLE) / count(*) AS value
-      FROM train GROUP BY b1, b2
+             CAST(sum(s) AS DOUBLE) / sum(c) AS value
+      FROM kvstats GROUP BY b1, b2
     ),
     p1 AS (
       SELECT CAST(b1 AS VARCHAR) AS prefix_1,
-             CAST(sum(cents) AS DOUBLE) / count(*) AS value
-      FROM train GROUP BY b1
+             CAST(sum(s) AS DOUBLE) / sum(c) AS value
+      FROM kvstats GROUP BY b1
     ),
-    gl AS (SELECT CAST(sum(cents) AS DOUBLE) / count(*) AS g FROM train),
+    gl AS (SELECT CAST(sum(s) AS DOUBLE) / sum(c) AS g FROM kvstats),
     scored AS (
       SELECT t.row_id,
              coalesce(kv.value, p2.value, p1.value, gl.g) / 100 AS prediction,
@@ -489,22 +493,28 @@ def q_index_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     train = base.filter("is_train")
     test = base.filter(~F.col("is_train"))
-    kv = (
-        train.groupBy("b1", "b2", "b3")
-        .agg((F.sum("cents").cast("double") / F.count("*")).alias("v_exact"))
-        .select(F.concat_ws(".", "b1", "b2", "b3").alias("key"), "v_exact")
+    # ONE aggregation of the train scan; prefix levels and the global mean
+    # all roll up from the tiny per-key stats (at 100 TB the fact table is
+    # read once for the whole index build)
+    kvstats = train.groupBy("b1", "b2", "b3").agg(
+        F.sum("cents").alias("s"), F.count("*").alias("c")
+    )
+    kvstats = kvstats.cache()  # materialized stage: kv/p2/p1/global all read it
+    kv = kvstats.select(
+        F.concat_ws(".", "b1", "b2", "b3").alias("key"),
+        (F.col("s").cast("double") / F.col("c")).alias("v_exact"),
     )
     p2 = (
-        train.groupBy("b1", "b2")
-        .agg((F.sum("cents").cast("double") / F.count("*")).alias("v_p2"))
+        kvstats.groupBy("b1", "b2")
+        .agg((F.sum("s").cast("double") / F.sum("c")).alias("v_p2"))
         .select(F.concat_ws(".", "b1", "b2").alias("prefix_2"), "v_p2")
     )
     p1 = (
-        train.groupBy("b1")
-        .agg((F.sum("cents").cast("double") / F.count("*")).alias("v_p1"))
+        kvstats.groupBy("b1")
+        .agg((F.sum("s").cast("double") / F.sum("c")).alias("v_p1"))
         .select(F.col("b1").cast("string").alias("prefix_1"), "v_p1")
     )
-    g = train.agg((F.sum("cents").cast("double") / F.count("*")).alias("g"))
+    g = kvstats.agg((F.sum("s").cast("double") / F.sum("c")).alias("g"))
     scored = (
         test.withColumn("key", F.concat_ws(".", "b1", "b2", "b3"))
         .withColumn("prefix_2", F.concat_ws(".", "b1", "b2"))

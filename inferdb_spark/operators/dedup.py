@@ -39,18 +39,29 @@ def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFram
     return df.join(keep, id_col, "left_semi")
 
 
-def _shingle_hashes(text_col: Column, shingle_n: int, mode: str) -> Column:
-    """Distinct shingles -> 52-bit md5 hashes reduced mod P (array column)."""
+def _shingle_hashes(
+    text_col: Column, shingle_n: int, mode: str, hash_fn: str = "md5"
+) -> Column:
+    """Distinct shingles -> integer hashes reduced mod P (array column).
+
+    hash_fn="md5": 52-bit md5 prefix — engine-portable (the oracle gate
+    recomputes it in DuckDB), but MessageDigest is the minhash bottleneck.
+    hash_fn="xxhash64": JVM-native, ~2× faster signatures — the cluster
+    default when cross-engine reproducibility isn't required (still fully
+    deterministic within Spark, so retries/speculation are safe).
+    """
     sh = (
         char_ngrams(text_col, shingle_n)
         if mode == "char"
         else word_ngrams(text_col, shingle_n)
     )
-    return F.transform(
-        F.array_distinct(sh),
-        lambda s: F.conv(F.substring(F.md5(s), 1, 13), 16, 10).cast("long")
-        % F.lit(MERSENNE_P),
-    )
+    if hash_fn == "xxhash64":
+        elem = lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_P))  # noqa: E731
+    else:
+        elem = lambda s: (  # noqa: E731
+            F.conv(F.substring(F.md5(s), 1, 13), 16, 10).cast("long") % F.lit(MERSENNE_P)
+        )
+    return F.transform(F.array_distinct(sh), elem)
 
 
 def minhash_signature(
@@ -59,6 +70,7 @@ def minhash_signature(
     shingle_n: int = 4,
     mode: str = "char",
     seed: int = 42,
+    hash_fn: str = "md5",
 ) -> Column:
     """array<bigint> MinHash signature as ONE fold over the shingle hashes.
 
@@ -72,7 +84,7 @@ def minhash_signature(
     single aggregate walks the hashes once and least-merges an accumulator
     array, so each shingle is hashed exactly once regardless of n_hashes.
     """
-    hs = _shingle_hashes(text_col, shingle_n, mode)
+    hs = _shingle_hashes(text_col, shingle_n, mode, hash_fn)
     params = perm_params(n_hashes, seed)
     init = F.array(*[F.lit(MERSENNE_P).cast("long") for _ in range(n_hashes)])
 
@@ -94,6 +106,8 @@ def minhash_lsh_pairs(
     shingle_n: int = 4,
     mode: str = "char",
     seed: int = 42,
+    hash_fn: str = "md5",
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via banded MinHash LSH.
 
@@ -101,11 +115,22 @@ def minhash_lsh_pairs(
     signatures is identical.  The self-join runs on (band_id, band_key) —
     an equi join Catalyst executes as a shuffled hash join keyed on tiny
     strings, never on the documents.
+
+    `parallelism`: repartition the input before the CPU-heavy signature
+    projection.  Needed when the source is a few small files (Spark
+    assigns one task per file → one core does all the hashing); leave None
+    for large inputs that already carry enough partitions — the extra
+    shuffle would cost more than it buys.
     """
     assert n_hashes % bands == 0
     rpb = n_hashes // bands
+    if parallelism:
+        df = df.repartition(parallelism)
     sig = df.select(
-        F.col(id_col), minhash_signature(F.col(text_col), n_hashes, shingle_n, mode, seed).alias("sig")
+        F.col(id_col),
+        minhash_signature(
+            F.col(text_col), n_hashes, shingle_n, mode, seed, hash_fn
+        ).alias("sig"),
     )
     band_structs = F.array(
         *[
