@@ -158,6 +158,73 @@ def build_index(
     )
 
 
+def save_index(index: KVIndex, path: str) -> dict:
+    """Persist the index artifacts (S5 model-artifact sink analog,
+    src/transpiler.py:2244-2250: joblib dump + size measurement).
+
+    Layout: <path>/spec.json (bin specs + task + global), <path>/kv/ and
+    <path>/prefix_L/ parquet.  Returns {'bytes': total_on_disk} — the
+    rebuild's `pg_total_relation_size` equivalent.
+    """
+    import json
+    import os
+    from dataclasses import asdict
+
+    os.makedirs(path, exist_ok=True)
+    spec = {
+        "task": index.task,
+        "global_value": index.global_value,
+        "specs": [asdict(s) for s in index.specs],
+        "prefix_lengths": sorted(index.prefix_aggs),
+    }
+    with open(os.path.join(path, "spec.json"), "w") as f:
+        json.dump(spec, f)
+    index.kv.write.mode("overwrite").parquet(os.path.join(path, "kv"))
+    for L, df in index.prefix_aggs.items():
+        df.write.mode("overwrite").parquet(os.path.join(path, f"prefix_{L}"))
+    total = 0
+    for root, _, files in os.walk(path):
+        total += sum(os.path.getsize(os.path.join(root, fn)) for fn in files)
+    return {"bytes": total}
+
+
+def load_index(spark: SparkSession, path: str) -> KVIndex:
+    import json
+    import os
+
+    with open(os.path.join(path, "spec.json")) as f:
+        spec = json.load(f)
+    specs = [BinSpec(**s) for s in spec["specs"]]
+    kv = spark.read.parquet(os.path.join(path, "kv"))
+    prefix_aggs = {
+        L: spark.read.parquet(os.path.join(path, f"prefix_{L}"))
+        for L in spec["prefix_lengths"]
+    }
+    return KVIndex(
+        specs=specs,
+        task=spec["task"],
+        kv=kv,
+        prefix_aggs=prefix_aggs,
+        global_value=spec["global_value"],
+    )
+
+
+def unseen_paths(index: KVIndex) -> DataFrame:
+    """All bin-id combinations NOT present in the kv relation — the
+    reference's populate_paths set difference (src/transpiler.py:930-938,
+    J10/U1): cross join of the tiny per-feature bin domains, then an
+    anti join against the stored keys."""
+    spark = index.kv.sparkSession
+    domain = None
+    for i, s in enumerate(index.specs):
+        d = spark.createDataFrame([(b,) for b in range(s.n_bins)], f"b{i} int")
+        domain = d if domain is None else domain.crossJoin(d)
+    all_keys = domain.select(
+        F.concat_ws(".", *[F.col(f"b{i}").cast("string") for i in range(len(index.specs))]).alias("key")
+    )
+    return all_keys.join(index.kv.select("key"), "key", "left_anti")
+
+
 def index_size_info(index: KVIndex, spark: SparkSession) -> dict:
     """Stored paths / possible paths / filling degree
     (src/optimizer.py:225-231, 268-276)."""

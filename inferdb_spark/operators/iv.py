@@ -63,6 +63,48 @@ def iv_classification(encoded: DataFrame, bin_cols: list[str], target: str) -> f
     return float(row["iv"] or 0.0)
 
 
+def iv_multiclass(
+    encoded: DataFrame, bin_cols: list[str], target: str, adjust: float = 0.5
+) -> float:
+    """Multi-class IV: sum of one-vs-rest binary IVs over the observed
+    classes (src/optimizer.py:83-98 joins per-class instance counts onto
+    the per-bin counts; one groupBy on (bins, class) here gives the same
+    numbers without the pandas join)."""
+    y = F.col(target).cast("long")
+    totals = {
+        r["y"]: r["n"]
+        for r in encoded.groupBy(y.alias("y")).agg(F.count("*").alias("n")).collect()
+    }
+    n_total = sum(totals.values())
+    per = (
+        encoded.groupBy(*bin_cols, y.alias("y"))
+        .agg(F.count("*").alias("n"))
+        .groupBy(*bin_cols)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("y"), F.col("n")))
+            ).alias("cls_n"),
+            F.sum("n").alias("bin_n"),
+        )
+        .collect()
+    )
+    iv = 0.0
+    import math
+
+    for cls, e_total in totals.items():
+        ne_total = n_total - e_total
+        if e_total == 0 or ne_total == 0:
+            continue
+        for r in per:
+            ev = r["cls_n"].get(cls, 0)
+            nev = r["bin_n"] - ev
+            de = (ev + adjust) / e_total
+            dn = (nev + adjust) / ne_total
+            woe = math.log(de / dn) if dn else 0.0
+            iv += (de - dn) * woe
+    return iv
+
+
 def iv_regression(encoded: DataFrame, bin_cols: list[str], target: str) -> float:
     """Regression IV analog: sum over bins of |mean_bin - mean_global| *
     (n_bin/N) (src/optimizer.py:99-102)."""
@@ -100,7 +142,11 @@ def greedy_select(
     `encoded` should be cached by the caller — each step is one aggregation
     job over it.
     """
-    iv_fn = iv_classification if task == "classification" else iv_regression
+    iv_fn = {
+        "classification": iv_classification,
+        "multiclass": iv_multiclass,
+        "regression": iv_regression,
+    }[task]
     solo = [(s, iv_fn(encoded, [s.column + suffix], target)) for s in specs]
     solo.sort(key=lambda t: -t[1])
     selected: list[BinSpec] = []

@@ -111,6 +111,36 @@ def fit_one_hot(df: DataFrame, columns: list[str]) -> OneHotModel:
     return OneHotModel(categories=cats)
 
 
+def fit_datetime_mean_imputer(df: DataFrame, columns: list[str]) -> dict[str, int]:
+    """Datetime mean fill values (epoch seconds) — the reference's
+    int64-view mean (src/featurizers/nyc_rides_featurizer.py:77-83).
+    Apply with `impute_datetime`."""
+    row = df.agg(
+        *[F.avg(F.unix_timestamp(F.col(c))).alias(c) for c in columns]
+    ).first()
+    return {c: int(row[c]) for c in columns if row[c] is not None}
+
+
+def impute_datetime(df: DataFrame, fill: dict[str, int]) -> DataFrame:
+    return df.withColumns(
+        {
+            c: F.coalesce(F.col(c), F.timestamp_seconds(F.lit(v)))
+            for c, v in fill.items()
+        }
+    )
+
+
+def positional_rename(
+    df: DataFrame, columns: list[str], prefix: str = "f_"
+) -> DataFrame:
+    """Passthrough/remainder projection with positional f_i names (P4,
+    src/transpiler.py:768-783) — the reference's generated-schema
+    convention for model inputs."""
+    return df.select(
+        *[F.col(c).alias(f"{prefix}{i}") for i, c in enumerate(columns)]
+    )
+
+
 def outlier_bounds_iqr(
     df: DataFrame, column: str, k: float = 3.0, relative_error: float = 0.0
 ) -> tuple[float, float]:
