@@ -49,7 +49,11 @@ def _ensure_registered() -> None:
     """Import sibling gate modules so their @gate decorators run."""
     import importlib
 
-    for mod in ("inferdb_spark.gate_prep", "inferdb_spark.gate_ml"):
+    for mod in (
+        "inferdb_spark.gate_prep",
+        "inferdb_spark.gate_ml",
+        "inferdb_spark.gate_extra",
+    ):
         try:
             importlib.import_module(mod)
         except ModuleNotFoundError:

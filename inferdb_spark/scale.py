@@ -1,0 +1,114 @@
+"""Scale-out utilities: skew mitigation, co-located layouts, sizing.
+
+These encode the partitioning discipline the 100 TB deployment needs;
+local tests exercise correctness, the docstrings carry the sizing rules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_aggregate(
+    df: DataFrame,
+    group_cols: list[str],
+    agg_exprs: dict[str, str],
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Two-phase aggregation with key salting for skewed group keys.
+
+    Phase 1 groups on (key, salt) — the hot key's rows spread over
+    `salt_buckets` reducers; phase 2 merges the per-salt partials (tiny).
+    Only decomposable aggregates are supported (sum/count/min/max — mean
+    decomposes as sum+count).  AQE's skew-join handling covers joins; this
+    covers the groupBy side, which AQE does NOT rebalance.
+    """
+    salt = (F.rand(seed=42) * salt_buckets).cast("int").alias("_salt")
+    phase1_aggs, phase2_aggs = [], []
+    for col, how in agg_exprs.items():
+        if how == "sum":
+            phase1_aggs.append(F.sum(col).alias(f"_s_{col}"))
+            phase2_aggs.append(F.sum(f"_s_{col}").alias(f"sum_{col}"))
+        elif how == "count":
+            phase1_aggs.append(F.count(col).alias(f"_c_{col}"))
+            phase2_aggs.append(F.sum(f"_c_{col}").alias(f"count_{col}"))
+        elif how == "min":
+            phase1_aggs.append(F.min(col).alias(f"_m_{col}"))
+            phase2_aggs.append(F.min(f"_m_{col}").alias(f"min_{col}"))
+        elif how == "max":
+            phase1_aggs.append(F.max(col).alias(f"_x_{col}"))
+            phase2_aggs.append(F.max(f"_x_{col}").alias(f"max_{col}"))
+        elif how == "mean":
+            phase1_aggs.append(F.sum(col).alias(f"_s_{col}"))
+            phase1_aggs.append(F.count(col).alias(f"_c_{col}"))
+            phase2_aggs.append(
+                (F.sum(f"_s_{col}") / F.sum(f"_c_{col}")).alias(f"mean_{col}")
+            )
+        else:
+            raise ValueError(f"non-decomposable aggregate {how!r}")
+    p1 = df.withColumn("_salt", salt).groupBy(*group_cols, "_salt").agg(*phase1_aggs)
+    return p1.groupBy(*group_cols).agg(*phase2_aggs)
+
+
+def salted_join_hot_keys(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    hot_keys: list,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Manual salt-join for a KNOWN hot-key list (when AQE skew-join can't
+    kick in, e.g. pre-3.0 sinks or broadcast-ineligible dims): fact rows on
+    hot keys get a random salt, the dim's hot rows are replicated across
+    all salts, then a plain equi join on (key, salt)."""
+    hot = F.col(key).isin(hot_keys)
+    fact_s = fact.withColumn(
+        "_salt",
+        F.when(hot, (F.rand(seed=7) * salt_buckets).cast("int")).otherwise(F.lit(0)),
+    )
+    salts = F.when(
+        F.col(key).isin(hot_keys),
+        F.sequence(F.lit(0), F.lit(salt_buckets - 1)),
+    ).otherwise(F.array(F.lit(0)))
+    dim_s = dim.withColumn("_salt", F.explode(salts))
+    return fact_s.join(dim_s, [key, "_salt"]).drop("_salt")
+
+
+def write_bucketed(
+    df: DataFrame, table_name: str, bucket_cols: list[str], n_buckets: int = 64
+) -> None:
+    """Bucketed layout so later joins/aggregations on `bucket_cols`
+    co-locate without a shuffle (the Spark analog of the reference's
+    SP-GiST 'index the kv table once, probe many times': pay one shuffle at
+    write, amortize over every subsequent join)."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
+def stage_to_parquet(df: DataFrame, path: str, partition_cols: list[str] | None = None) -> DataFrame:
+    """Materialized-view stage sink (S4): persist a pipeline stage and
+    return the re-read frame (so downstream plans scan columnar storage
+    with pushdown instead of recomputing the lineage)."""
+    w = df.write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
+def repartition_for_output(
+    df: DataFrame, target_file_mb: int = 256, estimated_total_mb: int | None = None
+) -> DataFrame:
+    """Right-size output files: too many small files poison downstream
+    scans; too few underuse writers.  With AQE coalesce enabled the shuffle
+    partitions self-tune; this helper is the explicit form for final sinks."""
+    if estimated_total_mb is None:
+        return df.coalesce(max(1, df.rdd.getNumPartitions()))
+    n = max(1, estimated_total_mb // target_file_mb)
+    return df.repartition(n)

@@ -1,0 +1,50 @@
+from pyspark.sql import functions as F
+
+from inferdb_spark.scale import (
+    salted_aggregate,
+    salted_join_hot_keys,
+    stage_to_parquet,
+)
+
+
+def test_salted_aggregate_matches_plain(spark):
+    rows = [("hot", float(i)) for i in range(5000)] + [
+        (f"k{i % 50}", float(i)) for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "k string, v double")
+    plain = {
+        (r.k): (r["sum(v)"], r["count(v)"])
+        for r in df.groupBy("k").agg(F.sum("v"), F.count("v")).collect()
+    }
+    salted = {
+        r.k: (r.sum_v, r.count_v)
+        for r in salted_aggregate(df, ["k"], {"v": "sum"}).join(
+            salted_aggregate(df, ["k"], {"v": "count"}), "k"
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_aggregate_mean(spark):
+    df = spark.createDataFrame([("a", 1.0), ("a", 3.0), ("b", 10.0)], "k string, v double")
+    out = {r.k: r.mean_v for r in salted_aggregate(df, ["k"], {"v": "mean"}).collect()}
+    assert out == {"a": 2.0, "b": 10.0}
+
+
+def test_salted_join_hot_keys_matches_plain(spark):
+    fact = spark.createDataFrame(
+        [("hot", i) for i in range(1000)] + [("cold", i) for i in range(100)],
+        "k string, v int",
+    )
+    dim = spark.createDataFrame([("hot", 1), ("cold", 2), ("unused", 3)], "k string, d int")
+    plain = fact.join(dim, "k").groupBy("k").agg(F.count("*").alias("n"), F.sum("d").alias("s"))
+    salted = salted_join_hot_keys(fact, dim, "k", ["hot"], 8).groupBy("k").agg(
+        F.count("*").alias("n"), F.sum("d").alias("s")
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_stage_to_parquet_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string")
+    out = stage_to_parquet(df, str(tmp_path / "stage"))
+    assert sorted(map(tuple, out.collect())) == [(1, "a"), (2, "b")]
