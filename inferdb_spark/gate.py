@@ -53,6 +53,7 @@ def _ensure_registered() -> None:
         "inferdb_spark.gate_prep",
         "inferdb_spark.gate_ml",
         "inferdb_spark.gate_extra",
+        "inferdb_spark.gate_events",
     ):
         try:
             importlib.import_module(mod)

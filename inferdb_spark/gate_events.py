@@ -1,0 +1,126 @@
+"""Gate queries: event-analytics operators (as-of join, sessionization,
+pivot, JSON extraction) over the events table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from inferdb_spark.catalog import load_table
+from inferdb_spark.gate import gate
+from inferdb_spark.operators import relational_ext as RX
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@gate(
+    "json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract_string(props, '$.missing') AS BIGINT) AS missing
+    FROM events
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction from the events.props payload column
+    (semi-structured columns — beyond the reference's flat-row model)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        F.get_json_object("props", "$.missing").cast("long").alias("missing"),
+    )
+
+
+@gate(
+    "pivot_event_counts",
+    oracle=f"""
+    SELECT user_id % 50 AS grp,
+           {", ".join(f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}" for t in EVENT_TYPES)}
+    FROM events GROUP BY 1
+    """,
+)
+def q_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with explicit values: per-user-bucket counts by event type —
+    one shuffle, no value-discovery scan."""
+    ev = load_table(spark, sf_dir, "events")
+    out = RX.pivot_counts(
+        ev, F.col("user_id") % 50, "event_type", EVENT_TYPES, F.count(F.lit(1))
+    )
+    return out.na.fill(0, EVENT_TYPES).select(
+        "grp", *[F.col(t).cast("long").alias(t) for t in EVENT_TYPES]
+    )
+
+
+@gate(
+    "sessionize_events",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       -- floor() matches Spark's whole-second unix_timestamp
+                       OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                  THEN 1 ELSE 0 END AS ns
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    s AS (
+      SELECT user_id, event_id,
+             sum(ns) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM g
+    )
+    SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id
+    """,
+)
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min gap): lag + cumulative-sum windows; output
+    per-user session/event counts."""
+    ev = load_table(spark, sf_dir, "events")
+    s = RX.sessionize(ev, "user_id", "ts", gap_minutes=30.0, order_tiebreak="event_id")
+    return s.groupBy("user_id").agg(
+        F.max("session_id").cast("long").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@gate(
+    "asof_join_rates",
+    oracle="""
+    WITH rates AS (
+      SELECT user_id, ts AS rate_ts,
+             CAST(round(max(value)*100) AS BIGINT) AS rate_cents
+      FROM events WHERE event_id % 37 = 0
+      GROUP BY user_id, ts
+    )
+    SELECT e.event_id,
+           coalesce(r.rate_cents, -1) AS rate_cents
+    FROM events e
+    ASOF LEFT JOIN rates r ON e.user_id = r.user_id AND e.ts >= r.rate_ts
+    """,
+)
+def q_asof_join_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event picks the most recent 'rate' row at or before
+    its timestamp (union + window construction — Spark has no native as-of;
+    DuckDB's native ASOF JOIN is the oracle).  No match → -1 sentinel."""
+    ev = load_table(spark, sf_dir, "events")
+    rates = (
+        ev.filter(F.col("event_id") % 37 == 0)
+        .groupBy("user_id", F.col("ts").alias("rate_ts"))
+        .agg(F.round(F.max("value") * 100).cast("long").alias("rate_cents"))
+    )
+    out = RX.asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        rates,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="rate_ts",
+        right_values=["rate_cents"],
+    )
+    return out.select(
+        "event_id",
+        F.coalesce(F.col("rate_cents_asof"), F.lit(-1)).cast("long").alias("rate_cents"),
+    )

@@ -1,0 +1,113 @@
+"""Relational extensions beyond the reference's operator set: as-of join,
+sessionization, pivot/unpivot — the time-series / event-analytics operators
+a user of a general engine expects (SURVEY.md §2.3 notes the reference has
+no as-of/range joins; these are the Spark-native constructions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_values: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """As-of join: for each left row, the most recent right row with
+    right_ts <= left_ts on matching keys (LEFT semantics: no match → NULL).
+
+    Spark has no native as-of join.  The scalable construction (NOT
+    per-group pandas merge_asof): tag and union both sides, then one
+    window pass per key ordered by (ts, side) carries the last non-null
+    right value forward — right rows sort before left rows at equal
+    timestamps, giving inclusive `<=` semantics.  One shuffle on the key,
+    linear in |L|+|R|, no row explosion — survives arbitrarily large
+    sides where a range cross-join would not.
+    """
+    lcols = [c for c in left.columns]
+    l_tagged = left.select(
+        *lcols,
+        F.col(left_ts).alias("_asof_t"),
+        F.lit(1).alias("_asof_side"),
+        *[F.lit(None).cast(right.schema[v].dataType).alias(f"_r_{v}") for v in right_values],
+    )
+    r_tagged = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in on],
+        *[F.col(k) for k in on],
+        F.col(right_ts).alias("_asof_t"),
+        F.lit(0).alias("_asof_side"),
+        *[F.col(v).alias(f"_r_{v}") for v in right_values],
+    )
+    u = l_tagged.unionByName(r_tagged.select(*l_tagged.columns))
+    w = (
+        W.partitionBy(*on)
+        .orderBy(F.col("_asof_t").asc(), F.col("_asof_side").asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    filled = u.withColumns(
+        {
+            f"{v}{suffix}": F.last(F.col(f"_r_{v}"), ignorenulls=True).over(w)
+            for v in right_values
+        }
+    )
+    return filled.filter(F.col("_asof_side") == 1).drop(
+        "_asof_t", "_asof_side", *[f"_r_{v}" for v in right_values]
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    gap_minutes: float = 30.0,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Assign session ids per key: a new session starts when the gap to the
+    previous event exceeds `gap_minutes` (lag + cumulative sum over one
+    window — the standard scalable sessionization; one shuffle on key)."""
+    order = [F.col(ts).asc()] + ([F.col(order_tiebreak).asc()] if order_tiebreak else [])
+    w = W.partitionBy(key).orderBy(*order)
+    gap_s = F.unix_timestamp(F.col(ts)) - F.unix_timestamp(F.lag(ts).over(w))
+    new_sess = F.when(
+        gap_s.isNull() | (gap_s > gap_minutes * 60), 1
+    ).otherwise(0)
+    return df.withColumn("_new_sess", new_sess).withColumn(
+        "session_id",
+        F.sum("_new_sess").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    ).drop("_new_sess")
+
+
+def pivot_counts(
+    df: DataFrame,
+    group_col: str | Column,
+    pivot_col: str,
+    pivot_values: list[str],
+    agg: Column,
+    group_alias: str = "grp",
+) -> DataFrame:
+    """Pivot with an EXPLICIT value list (never the two-pass value-discovery
+    scan) — each pivoted cell is a conditional aggregate, one shuffle."""
+    g = group_col if isinstance(group_col, Column) else F.col(group_col)
+    return (
+        df.groupBy(g.alias(group_alias))
+        .pivot(pivot_col, pivot_values)
+        .agg(agg)
+    )
+
+
+def unpivot(
+    df: DataFrame, id_cols: list[str], value_cols: list[str],
+    var_name: str = "variable", value_name: str = "value",
+) -> DataFrame:
+    """melt/stack: wide -> long via stack() (no shuffle; row explosion only)."""
+    n = len(value_cols)
+    stack_expr = ", ".join(f"'{c}', `{c}`" for c in value_cols)
+    return df.selectExpr(
+        *id_cols, f"stack({n}, {stack_expr}) as ({var_name}, {value_name})"
+    )
