@@ -54,6 +54,7 @@ def _ensure_registered() -> None:
         "inferdb_spark.gate_ml",
         "inferdb_spark.gate_extra",
         "inferdb_spark.gate_events",
+        "inferdb_spark.gate_stream",
     ):
         try:
             importlib.import_module(mod)
