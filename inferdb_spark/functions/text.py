@@ -108,3 +108,30 @@ def mean_word_length(col: Column) -> Column:
         F.aggregate(t, F.lit(0), lambda acc, w: acc + F.length(w)).cast("double")
         / F.size(t),
     ).otherwise(F.lit(0.0))
+
+
+def text_stats(col: Column) -> Column:
+    """Fused text statistics in ONE normalize + ONE token pass:
+    struct(n_tokens, stopword_hits, char_sum).
+
+    The individual metric functions above each re-run normalize (2 regex
+    passes) — fine standalone, 4× wasteful when computing a metric panel.
+    Ratios derive from the struct fields afterwards.
+    """
+
+    def with_tokens(t: Column) -> Column:
+        return F.struct(
+            F.size(t).alias("n_tokens"),
+            F.size(F.filter(t, lambda w: w.isin(STOPWORDS))).alias("stopword_hits"),
+            F.aggregate(t, F.lit(0), lambda acc, w: acc + F.length(w)).alias(
+                "char_sum"
+            ),
+        )
+
+    def with_norm(norm: Column) -> Column:
+        toks = F.when(F.length(norm) == 0, F.array().cast("array<string>")).otherwise(
+            F.split(norm, " ")
+        )
+        return F.element_at(F.transform(F.array(toks), with_tokens), 1)
+
+    return bind_once(normalize(col), with_norm)

@@ -55,6 +55,7 @@ def _ensure_registered() -> None:
         "inferdb_spark.gate_extra",
         "inferdb_spark.gate_events",
         "inferdb_spark.gate_stream",
+        "inferdb_spark.gate_olap",
     ):
         try:
             importlib.import_module(mod)
@@ -1007,15 +1008,21 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text quality scoring: token count, stopword ratio, punctuation ratio,
-    mean word length — all JVM-side expressions (no UDF)."""
+    mean word length — all JVM-side expressions (no UDF).  Uses the fused
+    text_stats struct (one normalize + one token pass for the whole panel)."""
     d = _t(spark, sf_dir, "documents")
-    toks = TXT.tokens(F.col("text"))
-    return d.select(
+    st = d.select("doc_id", F.col("text"), TXT.text_stats(F.col("text")).alias("s"))
+    n = F.col("s.n_tokens")
+    return st.select(
         "doc_id",
-        TXT.token_count(F.col("text")).cast("long").alias("n_tokens"),
-        F.round(TXT.stopword_ratio(F.col("text")), 6).cast("double").alias("stopword_ratio"),
+        n.cast("long").alias("n_tokens"),
+        F.round(
+            F.when(n > 0, F.col("s.stopword_hits").cast("double") / n).otherwise(0.0), 6
+        ).cast("double").alias("stopword_ratio"),
         F.round(TXT.punct_ratio(F.col("text")), 6).cast("double").alias("punct_ratio"),
-        F.round(TXT.mean_word_length(F.col("text")), 6).cast("double").alias("mean_word_len"),
+        F.round(
+            F.when(n > 0, F.col("s.char_sum").cast("double") / n).otherwise(0.0), 6
+        ).cast("double").alias("mean_word_len"),
     )
 
 

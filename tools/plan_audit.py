@@ -1,0 +1,77 @@
+"""Physical-plan audit: assert the scale-critical plan properties hold.
+
+Run: python3 tools/plan_audit.py [sf_dir]   (exit 1 on any failed check)
+
+Checks the properties a 100 TB deployment depends on: filters/pruning
+pushed into the parquet scan, broadcast-only joins in index scoring,
+TakeOrderedAndProject for top-k (no global sort), zero-Exchange projection
+scoring, two-phase aggregation.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> int:
+    from inferdb_spark.session import get_spark
+
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark("plan-audit")
+    qs = __import__("__spark_entry__").queries()
+    failures = 0
+
+    def audit(name: str, checks) -> None:
+        nonlocal failures
+        plan = qs[name](spark, sf)._jdf.queryExecution().executedPlan().toString()
+        for label, pred in checks:
+            ok = pred(plan)
+            print(f"{'PASS' if ok else 'FAIL'} {name}: {label}")
+            if not ok:
+                failures += 1
+
+    audit("filter_project", [
+        ("filters pushed to parquet scan", lambda p: "PushedFilters: [" in p and "GreaterThan" in p),
+        ("column-pruned ReadSchema", lambda p: "ReadSchema" in p),
+    ])
+    audit("index_score", [
+        ("broadcast hash joins only", lambda p: "BroadcastHashJoin" in p and "SortMergeJoin" not in p),
+        ("kv stats read from materialized stage", lambda p: "InMemoryTableScan" in p),
+    ])
+    audit("join_enrich_revenue", [
+        ("all three dims broadcast", lambda p: p.count("BroadcastHashJoin") == 3 and "SortMergeJoin" not in p),
+    ])
+    audit("topk_orders", [
+        ("TakeOrderedAndProject (no global sort)", lambda p: "TakeOrderedAndProject" in p),
+    ])
+    audit("embedding_cosine_topk", [
+        ("TakeOrderedAndProject", lambda p: "TakeOrderedAndProject" in p),
+    ])
+    audit("linear_score_dense", [
+        ("zero shuffle", lambda p: "Exchange" not in p),
+    ])
+    audit("multiclass_argmax", [
+        ("zero shuffle", lambda p: "Exchange" not in p),
+    ])
+    audit("cluster_assign", [
+        ("projection only (no join/window/shuffle)", lambda p: "Exchange" not in p and "Join" not in p),
+    ])
+    audit("pricing_summary", [
+        ("pushed shipdate filter", lambda p: "PushedFilters" in p and "LessThanOrEqual" in p),
+        ("two-phase hash aggregation", lambda p: p.count("HashAggregate") >= 2),
+    ])
+    audit("range_join_bands", [
+        ("broadcast nested-loop (small band side)", lambda p: "BroadcastNestedLoopJoin" in p),
+    ])
+    audit("asof_join_rates", [
+        ("single window pass, no join", lambda p: "Window" in p and "Join" not in p),
+    ])
+
+    print("\n" + ("ALL PLAN CHECKS PASS" if failures == 0 else f"{failures} PLAN CHECKS FAILED"))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
