@@ -170,6 +170,24 @@ def main() -> None:
         lambda: cosine_topk(emb, "embedding", QUERY_VEC, k=20).collect()
     )
 
+    # skew handling: plain vs salted aggregation on a hot-key distribution
+    # (~70% of rows share one key). AQE rebalances join skew, not groupBy
+    # skew — the salted two-phase shape is the fix; both must agree.
+    from inferdb_spark.scale import salted_aggregate
+
+    skewed = li.select(
+        F.when(F.col("l_orderkey") % 10 < 7, F.lit("HOT"))
+        .otherwise(F.concat(F.lit("k"), (F.col("l_orderkey") % 1000).cast("string")))
+        .alias("k"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    results["skew_agg_plain"] = timed(
+        lambda: materialize(skewed.groupBy("k").agg(F.sum("cents"), F.count("*")))
+    )
+    results["skew_agg_salted"] = timed(
+        lambda: materialize(salted_aggregate(skewed, ["k"], {"cents": "sum"}))
+    )
+
     # heavy relational + data-prep gate queries at bench scale
     gq = gate_queries()
     for name in [

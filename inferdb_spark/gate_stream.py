@@ -19,6 +19,21 @@ from inferdb_spark.gate import gate
 _counter = 0
 
 
+def _stage_events(spark: SparkSession, sf_dir: str):
+    """Stage ts-normalized events into a /tmp directory (file stream
+    sources need a directory); returns (stage_path, schema)."""
+    import hashlib
+    import os
+
+    ev = load_table(spark, sf_dir, "events")
+    stage = os.path.join(
+        "/tmp", "inferdb_stream_stage_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    )
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        ev.repartition(4).write.mode("overwrite").parquet(stage)
+    return stage, ev.schema
+
+
 @gate(
     "stream_windowed_agg",
     oracle="""
@@ -35,23 +50,12 @@ def q_stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming query (file source, complete mode, run to completion), then
     compared against the batch GROUP BY — the streaming-equals-batch
     contract."""
-    import hashlib
-    import os
-
     global _counter
     _counter += 1
     name = f"gate_stream_out_{_counter}"
-    ev = load_table(spark, sf_dir, "events")
-    # the file stream source needs a DIRECTORY; stage the (ts-normalized)
-    # events into /tmp once per sf_dir
-    stage = os.path.join(
-        "/tmp", "inferdb_stream_stage_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    )
-    marker = os.path.join(stage, "_SUCCESS")
-    if not os.path.exists(marker):
-        ev.repartition(4).write.mode("overwrite").parquet(stage)
+    stage, schema = _stage_events(spark, sf_dir)
     stream = (
-        spark.readStream.schema(ev.schema)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 2)
         .parquet(stage)
     )
@@ -78,3 +82,84 @@ def q_stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n"),
         F.col("cents"),
     )
+
+
+VAL_SPLITS = [200.0, 400.0, 600.0, 800.0]
+# strict > to match BinSpec's #{s : x > s} exactly (>= would flip boundary rows)
+HOUR_SPLITS_SQL = "CAST(hour(ts) > 5 AS INT) + CAST(hour(ts) > 11 AS INT) + CAST(hour(ts) > 17 AS INT)"
+
+
+@gate(
+    "stream_index_score",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_id,
+             CAST(value > 200.0 AS INT) + CAST(value > 400.0 AS INT)
+           + CAST(value > 600.0 AS INT) + CAST(value > 800.0 AS INT) AS b1,
+             {HOUR_SPLITS_SQL} AS b2,
+             CAST(round(value*100) AS BIGINT) AS cents,
+             event_id % 3 <> 0 AS is_train
+      FROM events
+    ),
+    kvstats AS (
+      SELECT b1, b2, CAST(sum(cents) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+      FROM base WHERE is_train GROUP BY b1, b2
+    ),
+    p1 AS (SELECT b1, CAST(sum(s) AS DOUBLE)/sum(c) AS v FROM kvstats GROUP BY b1),
+    gl AS (SELECT CAST(sum(s) AS DOUBLE)/sum(c) AS g FROM kvstats)
+    SELECT t.event_id,
+           coalesce(CAST(k.s AS DOUBLE)/k.c, p1.v, gl.g) / 100 AS prediction
+    FROM base t
+    LEFT JOIN kvstats k ON t.b1 = k.b1 AND t.b2 = k.b2
+    LEFT JOIN p1 ON t.b1 = p1.b1
+    CROSS JOIN gl
+    WHERE NOT t.is_train
+    """,
+)
+def q_stream_index_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-index scoring applied to a REAL STREAM: the kv index +
+    prefix aggregates are built in batch, the test rows arrive as a
+    streaming DataFrame, and the identical operator graph (translate →
+    stream-batch broadcast joins → coalesce) scores them microbatch by
+    microbatch.  Oracle = the batch semantics — streaming must not change
+    a single prediction."""
+    from inferdb_spark.operators.binning import BinSpec
+    from inferdb_spark.operators.index import build_index
+    from inferdb_spark.operators.scoring import index_score
+
+    global _counter
+    _counter += 1
+    name = f"gate_stream_score_{_counter}"
+
+    ev = load_table(spark, sf_dir, "events")
+    # hour-of-day spec expressed as a plain numeric BinSpec over hour(ts)
+    ev2 = ev.withColumn("hour_f", F.hour("ts").cast("double")).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    specs = [
+        BinSpec(column="value", splits=VAL_SPLITS),
+        BinSpec(column="hour_f", splits=[5.0, 11.0, 17.0]),  # >=6/>=12/>=18 == >5/>11/>17 for integer hours
+    ]
+    train = ev2.filter(F.col("event_id") % 3 != 0)
+    index = build_index(train, specs, "cents", task="regression", agg_mode="rows")
+    index.kv.cache().count()
+
+    stage, schema = _stage_events(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 2).parquet(stage)
+    )
+    stream = (
+        stream.filter(F.col("event_id") % 3 == 0)
+        .withColumn("hour_f", F.hour("ts").cast("double"))
+    )
+    scored = index_score(stream, index)
+    q = (
+        scored.select("event_id", (F.col("prediction") / 100).alias("prediction"))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"select event_id, prediction from {name}")

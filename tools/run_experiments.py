@@ -1,0 +1,75 @@
+"""Experiment-suite driver — the analog of the reference's
+experiments/standalone/*.py scripts (SURVEY.md §5): run the model-vs-index
+standalone report over dataset shapes derived from the synthetic tables
+(FIXTURES.md maps each reference dataset to its testdata analog).
+
+Run: python3 tools/run_experiments.py [sf_dir]
+Prints one report table per dataset analog.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    from inferdb_spark.api import standalone_report
+    from inferdb_spark.catalog import load_table
+    from inferdb_spark.session import get_spark
+
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("experiments")
+
+    # 1. creditcard_like: all-numeric binary classification on lineitem
+    #    (FIXTURES.md §1: label = l_returnflag == 'R')
+    li = load_table(spark, sf, "lineitem").select(
+        "l_quantity", "l_discount", "l_tax",
+        (F.col("l_partkey") % 97).cast("double").alias("f_part"),
+        (F.col("l_returnflag") == "R").cast("int").alias("target"),
+        (F.col("l_orderkey") % 5).alias("_fold"),
+    )
+    print("== creditcard_like (binary classification, lineitem) ==")
+    standalone_report(
+        li.filter("_fold != 0"), li.filter("_fold = 0"),
+        ["l_quantity", "l_discount", "l_tax", "f_part"], "target",
+        task="classification",
+    ).show(truncate=False)
+
+    # 2. rides_like: regression with datetime features on events
+    #    (FIXTURES.md §4 maps rides onto events)
+    ev = load_table(spark, sf, "events").select(
+        "event_id",
+        F.hour("ts").cast("double").alias("hour"),
+        (((F.dayofweek("ts") + 5) % 7) + 1).cast("double").alias("isodow"),
+        (F.col("user_id") % 20).cast("double").alias("route"),
+        (F.col("value") + 1.0).alias("target"),
+        (F.col("event_id") % 5).alias("_fold"),
+    )
+    print("== rides_like (regression w/ datetime features, events) ==")
+    standalone_report(
+        ev.filter("_fold != 0"), ev.filter("_fold = 0"),
+        ["hour", "isodow", "route"], "target", task="regression",
+    ).show(truncate=False)
+
+    # 3. hits_like: mixed categorical/numeric classification on orders
+    #    (FIXTURES.md §2; categorical priority target-encoded via bins)
+    o = load_table(spark, sf, "orders").select(
+        (F.col("o_totalprice")).alias("price"),
+        F.month("o_orderdate").cast("double").alias("month"),
+        (F.col("o_custkey") % 100).cast("double").alias("cust_bucket"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("target"),
+        (F.col("o_orderkey") % 5).alias("_fold"),
+    )
+    print("== hits_like (mixed classification, orders) ==")
+    standalone_report(
+        o.filter("_fold != 0"), o.filter("_fold = 0"),
+        ["price", "month", "cust_bucket"], "target", task="classification",
+    ).show(truncate=False)
+
+
+if __name__ == "__main__":
+    main()
