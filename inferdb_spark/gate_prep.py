@@ -315,6 +315,57 @@ _D_BUCKET = " + ".join(
 )
 
 
+IVF_CENTROIDS = SIM.make_hyperplanes(4, EMB_DIM, seed=99)
+_IVF_PROBE = sorted(
+    range(4),
+    key=lambda i: sum((a - b) ** 2 for a, b in zip(IVF_CENTROIDS[i], QUERY_VEC)),
+)[:2]
+_ivf_cent_sql = ["[" + ", ".join(repr(x) for x in c) + "]" for c in IVF_CENTROIDS]
+_ivf_d = [
+    f"list_sum(list_transform(generate_series(1, {EMB_DIM}),"
+    f" i -> (cast(embedding[i] as double) - ({cs})[i]) * (cast(embedding[i] as double) - ({cs})[i])))"
+    for cs in _ivf_cent_sql
+]
+
+
+@gate(
+    "ivf_search",
+    oracle=f"""
+    WITH dists AS (
+      SELECT vec_id, embedding,
+             {_ivf_d[0]} AS d0, {_ivf_d[1]} AS d1, {_ivf_d[2]} AS d2, {_ivf_d[3]} AS d3
+      FROM embeddings
+    ),
+    assigned AS (
+      SELECT vec_id, embedding,
+             CASE WHEN d0 <= d1 AND d0 <= d2 AND d0 <= d3 THEN 0
+                  WHEN d1 <= d2 AND d1 <= d3 THEN 1
+                  WHEN d2 <= d3 THEN 2 ELSE 3 END AS list_id
+      FROM dists
+    ),
+    probed AS (
+      SELECT vec_id,
+             CASE WHEN {_D_NORM_E} > 0 AND {_QN} > 0
+                  THEN {_D_DOT_Q} / ({_D_NORM_E} * {_QN}) ELSE 0.0 END AS cosine
+      FROM assigned WHERE list_id IN ({", ".join(map(str, _IVF_PROBE))})
+    )
+    SELECT vec_id, CAST(round(cosine, 6) AS DOUBLE) AS cosine
+    FROM probed ORDER BY cosine DESC, vec_id ASC LIMIT 15
+    """,
+)
+def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN search with literal coarse-quantizer centroids: assign lists
+    (argmin projection), probe the 2 nearest lists, exact cosine within —
+    the partition-pruning ANN scale path (`fit_ivf_centroids` is the
+    fitted-centroid variant, pytest-verified)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    indexed = SIM.ivf_build(e, "embedding", IVF_CENTROIDS)
+    top = SIM.ivf_search(
+        indexed, "embedding", IVF_CENTROIDS, QUERY_VEC, k=15, n_probe=2
+    )
+    return top.select("vec_id", F.round("cosine", 6).cast("double").alias("cosine"))
+
+
 @gate(
     "embedding_lsh_buckets",
     oracle=f"""

@@ -124,6 +124,72 @@ def embedding_near_pairs(
     return cand.filter(F.col("cosine") >= threshold)
 
 
+def fit_ivf_centroids(
+    df: DataFrame, vec_col: str, n_lists: int, seed: int = 42, max_iter: int = 20
+) -> list[list[float]]:
+    """IVF coarse quantizer: KMeans over the embeddings (MLlib); only the
+    n_lists centroids return to the driver."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = df.select(array_to_vector(as_double_array(F.col(vec_col))).alias("_features"))
+    model = KMeans(k=n_lists, seed=seed, maxIter=max_iter, featuresCol="_features").fit(vecs)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
+def ivf_assign(vec_col: Column, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid (list) id as a projection: argmin over literal
+    centroids by squared L2 — no join, no shuffle, lowest-id tiebreak."""
+    v = as_double_array(vec_col)
+    entries = []
+    for i, c in enumerate(centroids):
+        clit = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(v, clit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        entries.append(F.struct(d.alias("d"), F.lit(i).alias("list_id")))
+    return F.array_min(F.array(*entries))["list_id"]
+
+
+def ivf_build(
+    df: DataFrame, vec_col: str, centroids: list[list[float]], id_col: str = "vec_id"
+) -> DataFrame:
+    """Assign every vector to its inverted list.  At scale, persist this
+    partitioned/bucketed BY list_id so a probe touches only the probed
+    lists' files (partition pruning does the index lookup)."""
+    return df.withColumn("list_id", ivf_assign(F.col(vec_col), centroids))
+
+
+def ivf_search(
+    indexed: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF query: rank centroids by distance to the query (driver-side,
+    n_lists is tiny), scan only the `n_probe` nearest lists, exact cosine
+    within them.  With list_id partitioning the filter prunes at the
+    source — the classic coarse-quantizer ANN trade-off (recall vs probes).
+    """
+    dists = [
+        (i, sum((a - b) * (a - b) for a, b in zip(c, query_vec)))
+        for i, c in enumerate(centroids)
+    ]
+    probe_ids = [i for i, _ in sorted(dists, key=lambda t: t[1])[:n_probe]]
+    sim = cosine_similarity(as_double_array(F.col(vec_col)), _query_lit(query_vec))
+    return (
+        indexed.filter(F.col("list_id").isin(probe_ids))
+        .select(F.col(id_col), sim.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def cosine_topk_pandas(
     df: DataFrame,
     vec_col: str,

@@ -26,39 +26,67 @@ LANG_PROFILES: dict[str, list[str]] = {
 }
 
 
-def lang_scores(text_col: Column) -> dict[str, Column]:
-    """Per-language stopword hit ratio (n-gram-free heuristic language ID:
-    fraction of tokens in the language's closed-class profile)."""
-    t = tokens(text_col)
-    n = F.size(t)
+def _lang_hits_struct(text_col: Column) -> Column:
+    """ONE tokenize pass producing struct(n, <hits per language>) — per-lang
+    `tokens()` calls would re-run normalize+split per profile (see
+    pyspark-perf notes on subtree re-evaluation)."""
+    from inferdb_spark.functions.text import bind_once
+
+    langs = sorted(LANG_PROFILES)
 
     def in_profile(words: list[str]):
         return lambda w: w.isin(words)
 
-    out = {}
-    for lang, words in LANG_PROFILES.items():
-        hits = F.size(F.filter(t, in_profile(words)))
-        out[lang] = F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
-    return out
+    def build(t: Column) -> Column:
+        return F.struct(
+            F.size(t).alias("n"),
+            *[
+                F.size(F.filter(t, in_profile(LANG_PROFILES[lang]))).alias(f"h_{lang}")
+                for lang in langs
+            ],
+        )
+
+    return bind_once(tokens(text_col), build)
+
+
+def lang_scores(text_col: Column) -> dict[str, Column]:
+    """Per-language stopword hit ratio (n-gram-free heuristic language ID:
+    fraction of tokens in the language's closed-class profile)."""
+    s = _lang_hits_struct(text_col)
+    n = s["n"]
+    return {
+        lang: F.when(n > 0, s[f"h_{lang}"].cast("double") / n).otherwise(F.lit(0.0))
+        for lang in sorted(LANG_PROFILES)
+    }
 
 
 def detect_language(text_col: Column) -> Column:
     """argmax over language scores; ties break alphabetically ('und' =
     undetermined when every score is 0)."""
-    scores = lang_scores(text_col)
-    ordered = sorted(scores)  # alphabetic; ties -> lowest index wins via -idx
-    pairs = F.array(
-        *[
-            F.struct(
-                scores[lang].alias("score"),
-                F.lit(-i).alias("negidx"),
-                F.lit(lang).alias("lang"),
-            )
-            for i, lang in enumerate(ordered)
-        ]
-    )
-    best = F.array_max(pairs)
-    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+    from inferdb_spark.functions.text import bind_once
+
+    ordered = sorted(LANG_PROFILES)
+
+    def pick(s: Column) -> Column:
+        n = s["n"]
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.when(n > 0, s[f"h_{lang}"].cast("double") / n)
+                    .otherwise(F.lit(0.0))
+                    .alias("score"),
+                    F.lit(-i).alias("negidx"),
+                    F.lit(lang).alias("lang"),
+                )
+                for i, lang in enumerate(ordered)
+            ]
+        )
+        best = F.array_max(pairs)
+        return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+    # bind the hits struct once: `pick` references it 2× per language, which
+    # would otherwise re-run the tokenize pipeline 10×
+    return bind_once(_lang_hits_struct(text_col), pick)
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
