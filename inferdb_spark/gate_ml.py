@@ -352,6 +352,124 @@ def q_outlier_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# full featurizer chain — the reference's create_featurizer_query composition
+# ---------------------------------------------------------------------------
+
+FC_CLUSTERS = [(40.0, -74.0), (40.5, -73.5), (40.25, -73.75)]
+_fc_cl_rows = ", ".join(f"({i}, {la!r}, {lo!r})" for i, (la, lo) in enumerate(FC_CLUSTERS))
+FC_PCA_MEANS = [500.0, 12.0]
+FC_PCA_COMP = [[0.25, -0.5]]
+
+
+@gate(
+    "featurizer_chain",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN value >= 10.0 AND value <= 900.0 THEN value
+                  ELSE 50.0 + hour(ts) * 2.0 END AS value_imp,
+             40.0 + (user_id % 120) * 0.01 AS lat,
+             -74.0 + (user_id % 90) * 0.01 AS lon
+      FROM events
+    ),
+    cl AS (SELECT * FROM (VALUES {_fc_cl_rows}) AS t(cid, clat, clon)),
+    dists AS (
+      SELECT b.event_id, cl.cid,
+             (b.lat - cl.clat)*(b.lat - cl.clat) + (b.lon - cl.clon)*(b.lon - cl.clon) AS dsq
+      FROM base b CROSS JOIN cl
+    ),
+    mind AS (SELECT event_id, min(dsq) AS md FROM dists GROUP BY 1),
+    assigned AS (
+      SELECT d.event_id, min(d.cid) AS cluster
+      FROM dists d JOIN mind m ON d.event_id = m.event_id AND d.dsq = m.md
+      GROUP BY d.event_id
+    ),
+    feat AS (
+      SELECT b.event_id, a.cluster,
+             hour(b.ts) AS hour, isodow(b.ts) AS isodow,
+             CAST(isodow(b.ts) IN (6,7) AS INT) AS is_weekend,
+             b.value_imp,
+             (b.value_imp - {FC_PCA_MEANS[0]!r}) * {FC_PCA_COMP[0][0]!r}
+           + (hour(b.ts) - {FC_PCA_MEANS[1]!r}) * {FC_PCA_COMP[0][1]!r} AS pca_0
+      FROM base b JOIN assigned a ON b.event_id = a.event_id
+    ),
+    routes AS (
+      SELECT cluster, is_weekend,
+             CAST(count(*) AS BIGINT) AS route_cnt,
+             CAST(sum(CAST(round(value_imp*100) AS BIGINT)) AS DOUBLE) / count(*) / 100 AS route_avg
+      FROM feat WHERE event_id % 4 <> 0 GROUP BY 1, 2
+    )
+    SELECT f.event_id, f.cluster,
+           CAST(f.hour AS BIGINT) AS hour, CAST(f.isodow AS BIGINT) AS isodow,
+           f.is_weekend,
+           CAST(round(f.value_imp, 6) AS DOUBLE) AS value_imp,
+           CAST(round(f.pca_0, 6) AS DOUBLE) AS pca_0,
+           coalesce(r.route_cnt, 0) AS route_cnt,
+           CAST(round(coalesce(r.route_avg, 0.0), 6) AS DOUBLE) AS route_avg
+    FROM feat f LEFT JOIN routes r ON f.cluster = r.cluster AND f.is_weekend = r.is_weekend
+    WHERE f.event_id % 4 = 0
+    """,
+)
+def q_featurizer_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full featurizer composition (create_featurizer_pg.py:219-311's
+    CTE chain): outlier imputation → datetime family → nearest-cluster →
+    PCA projection → per-route aggregates broadcast-joined with
+    COALESCE(…,0) — all ONE lazy Catalyst plan; the only shuffles are the
+    route groupBy and its broadcast back."""
+    from inferdb_spark.functions.datetime_fns import is_weekend, pg_isodow
+    from inferdb_spark.operators.preprocess import impute_outliers_linear
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id", "user_id", "ts", F.col("value").alias("value_imp"),
+        (F.lit(40.0) + (F.col("user_id") % 120) * 0.01).alias("lat"),
+        (F.lit(-74.0) + (F.col("user_id") % 90) * 0.01).alias("lon"),
+        F.hour("ts").cast("double").alias("_hour_d"),
+    )
+    base = impute_outliers_linear(
+        base, "value_imp", (10.0, 900.0), 50.0, {"_hour_d": 2.0}
+    )
+    assigned = FZ.assign_nearest_cluster(base, "lat", "lon", FC_CLUSTERS, "cluster")
+    feat = assigned.select(
+        "event_id",
+        "cluster",
+        F.hour("ts").alias("hour"),
+        pg_isodow(F.col("ts")).alias("isodow"),
+        is_weekend(F.col("ts")).alias("is_weekend"),
+        "value_imp",
+        (
+            (F.col("value_imp") - FC_PCA_MEANS[0]) * FC_PCA_COMP[0][0]
+            + (F.hour("ts") - FC_PCA_MEANS[1]) * FC_PCA_COMP[0][1]
+        ).alias("pca_0"),
+    )
+    routes = (
+        feat.filter(F.col("event_id") % 4 != 0)
+        .groupBy("cluster", "is_weekend")
+        .agg(
+            F.count("*").alias("route_cnt"),
+            (
+                F.sum(F.round(F.col("value_imp") * 100).cast("long")).cast("double")
+                / F.count("*")
+                / 100
+            ).alias("route_avg"),
+        )
+    )
+    test = feat.filter(F.col("event_id") % 4 == 0)
+    out = FZ.join_route_aggregates(test, routes, ["cluster", "is_weekend"])
+    return out.select(
+        "event_id",
+        "cluster",
+        F.col("hour").cast("long").alias("hour"),
+        F.col("isodow").cast("long").alias("isodow"),
+        "is_weekend",
+        F.round("value_imp", 6).cast("double").alias("value_imp"),
+        F.round("pca_0", 6).cast("double").alias("pca_0"),
+        F.coalesce("route_cnt", F.lit(0)).alias("route_cnt"),
+        F.round(F.coalesce("route_avg", F.lit(0.0)), 6).cast("double").alias("route_avg"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # window: row_number recovery + rolling average (W1 + pm25 extension)
 # ---------------------------------------------------------------------------
 
