@@ -19,5 +19,32 @@ add the data-prep operators a large-scale training-data pipeline needs.
 from inferdb_spark.session import get_spark
 from inferdb_spark.catalog import load_table, load_tables, register_views
 
-__all__ = ["get_spark", "load_table", "load_tables", "register_views"]
+
+def __getattr__(name):
+    # lazy re-exports of the high-level API (keeps bare import cheap)
+    if name in ("fit_index_pipeline", "standalone_report", "IndexPipeline"):
+        from inferdb_spark import api
+
+        return getattr(api, name)
+    if name in ("build_index", "KVIndex", "save_index", "load_index"):
+        from inferdb_spark.operators import index
+
+        return getattr(index, name)
+    if name == "index_score":
+        from inferdb_spark.operators.scoring import index_score
+
+        return index_score
+    if name == "dedup_corpus":
+        from inferdb_spark.operators.dedup import dedup_corpus
+
+        return dedup_corpus
+    raise AttributeError(name)
+
+
+__all__ = [
+    "get_spark", "load_table", "load_tables", "register_views",
+    "fit_index_pipeline", "standalone_report", "IndexPipeline",
+    "build_index", "KVIndex", "save_index", "load_index", "index_score",
+    "dedup_corpus",
+]
 __version__ = "0.1.0"

@@ -192,6 +192,41 @@ def ngram_jaccard(
     )
 
 
+def dedup_corpus(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    jaccard_threshold: float = 0.85,
+    n_hashes: int = 32,
+    bands: int = 4,
+    shingle_n: int = 4,
+    hash_fn: str = "md5",
+    parallelism: int | None = None,
+) -> DataFrame:
+    """End-to-end near-dedup pipeline: exact dedup → MinHash-LSH candidates
+    → n-gram-Jaccard verification → drop every non-lowest id of each
+    connected duplicate group (union-find collapsed to min-root via the
+    standard keep-lowest-partner rule: a row is dropped if ANY verified
+    partner has a lower id — sufficient when similarity is transitive
+    enough at the chosen threshold, the standard large-corpus shortcut).
+
+    Returns the surviving rows of `df`.  Scale: exact pass shuffles
+    constant-width hashes; candidate pass shuffles band keys; the Jaccard
+    join touches only candidate pairs.
+    """
+    survivors = exact_dedup(df, [text_col], id_col)
+    pairs = minhash_lsh_pairs(
+        survivors, id_col, text_col,
+        n_hashes=n_hashes, bands=bands, shingle_n=shingle_n,
+        hash_fn=hash_fn, parallelism=parallelism,
+    )
+    verified = ngram_jaccard(
+        survivors, pairs, id_col, text_col, ngram_n=shingle_n, mode="char"
+    ).filter(F.col("jaccard") >= jaccard_threshold)
+    drop_ids = verified.select(F.col("id_b").alias(id_col)).distinct()
+    return survivors.join(drop_ids, id_col, "left_anti")
+
+
 def simhash(text_col: Column, n_bits: int = 48) -> Column:
     """SimHash fingerprint (BIGINT) over word-token hashes — one projection.
 

@@ -136,3 +136,20 @@ def test_rolling_fingerprint_order_sensitive(spark):
     )
     fps = {r.doc_id: r.fp for r in df.select("doc_id", TP.rolling_fingerprint(F.col("text")).alias("fp")).collect()}
     assert fps[0] == fps[2] != fps[1]
+
+
+def test_dedup_corpus_end_to_end(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [
+        (0, base + " today"),
+        (1, base + " today"),          # exact dup of 0 -> dropped
+        (2, base + " tonight"),        # near dup of 0 -> dropped (J >= 0.85)
+        (3, "totally different text about distributed query engines and columnar storage"),
+        (10, base + " today"),         # exact dup, higher id -> dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = DD.dedup_corpus(df, "doc_id", "text", jaccard_threshold=0.8,
+                          n_hashes=32, bands=8)
+    ids = sorted(r.doc_id for r in out.collect())
+    assert 0 in ids and 3 in ids
+    assert 1 not in ids and 10 not in ids and 2 not in ids
