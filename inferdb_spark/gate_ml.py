@@ -19,6 +19,9 @@ from inferdb_spark.gate import (
 )
 from inferdb_spark.operators import featurize as FZ
 
+# dyadic LR weights for the query-integration demo (label ~ returnflag)
+LIN_COEF_Q, LIN_COEF_D, LIN_COEF_T, LIN_B = 0.0625, -8.0, 12.0, -1.5
+
 # ---------------------------------------------------------------------------
 # WoE / IV aggregation (A3 — the optimizer's core statistic)
 # ---------------------------------------------------------------------------
@@ -349,6 +352,122 @@ def q_outlier_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = impute_outliers_linear(li, "l_quantity", (OUT_LO, OUT_HI), OUT_B0, OUT_COEF)
     return out.select("row_id", F.col("l_quantity").cast("double").alias("qty_imputed"))
+
+
+# ---------------------------------------------------------------------------
+# classification index: majority-vote kv + mode prefix fallback
+# ---------------------------------------------------------------------------
+
+_ET_CASE = ("CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1 "
+            "WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END")
+
+
+@gate(
+    "index_score_classification",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_id,
+             CAST(value > 250.0 AS INT) + CAST(value > 500.0 AS INT) + CAST(value > 750.0 AS INT) AS b1,
+             CAST(hour(ts) > 7 AS INT) + CAST(hour(ts) > 15 AS INT) AS b2,
+             {_ET_CASE} AS label,
+             event_id % 3 = 0 AS is_test
+      FROM events
+    ),
+    percls AS (
+      SELECT b1, b2, label, CAST(count(*) AS BIGINT) AS cnt
+      FROM base WHERE NOT is_test GROUP BY b1, b2, label
+    ),
+    kvm AS (SELECT b1, b2, max(cnt) AS mc FROM percls GROUP BY 1, 2),
+    kv AS (
+      SELECT p.b1, p.b2, CAST(min(p.label) AS DOUBLE) AS v
+      FROM percls p JOIN kvm ON p.b1 = kvm.b1 AND p.b2 = kvm.b2 AND p.cnt = kvm.mc
+      GROUP BY p.b1, p.b2
+    ),
+    p1cls AS (SELECT b1, label, CAST(sum(cnt) AS BIGINT) AS cnt FROM percls GROUP BY 1, 2),
+    p1m AS (SELECT b1, max(cnt) AS mc FROM p1cls GROUP BY 1),
+    p1 AS (
+      SELECT c.b1, CAST(min(c.label) AS DOUBLE) AS v
+      FROM p1cls c JOIN p1m ON c.b1 = p1m.b1 AND c.cnt = p1m.mc GROUP BY c.b1
+    ),
+    glcls AS (SELECT label, CAST(sum(cnt) AS BIGINT) AS cnt FROM percls GROUP BY 1),
+    gl AS (
+      SELECT CAST(min(label) AS DOUBLE) AS g FROM glcls
+      WHERE cnt = (SELECT max(cnt) FROM glcls)
+    )
+    SELECT t.event_id, coalesce(kv.v, p1.v, gl.g) AS prediction
+    FROM base t
+    LEFT JOIN kv ON t.b1 = kv.b1 AND t.b2 = kv.b2
+    LEFT JOIN p1 ON t.b1 = p1.b1
+    CROSS JOIN gl
+    WHERE t.is_test
+    """,
+)
+def q_index_score_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classification index scoring: per-key MAJORITY VOTE (lowest-class
+    tiebreak) with mode-based prefix fallback (src/transpiler.py:986-992 +
+    inference_trie majority DFS) — the row-weighted aggregation mode, all
+    integer counts so the hash comparison is exact."""
+    from inferdb_spark.operators.binning import BinSpec
+    from inferdb_spark.operators.index import build_index
+    from inferdb_spark.operators.scoring import index_score
+
+    ev = load_table(spark, sf_dir, "events")
+    label = (
+        F.when(F.col("event_type") == "click", 0)
+        .when(F.col("event_type") == "error", 1)
+        .when(F.col("event_type") == "purchase", 2)
+        .when(F.col("event_type") == "signup", 3)
+        .otherwise(4)
+    )
+    base = ev.select(
+        "event_id", "value",
+        F.hour("ts").cast("double").alias("hour_f"),
+        label.alias("label"),
+        (F.col("event_id") % 3 == 0).alias("is_test"),
+    )
+    specs = [
+        BinSpec(column="value", splits=[250.0, 500.0, 750.0]),
+        BinSpec(column="hour_f", splits=[7.0, 15.0]),
+    ]
+    train = base.filter(~F.col("is_test"))
+    idx = build_index(train, specs, "label", task="classification", agg_mode="rows")
+    scored = index_score(base.filter("is_test"), idx)
+    return scored.select("event_id", F.col("prediction").cast("double").alias("prediction"))
+
+
+@gate(
+    "query_integration_lr",
+    oracle=f"""
+    WITH scored AS (
+      SELECT l_returnflag, l_quantity,
+             1.0 / (1.0 + exp(-(l_quantity * {LIN_COEF_Q!r} + l_discount * {LIN_COEF_D!r}
+                  + l_tax * {LIN_COEF_T!r} + {LIN_B!r}))) AS p
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_flagged,
+           CAST(sum(l_quantity) AS DOUBLE) AS qty_sum
+    FROM scored WHERE p > 0.5
+    GROUP BY l_returnflag
+    """,
+)
+def q_query_integration_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQLmodel query integration: LR scored INLINE in the query, predicate
+    over the score, aggregate above it — one Catalyst plan, scoring fused
+    into the scan stage (sql_scripts/query_integration_sqlmodel_lr.sql
+    pattern)."""
+    from inferdb_spark.operators.scoring import score_linear_dense
+
+    li = load_table(spark, sf_dir, "lineitem")
+    scored = score_linear_dense(
+        li, ["l_quantity", "l_discount", "l_tax"],
+        [LIN_COEF_Q, LIN_COEF_D, LIN_COEF_T], LIN_B, link="sigmoid",
+    )
+    return (
+        scored.filter(F.col("prediction") > 0.5)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_flagged"), F.sum("l_quantity").alias("qty_sum"))
+    )
 
 
 # ---------------------------------------------------------------------------

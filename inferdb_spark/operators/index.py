@@ -83,8 +83,10 @@ def build_index(
     y = F.col(target).cast("double")
 
     if task == "regression":
+        # count(y), not count(*): null targets must not dilute the mean
+        # (pandas .mean() semantics, src/transpiler.py:993-996)
         per_key = enc.groupBy(*bin_cols).agg(
-            F.sum(y).alias("s"), F.count("*").alias("c")
+            F.sum(y).alias("s"), F.count(y).alias("c")
         )
         per_key.cache()
         kv = per_key.select(

@@ -207,6 +207,8 @@ def cosine_topk_pandas(
 
     def part(batches):
         for pdf in batches:
+            if len(pdf) == 0:  # np.stack rejects empty partitions
+                continue
             M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             norms = np.linalg.norm(M, axis=1)
             sims = np.where(norms > 0, (M @ q) / (norms * qn + 1e-300), 0.0)
