@@ -115,6 +115,31 @@ def q_distinct_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @gate(
+    "stats_moments",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(round(corr(l_quantity, l_extendedprice), 6) AS DOUBLE) AS corr_qp,
+           CAST(round(covar_samp(l_quantity, l_discount), 6) AS DOUBLE) AS covar_qd,
+           CAST(round(stddev_samp(l_tax), 6) AS DOUBLE) AS sd_tax,
+           CAST(round(avg(l_quantity), 6) AS DOUBLE) AS mean_q
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped statistical moments (corr/covar/stddev) — single-pass
+    decomposable aggregates; cross-engine agreement holds to 6dp.
+    (Kurtosis excluded: Spark reports excess g2, DuckDB bias-corrected G2 —
+    a definitional difference, not an error.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).cast("double").alias("corr_qp"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).cast("double").alias("covar_qd"),
+        F.round(F.stddev_samp("l_tax"), 6).cast("double").alias("sd_tax"),
+        F.round(F.avg("l_quantity"), 6).cast("double").alias("mean_q"),
+    )
+
+
+@gate(
     "embedding_near_pairs",
     oracle=f"""
     WITH b AS (

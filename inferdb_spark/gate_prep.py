@@ -38,11 +38,7 @@ _D_NORM = (
 )
 
 
-def _d_md5_52(expr: str) -> str:
-    return (
-        "list_reduce(list_transform(regexp_extract_all(substr(md5(" + expr + "),1,13),"
-        "'.'), c -> cast(strpos('0123456789abcdef', c) - 1 as bigint)), (a,b) -> a*16+b)"
-    )
+from inferdb_spark.functions.hashing import duckdb_h52 as _d_md5_52  # shared fragment
 
 
 def _d_tokens(c: str) -> str:
