@@ -170,6 +170,19 @@ def main() -> None:
         lambda: cosine_topk(emb, "embedding", QUERY_VEC, k=20).collect()
     )
 
+    # approximate aggregates — the documented scale substitutions for exact
+    # distinct counting / percentiles (SURVEY §2.4 note on A4)
+    results["approx_distinct"] = timed(
+        lambda: li.agg(
+            F.approx_count_distinct("l_partkey"), F.approx_count_distinct("l_orderkey")
+        ).collect()
+    )
+    results["approx_percentile"] = timed(
+        lambda: li.agg(
+            F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75, 0.99], 10000)
+        ).collect()
+    )
+
     # skew handling: plain vs salted aggregation on a hot-key distribution
     # (~70% of rows share one key). AQE rebalances join skew, not groupBy
     # skew — the salted two-phase shape is the fix; both must agree.
