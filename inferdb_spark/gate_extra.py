@@ -115,6 +115,49 @@ def q_distinct_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @gate(
+    "collect_sorted_list",
+    oracle="""
+    SELECT n_regionkey AS region,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           CAST(count(*) AS BIGINT) AS n
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def q_collect_sorted_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic list aggregation: collect_list is order-nondeterministic
+    under shuffle, so SORT the collected array before concatenating — the
+    only safe way to emit list aggregates from a distributed engine."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy(F.col("n_regionkey").alias("region")).agg(
+        F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations"),
+        F.count("*").alias("n"),
+    )
+
+
+@gate(
+    "regexp_extract_parse",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_type, '^([A-Z]+)', 1) AS type_head,
+           CAST(regexp_matches(p_name, 'o') AS INT) AS has_o,
+           CAST(length(regexp_replace(p_name, '[aeiou]', '', 'g')) AS BIGINT) AS consonant_len
+    FROM part
+    """,
+)
+def q_regexp_extract_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex extraction/matching/replacement parity across engines."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_type", r"^([A-Z]+)", 1).alias("type_head"),
+        F.col("p_name").rlike("o").cast("int").alias("has_o"),
+        F.length(F.regexp_replace("p_name", "[aeiou]", "")).cast("long").alias(
+            "consonant_len"
+        ),
+    )
+
+
+@gate(
     "stats_moments",
     oracle="""
     SELECT l_returnflag,
