@@ -135,6 +135,128 @@ def q_collect_sorted_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @gate(
+    "exact_quantiles",
+    oracle="""
+    SELECT l_returnflag AS flag,
+           round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.25), 6) AS q25,
+           round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.50), 6) AS q50,
+           round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.75), 6) AS q75,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (the IQR bounds behind
+    P7 outlier imputation, src/featurizers/nyc_rides_featurizer.py:165-172,
+    computed exactly; approxQuantile is the 100-TB substitution and is
+    benchmarked separately).  Spark percentile() and DuckDB quantile_cont
+    share (n-1)*p linear interpolation; 6dp rounding absorbs FP noise."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("double")
+    return li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.round(F.percentile(q, F.lit(0.25)), 6).alias("q25"),
+        F.round(F.percentile(q, F.lit(0.50)), 6).alias("q50"),
+        F.round(F.percentile(q, F.lit(0.75)), 6).alias("q75"),
+        F.count("*").alias("n"),
+    )
+
+
+def _hash_split_oracle() -> str:
+    from inferdb_spark.functions.hashing import duckdb_h52
+
+    h = duckdb_h52("CAST(o_orderkey AS VARCHAR)")
+    return f"""
+    SELECT CASE WHEN ({h}) % 100 < 80 THEN 'train' ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders GROUP BY 1
+    """
+
+
+@gate("hash_split_sample", oracle=_hash_split_oracle())
+def q_hash_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/test split by key hash — the distributed
+    replacement for the reference's seeded train_test_split
+    (src/transpiler.py:3009-3012, seed 42): h52(key) % 100 < 80 assigns
+    each row identically on every executor, every engine, every rerun,
+    with no shared RNG state — the only split that survives re-partitioning
+    at 100 TB.  Same md5-derived hash on both engines (functions/hashing)."""
+    from inferdb_spark.functions.hashing import h52
+
+    o = load_table(spark, sf_dir, "orders")
+    split = F.when(
+        h52(F.col("o_orderkey").cast("string")) % 100 < 80, F.lit("train")
+    ).otherwise(F.lit("test"))
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return o.groupBy(split.alias("split")).agg(
+        F.count("*").alias("n"), F.sum(cents).alias("cents")
+    )
+
+
+@gate(
+    "date_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_start,
+           CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR) AS ship_by,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS eom,
+           CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS VARCHAR) AS plus2m,
+           CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since
+    FROM orders
+    """,
+)
+def q_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic family (§2.8 datetime surface beyond extraction):
+    month truncation, day offsets, end-of-month, month offsets with
+    end-of-month clamping (Spark add_months == PG/DuckDB interval
+    semantics: Jan 31 + 1 month = Feb 28/29), day differencing.  Dates are
+    emitted as ISO strings so both engines hash identically."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.trunc(d, "month").cast("string").alias("month_start"),
+        F.date_add(d, 30).cast("string").alias("ship_by"),
+        F.last_day(d).cast("string").alias("eom"),
+        F.add_months(d, 2).cast("string").alias("plus2m"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).cast("long").alias(
+            "days_since"
+        ),
+    )
+
+
+@gate(
+    "edit_distance_pairs",
+    oracle="""
+    SELECT a.n_name AS name_a, b.n_name AS name_b,
+           CAST(levenshtein(a.n_name, b.n_name) AS BIGINT) AS dist
+    FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+    WHERE levenshtein(a.n_name, b.n_name) <= 4
+    """,
+)
+def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-match pairs over a small dimension — the
+    fuzzy-matching companion to the n-gram/MinHash dedup family (candidate
+    verification by exact Levenshtein).  At 100 TB this runs AFTER an LSH
+    band join has cut the pair space; the quadratic form here is only
+    viable because the dimension is tiny (and the optimizer turns it into
+    a broadcast nested-loop join, not a shuffle)."""
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    a = n.alias("a")
+    b = n.alias("b")
+    dist = F.levenshtein(F.col("a.n_name"), F.col("b.n_name"))
+    return (
+        a.join(F.broadcast(b), F.col("a.n_nationkey") < F.col("b.n_nationkey"))
+        .where(dist <= 4)
+        .select(
+            F.col("a.n_name").alias("name_a"),
+            F.col("b.n_name").alias("name_b"),
+            dist.cast("long").alias("dist"),
+        )
+    )
+
+
+@gate(
     "regexp_extract_parse",
     oracle="""
     SELECT p_partkey,

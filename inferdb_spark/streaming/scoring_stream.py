@@ -94,6 +94,46 @@ def running_mean_per_key(
     )
 
 
+def dedup_stream(
+    stream_df: DataFrame,
+    id_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact deduplication: dropDuplicatesWithinWatermark keeps
+    state only for ids seen inside the watermark horizon, so state is
+    BOUNDED — the requirement for an always-on ingest dedup at 100 TB/day
+    (plain dropDuplicates on a stream retains all keys forever)."""
+    return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        id_cols
+    )
+
+
+def foreach_batch_parquet_sink(
+    out_df: DataFrame, path: str, checkpoint: str
+):
+    """Idempotent parquet sink via foreachBatch: each microbatch overwrites
+    its own batch_id partition, so a replayed batch (failure between write
+    and checkpoint commit) lands in the same partition instead of
+    duplicating rows — exactly-once output on top of an at-least-once
+    trigger.  Returns the started StreamingQuery."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(path)
+        )
+
+    return (
+        out_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
 def run_stream_to_memory(
     out_df: DataFrame, query_name: str, output_mode: str = "update"
 ) -> None:

@@ -48,3 +48,30 @@ def test_stage_to_parquet_roundtrip(spark, tmp_path):
     df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string")
     out = stage_to_parquet(df, str(tmp_path / "stage"))
     assert sorted(map(tuple, out.collect())) == [(1, "a"), (2, "b")]
+
+
+def test_bucketed_join_no_shuffle(spark):
+    """write_bucketed pays one shuffle at write time; every subsequent join
+    on the bucket key must then plan with ZERO Exchange (co-located
+    bucket-to-bucket join) — the property that amortizes at 100 TB."""
+    from inferdb_spark.scale import write_bucketed
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        left = spark.range(0, 10000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        right = spark.range(0, 10000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("w")
+        )
+        write_bucketed(left, "bkt_left_t", ["k"], 8)
+        write_bucketed(right, "bkt_right_t", ["k"], 8)
+        joined = spark.table("bkt_left_t").join(spark.table("bkt_right_t"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 10000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_left_t")
+        spark.sql("DROP TABLE IF EXISTS bkt_right_t")

@@ -116,3 +116,46 @@ def test_multimodal_resize(spark):
     out = MM.resize_images(media, 32, 32, fake=True).collect()
     assert all(len(r.payload) == 32 * 32 // 64 for r in out)
     assert all(r.width == 32 and r.height == 32 for r in out)
+
+
+def test_streaming_dedup_within_watermark(spark):
+    """Duplicate event ids across microbatches must be emitted once."""
+    import datetime
+
+    tmp = tempfile.mkdtemp(prefix="inferdb_stream_d_")
+    try:
+        base = datetime.datetime(2024, 1, 1)
+        rows = [
+            (i % 50, base + datetime.timedelta(seconds=i), float(i))
+            for i in range(200)  # each id appears 4x
+        ]
+        df = spark.createDataFrame(rows, "event_id long, ts timestamp, v double")
+        df.coalesce(4).write.mode("overwrite").parquet(tmp)
+        stream = SS.stream_from_parquet_dir(spark, tmp, df.schema, 1)
+        deduped = SS.dedup_stream(stream, ["event_id"], "ts", "1 hour")
+        SS.run_stream_to_memory(deduped, "dedup_out", output_mode="append")
+        got = spark.sql("select event_id from dedup_out").collect()
+        assert sorted(r.event_id for r in got) == list(range(50))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_foreach_batch_sink_idempotent(spark):
+    tmp = tempfile.mkdtemp(prefix="inferdb_stream_fb_")
+    try:
+        src, out, ckpt = f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt"
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(100)], "row_id long, v double"
+        )
+        df.coalesce(4).write.mode("overwrite").parquet(src)
+        stream = SS.stream_from_parquet_dir(spark, src, df.schema, 1)
+        q = SS.foreach_batch_parquet_sink(stream, out, ckpt)
+        q.processAllAvailable()
+        q.stop()
+        sunk = spark.read.parquet(out)
+        assert sunk.count() == 100
+        assert sorted(r.row_id for r in sunk.select("row_id").collect()) == list(range(100))
+        # >1 microbatch landed, each in its own idempotent partition
+        assert sunk.select("batch_id").distinct().count() >= 2
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

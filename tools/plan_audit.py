@@ -65,6 +65,15 @@ def main() -> int:
     audit("range_join_bands", [
         ("broadcast nested-loop (small band side)", lambda p: "BroadcastNestedLoopJoin" in p),
     ])
+    audit("date_arithmetic", [
+        ("projection only, zero shuffle", lambda p: "Exchange" not in p and "Join" not in p),
+    ])
+    audit("edit_distance_pairs", [
+        ("broadcast nested-loop (tiny dim pair space)", lambda p: "BroadcastNestedLoopJoin" in p and "CartesianProduct" not in p),
+    ])
+    audit("hash_split_sample", [
+        ("two-phase hash aggregation (map-side partial)", lambda p: p.count("HashAggregate") >= 2),
+    ])
     audit("asof_join_rates", [
         ("single window pass, no join", lambda p: "Window" in p and "Join" not in p),
     ])
