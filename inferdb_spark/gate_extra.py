@@ -257,6 +257,92 @@ def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @gate(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_d_tokens('text')}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, term, tf, df,
+             round(tf * ln(n.n_docs / df), 6) AS tfidf,
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY tf DESC, df ASC, term ASC
+             ) AS rn
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+      WHERE df >= 10
+    )
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, tfidf
+    FROM scored WHERE rn <= 3
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document — the canonical corpus-statistics
+    operator for training-data curation.  Two shuffles total (by (doc,term)
+    then by term); document frequency is a VOCABULARY-sized relation, so it
+    broadcasts back onto the term-frequency table even when the corpus is
+    100 TB.  Ranking uses pure-integer ordering (tf desc, rarity asc, term
+    asc) so the top-k set is engine-exact; the float tfidf is a rounded
+    output value, never a sort key."""
+    from inferdb_spark.functions.text import tokens
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = (
+        tf.groupBy("term").agg(F.count("*").alias("df")).filter(F.col("df") >= 10)
+    )
+    n = d.agg(F.count("*").cast("double").alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("term")
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+
+
+@gate(
+    "group_zscore",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round((CAST(l_quantity AS DOUBLE)
+                  - avg(CAST(l_quantity AS DOUBLE)) OVER (PARTITION BY l_returnflag))
+                 / stddev_samp(CAST(l_quantity AS DOUBLE)) OVER (PARTITION BY l_returnflag),
+                 6) AS z
+    FROM lineitem
+    """,
+)
+def q_group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score normalization (windowed standardization) — the
+    group-wise companion to the global robust scaler (P2): every row is
+    centered/scaled by ITS group's statistics in one unpartitioned-output
+    pass.  At scale this is a single shuffle on the group key; no
+    collect-and-broadcast of per-group stats needed."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("double")
+    w = Window.partitionBy("l_returnflag")
+    z = (q - F.avg(q).over(w)) / F.stddev_samp(q).over(w)
+    return li.select(
+        "l_orderkey", "l_linenumber", F.round(z, 6).alias("z")
+    )
+
+
+@gate(
     "regexp_extract_parse",
     oracle="""
     SELECT p_partkey,
