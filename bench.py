@@ -209,6 +209,7 @@ def main() -> None:
         "window_topk_per_group",
         "coo_sparsify",
         "text_quality",
+        "tfidf_top_terms",
         "dedup_exact",
         "query_integration",
     ]:

@@ -256,6 +256,77 @@ def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stratified_sample_oracle() -> str:
+    from inferdb_spark.functions.hashing import duckdb_h52
+
+    h = duckdb_h52("CAST(o_orderkey AS VARCHAR)")
+    return f"""
+    SELECT o_orderstatus AS cls, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders
+    WHERE ({h}) % 1000 < (CASE o_orderstatus WHEN 'O' THEN 100
+                                             WHEN 'F' THEN 500 ELSE 1000 END)
+    GROUP BY 1
+    """
+
+
+@gate("stratified_sample", oracle=_stratified_sample_oracle())
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-class rates as h52 thresholds
+    (10% of 'O', 50% of 'F', all of 'P') — the class-rebalancing sampler
+    for training-data curation.  Unlike df.sampleBy, membership is a pure
+    function of the key: stable under retries, re-partitioning, and
+    re-runs, and reproducible in any engine with md5."""
+    from inferdb_spark.functions.hashing import h52
+
+    o = load_table(spark, sf_dir, "orders")
+    thr = (
+        F.when(F.col("o_orderstatus") == "O", 100)
+        .when(F.col("o_orderstatus") == "F", 500)
+        .otherwise(1000)
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        o.filter(h52(F.col("o_orderkey").cast("string")) % 1000 < thr)
+        .groupBy(F.col("o_orderstatus").alias("cls"))
+        .agg(F.count("*").alias("n"), F.sum(cents).alias("cents"))
+    )
+
+
+@gate(
+    "lead_lag_deltas",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(datediff('day',
+                lag(CAST(o_orderdate AS DATE)) OVER w,
+                CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_prev,
+           CAST(round(o_totalprice*100) AS BIGINT)
+             - lag(CAST(round(o_totalprice*100) AS BIGINT)) OVER w AS cents_delta
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+    """,
+)
+def q_lead_lag_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order-sequence deltas via lag() — the sequential
+    feature family (SURVEY §2.5 notes the reference precomputes its
+    previous_value/trend columns upstream; this is that operator, in-engine).
+    Window ordering is (date, orderkey): totally ordered, so lag is
+    deterministic.  One shuffle on the partition key; integer-cents delta
+    for cross-engine exactness."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = Window.partitionBy("o_custkey").orderBy(d, F.col("o_orderkey"))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(d, F.lag(d).over(w)).cast("long").alias("days_since_prev"),
+        (cents - F.lag(cents).over(w)).alias("cents_delta"),
+    )
+
+
 @gate(
     "tfidf_top_terms",
     oracle=f"""
