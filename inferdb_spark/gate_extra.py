@@ -256,6 +256,40 @@ def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@gate(
+    "unpivot_measures",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+           CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount',
+           CAST(l_discount AS DOUBLE) FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax',
+           CAST(l_tax AS DOUBLE) FROM lineitem
+    """,
+)
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (unpivot/melt) — inverse of the pivot gate and the
+    relational form behind the reference's COO sparsification (§2.2 P8
+    feeds on exactly this shape).  Spark's unpivot is a zero-shuffle
+    generator projection: output is 3× the rows but the plan stays
+    map-only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("double").alias("l_quantity"),
+        F.col("l_discount").cast("double").alias("l_discount"),
+        F.col("l_tax").cast("double").alias("l_tax"),
+    ).unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    )
+
+
 def _stratified_sample_oracle() -> str:
     from inferdb_spark.functions.hashing import duckdb_h52
 

@@ -75,3 +75,18 @@ def test_bucketed_join_no_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_left_t")
         spark.sql("DROP TABLE IF EXISTS bkt_right_t")
+
+
+def test_partition_pruned_scan(spark, tmp_path):
+    """Partition-column filters must prune at planning time (the
+    data-skipping property the IVF/LSH persisted layouts rely on: a probe
+    reads n_probe/n_lists of the corpus, not all of it)."""
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 10).alias("part"), F.col("id").alias("v")
+    )
+    path = str(tmp_path / "pp")
+    df.write.partitionBy("part").parquet(path)
+    rd = spark.read.parquet(path).filter(F.col("part") == 3)
+    plan = rd._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "= 3" in plan, plan
+    assert rd.count() == 100
