@@ -257,6 +257,42 @@ def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @gate(
+    "ntile_decile_stats",
+    oracle="""
+    WITH t AS (
+      SELECT ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile,
+             CAST(round(o_totalprice*100) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT decile, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS cents, min(cents) AS lo, max(cents) AS hi
+    FROM t GROUP BY decile
+    """,
+)
+def q_ntile_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile bucketing via ntile over a total order (value, key) — exact
+    equal-count binning.  The global ORDER BY is a single-partition sort,
+    fine for gate-sized relations; the 100 TB substitution is
+    percentile_approx cut points + a Bucketizer projection (no global
+    sort), benchmarked as approx_percentile."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = Window.orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
+    return (
+        o.select(F.ntile(10).over(w).alias("decile"), cents.alias("cents"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("cents").alias("cents"),
+            F.min("cents").alias("lo"),
+            F.max("cents").alias("hi"),
+        )
+    )
+
+
+@gate(
     "unpivot_measures",
     oracle="""
     SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
