@@ -257,6 +257,42 @@ def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @gate(
+    "cooccurrence_pairs",
+    oracle="""
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 HAVING count(*) >= 2
+    """,
+)
+def q_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-order co-occurrence pair counts (market-basket statistics) —
+    the one genuinely fact-fact self-join in the suite.  Shuffles both
+    sides on the group key (sort-merge join is CORRECT here: neither side
+    broadcasts at 100 TB); the quadratic expansion is bounded per group by
+    order size, so skew is capped by the widest basket, not the table.
+    Pre-bucketing on l_orderkey (scale.write_bucketed) amortizes the
+    shuffle across repeated co-occurrence passes."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+    )
+
+
+@gate(
     "ntile_decile_stats",
     oracle="""
     WITH t AS (

@@ -74,6 +74,16 @@ def main() -> int:
     audit("hash_split_sample", [
         ("two-phase hash aggregation (map-side partial)", lambda p: p.count("HashAggregate") >= 2),
     ])
+    # At local scale the 2-col lineitem projection fits the broadcast
+    # threshold and Catalyst rightly broadcasts; disable broadcast to
+    # simulate the 100 TB condition and assert the fact-fact fallback.
+    prev_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    audit("cooccurrence_pairs", [
+        ("fact-fact sort-merge join once broadcast is impossible",
+         lambda p: "SortMergeJoin" in p and "BroadcastHashJoin" not in p),
+    ])
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thr)
     audit("asof_join_rates", [
         ("single window pass, no join", lambda p: "Window" in p and "Join" not in p),
     ])
