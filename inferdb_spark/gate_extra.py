@@ -256,6 +256,33 @@ def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# One SQL text, two engines: this exact string is BOTH the Spark query
+# (via spark.sql over registered views) and the DuckDB oracle.  The
+# dialect-shared subset (ANSI joins, round, CAST, group by) plus the
+# integer-cents rule makes the engine's SQL surface itself gate-checked.
+_SHARED_SQL = """
+    SELECT n_name,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+"""
+
+
+@gate("sql_shared_text", oracle=_SHARED_SQL)
+def q_sql_shared_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL API surface: the oracle string itself executed by spark.sql
+    over registered temp views (S3 createOrReplaceTempView path).  Proves
+    dialect-shared ANSI SQL round-trips bit-exactly between engines with
+    zero per-engine rewriting."""
+    for t in ("lineitem", "orders", "customer", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SHARED_SQL)
+
+
 @gate(
     "cooccurrence_pairs",
     oracle="""
