@@ -75,3 +75,27 @@ def test_key_expr_format(spark):
     specs = [BinSpec(column="a", splits=[0.5]), BinSpec(column="b", splits=[10.0, 20.0])]
     out = apply_bins(df, specs).select(key_expr(specs).alias("key")).first()
     assert out.key == "1.2"
+
+
+def test_wide_schema_binning_784_columns(spark):
+    """SURVEY §7 known-hard 3: MNIST-width tables (784 features) must
+    translate without blowing whole-stage-codegen's 64KB method limit —
+    the Bucketizer path bins every column in one vectorized pass, and the
+    when-chain path must still produce identical bin ids (Spark falls back
+    to interpreted eval per-expression if codegen overflows)."""
+    import pyspark.sql.functions as F
+
+    from inferdb_spark.operators.binning import BinSpec, apply_bins, apply_bins_bucketizer
+
+    n_cols = 784
+    cols = [f"f_{i}" for i in range(n_cols)]
+    df = spark.range(0, 50).select(
+        "id", *[((F.col("id") * (i + 3)) % 97).cast("double").alias(c) for i, c in enumerate(cols)]
+    )
+    specs = [BinSpec(column=c, splits=[20.0, 40.0, 60.0, 80.0]) for c in cols]
+    a = apply_bins(df, specs).select("id", *[c + "_bin" for c in cols])
+    b = apply_bins_bucketizer(df, specs).select("id", *[c + "_bin" for c in cols])
+    rows_a = sorted(map(tuple, a.collect()))
+    rows_b = sorted(map(tuple, b.collect()))
+    assert rows_a == rows_b
+    assert len(rows_a) == 50
