@@ -107,3 +107,152 @@ def q_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
     )
+
+
+@gate(
+    "connected_components",
+    oracle="""
+    WITH RECURSIVE sel AS (
+      SELECT l.l_orderkey AS ok, CAST(l.l_partkey AS BIGINT) AS pk
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderdate >= DATE '1995-01-01' AND o.o_orderdate < DATE '1996-01-01'
+        AND l.l_partkey % 10 = 0
+    ),
+    edges0 AS (
+      SELECT DISTINCT a.pk AS src, b.pk AS dst
+      FROM sel a JOIN sel b ON a.ok = b.ok AND a.pk < b.pk
+    ),
+    edges AS (
+      SELECT src, dst FROM edges0 UNION ALL SELECT dst AS src, src AS dst FROM edges0
+    ),
+    nodes AS (SELECT DISTINCT pk AS node FROM sel),
+    labels(node, lbl) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.dst, l.lbl FROM labels l JOIN edges e ON e.src = l.node
+    )
+    SELECT CAST(node AS BIGINT) AS node, CAST(min(lbl) AS BIGINT) AS component
+    FROM labels GROUP BY node
+    """,
+)
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment as distributed connected components
+    (operators/graph.py): the graph is parts co-purchased in the same
+    1995 order (sampled 1-in-10 by partkey to bound the oracle's
+    recursive-CTE blowup); component = min partkey.  The oracle computes
+    the same fixpoint by recursive label propagation; Spark computes it
+    by iterative min-label propagation with path halving.  The reference
+    has no graph operator (SURVEY §2.7) — this closes the LSH-pairs →
+    duplicate-groups step of the dedup pipeline."""
+    from inferdb_spark.operators.graph import connected_components
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    sel = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01").cast("date"))
+            & (F.col("l_partkey") % 10 == 0)
+        )
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").cast("long").alias("pk"))
+    )
+    a, b = sel.alias("a"), sel.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+        .distinct()
+    )
+    # isolated nodes enter as self-loops so every node gets a component
+    nodes = sel.select(F.col("pk").alias("src"), F.col("pk").alias("dst")).distinct()
+    cc = connected_components(pairs.union(nodes), "src", "dst")
+    return cc.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
+@gate(
+    "cube_volume",
+    oracle="""
+    SELECT coalesce(CAST(year(o_orderdate) AS BIGINT), -1) AS yr,
+           coalesce(o_orderpriority, '(all)') AS prio,
+           CAST(GROUPING(year(o_orderdate), o_orderpriority) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders
+    GROUP BY CUBE(year(o_orderdate), o_orderpriority)
+    """,
+)
+def q_cube_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (year, priority) with grouping_id disambiguation —
+    completes the grouping-sets family next to rollup_revenue."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.withColumn("yr0", F.year("o_orderdate"))
+        .cube("yr0", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+        )
+        .select(
+            F.coalesce(F.col("yr0").cast("long"), F.lit(-1)).alias("yr"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("prio"),
+            "gid", "n", "cents",
+        )
+    )
+
+
+@gate(
+    "window_value_functions",
+    oracle="""
+    WITH w AS (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             CAST(round(o_totalprice*100) AS BIGINT) AS cents,
+             CAST(round(percent_rank() OVER
+                 (PARTITION BY o_custkey ORDER BY o_orderkey), 6) AS DOUBLE) AS prank,
+             CAST(round(cume_dist() OVER
+                 (PARTITION BY o_custkey ORDER BY o_orderkey), 6) AS DOUBLE) AS cdist,
+             CAST(first_value(o_orderkey) OVER
+                 (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS first_ok,
+             CAST(last_value(o_orderkey) OVER
+                 (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT) AS last_ok,
+             CAST(nth_value(o_orderkey, 2) OVER
+                 (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT) AS second_ok
+      FROM orders
+    )
+    SELECT CAST(o_custkey AS BIGINT) AS custkey, CAST(o_orderkey AS BIGINT) AS orderkey,
+           prank, cdist, first_ok, last_ok, second_ok
+    FROM w WHERE o_custkey % 100 = 0
+    """,
+)
+def q_window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / first_value / last_value / nth_value —
+    the window value-function battery (SURVEY §2.5 lists only
+    row_number/rank in the reference; a replacement engine needs the full
+    family).  last/nth use an explicit unbounded frame: the default frame
+    for ordered windows stops at CURRENT ROW in both engines, which would
+    make last_value degenerate."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    by_key = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    by_date = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    full = by_date.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        o.select(
+            F.col("o_custkey").cast("long").alias("custkey"),
+            F.col("o_orderkey").cast("long").alias("orderkey"),
+            F.round(F.percent_rank().over(by_key), 6).cast("double").alias("prank"),
+            F.round(F.cume_dist().over(by_key), 6).cast("double").alias("cdist"),
+            F.first("o_orderkey").over(by_date).cast("long").alias("first_ok"),
+            F.last("o_orderkey").over(full).cast("long").alias("last_ok"),
+            F.nth_value("o_orderkey", 2).over(full).cast("long").alias("second_ok"),
+            F.col("o_custkey").alias("ck0"),
+        )
+        .filter(F.col("ck0") % 100 == 0)
+        .drop("ck0")
+    )

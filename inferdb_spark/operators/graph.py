@@ -1,0 +1,122 @@
+"""Distributed connected components (iterative min-label propagation).
+
+Completes the dedup pipeline: MinHash/SimHash LSH emits candidate *pairs*
+(dedup.minhash_lsh_pairs / simhash_near_pairs); grouping pairs into
+duplicate *clusters* with one canonical representative per cluster is a
+connected-components problem over the pair graph.  The reference has no
+graph operator (its dedup surface is absent entirely — SURVEY.md §2.7);
+this is a first-class training-data-pipeline extension.
+
+Algorithm: min-label propagation with path halving.  Each iteration is
+two shuffles (neighbor-min groupBy + label-resolution join) over a
+DataFrame of (node, lbl); labels only decrease, so the fixpoint is the
+component-wise minimum node id.  Path halving (resolving lbl -> lbl(lbl)
+each round) makes long chains collapse in O(log n) rounds instead of
+O(diameter).  `localCheckpoint` truncates the plan lineage each round —
+without it the iteration-k plan embeds k nested joins and Catalyst
+analysis time grows quadratically.
+
+Scale notes (100 TB): state per round is one row per node — orders of
+magnitude smaller than the edge list, which is the only large input and
+is re-joined each round with the same partitioning (Exchange reuse).  For
+graphs whose edge list itself dwarfs memory, the alternating large-star /
+small-star algorithm (Kiveris et al., "Connected Components in MapReduce
+and Beyond", SoCC'14) bounds rounds at O(log^2 n) while shrinking the
+edge set every round; label propagation is preferred here because dedup
+pair graphs are sparse (LSH bands bound candidate-pair counts) and their
+components are shallow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Return (node, component) with component = min node id reachable.
+
+    `edges` is an undirected edge list (each pair may appear once in
+    either orientation); isolated nodes must be introduced by the caller
+    (union their ids into the edge list as self-loops, or union the
+    result with the node universe).  Node ids must be non-null and
+    orderable (the canonical representative is the minimum).
+    """
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    sym = sym.localCheckpoint(eager=True)
+
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iters):
+        # candidate label per node: min over neighbors' current labels
+        nbr_min = (
+            sym.join(labels, sym["u"] == labels["node"])
+            .groupBy(sym["v"].alias("node2"))
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["node2"], "left")
+            .select(
+                labels["node"],
+                F.least(labels["lbl"], F.coalesce("nbr_lbl", labels["lbl"])).alias("lbl"),
+            )
+        )
+        # path halving: lbl := lbl(lbl) — collapses chains exponentially
+        lbl_map = new_labels.select(
+            F.col("node").alias("lbl_node"), F.col("lbl").alias("lbl2")
+        )
+        new_labels = (
+            new_labels.join(lbl_map, new_labels["lbl"] == lbl_map["lbl_node"], "left")
+            .select(
+                "node",
+                F.coalesce("lbl2", "lbl").alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return labels.select(F.col("node"), F.col("lbl").alias("component"))
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    all_ids: DataFrame,
+    id_col: str,
+    pair_left: str = "id_a",
+    pair_right: str = "id_b",
+) -> DataFrame:
+    """Canonical-representative assignment for a dedup pair list.
+
+    Every id in `all_ids` gets a `cluster` column = min id of its
+    duplicate group (itself when it has no near-duplicates).  Keep rows
+    where `id == cluster` to retain one representative per group.
+    """
+    cc = connected_components(pairs, pair_left, pair_right)
+    return (
+        all_ids.select(F.col(id_col))
+        .distinct()
+        .join(cc, all_ids[id_col] == cc["node"], "left")
+        .select(
+            all_ids[id_col],
+            F.coalesce("component", all_ids[id_col]).alias("cluster"),
+        )
+    )

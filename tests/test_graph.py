@@ -1,0 +1,68 @@
+"""Connected components vs a driver-side union-find oracle."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from inferdb_spark.operators.graph import connected_components, dedup_clusters
+
+
+def _union_find(nodes, edges):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical = min node id per component
+    comp = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    return {n: min(members) for members in comp.values() for n in members}
+
+
+def test_connected_components_random_graph(spark):
+    rng = random.Random(7)
+    nodes = list(range(200))
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    expected = _union_find(nodes, edges + [(n, n) for n in nodes])
+
+    edf = spark.createDataFrame(
+        edges + [(n, n) for n in nodes], "src int, dst int"
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edf, "src", "dst").collect()
+    }
+    assert got == expected
+
+
+def test_connected_components_long_chain_converges(spark):
+    # path graph 0-1-2-...-63: worst case for naive propagation (diameter 63);
+    # path halving must still converge within max_iters=50
+    edges = [(i, i + 1) for i in range(63)]
+    edf = spark.createDataFrame(edges, "src int, dst int")
+    got = connected_components(edf, "src", "dst").collect()
+    assert len(got) == 64
+    assert {r["component"] for r in got} == {0}
+
+
+def test_dedup_clusters_assigns_singletons(spark):
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "id_a int, id_b int")
+    ids = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11, 99]], "doc_id int")
+    got = {
+        r["doc_id"]: r["cluster"]
+        for r in dedup_clusters(pairs, ids, "doc_id").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+    reps = [d for d, c in got.items() if d == c]
+    assert sorted(reps) == [1, 10, 99]
