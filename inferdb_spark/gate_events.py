@@ -124,3 +124,91 @@ def q_asof_join_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.coalesce(F.col("rate_cents_asof"), F.lit(-1)).cast("long").alias("rate_cents"),
     )
+
+
+@gate(
+    "interval_join_counts",
+    oracle="""
+    WITH iv AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
+             CAST(ts AS DATE) + INTERVAL (user_id % 12) HOUR AS w_start,
+             CAST(ts AS DATE) + INTERVAL (user_id % 12 + 4) HOUR AS w_end
+      FROM events
+    )
+    SELECT CAST(iv.user_id AS BIGINT) AS user_id, CAST(iv.day AS VARCHAR) AS day,
+           CAST(count(e.event_id) AS BIGINT) AS n_in_window,
+           CAST(coalesce(sum(CAST(round(e.value*100) AS BIGINT)), 0) AS BIGINT) AS cents
+    FROM iv JOIN events e
+      ON e.user_id = iv.user_id AND e.ts >= iv.w_start AND e.ts < iv.w_end
+    GROUP BY iv.user_id, iv.day
+    """,
+)
+def q_interval_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-big point-in-interval join via time banding
+    (relational_ext.interval_join): per (user, day) a 4-hour window whose
+    offset depends on the user; count/sum the user's events inside it.
+    The oracle is DuckDB's native inequality join; Spark's scalable plan
+    is band-explode + shuffled equi-join + exact filter (a bare
+    inequality join would be a nested-loop)."""
+    ev = load_table(spark, sf_dir, "events")
+    iv = (
+        ev.select(
+            "user_id",
+            F.to_date("ts").alias("day"),
+        )
+        .distinct()
+        .select(
+            "user_id",
+            "day",
+            (F.col("day").cast("timestamp") + (F.col("user_id") % 12) * F.expr("INTERVAL 1 HOUR")).alias("w_start"),
+            (F.col("day").cast("timestamp") + (F.col("user_id") % 12 + 4) * F.expr("INTERVAL 1 HOUR")).alias("w_end"),
+        )
+    )
+    joined = RX.interval_join(
+        ev.select("user_id", "ts", "event_id", "value"),
+        iv,
+        on=["user_id"],
+        left_ts="ts",
+        right_start="w_start",
+        right_end="w_end",
+        band_seconds=4 * 3600,
+    )
+    return joined.groupBy(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("day").cast("string").alias("day"),
+    ).agg(
+        F.count("event_id").alias("n_in_window"),
+        F.coalesce(F.sum(F.round(F.col("value") * 100).cast("long")), F.lit(0)).alias("cents"),
+    )
+
+
+@gate(
+    "range_frame_sum",
+    oracle="""
+    SELECT event_id, CAST(user_id AS BIGINT) AS user_id,
+           CAST(sum(CAST(round(value*100) AS BIGINT)) OVER
+               (PARTITION BY user_id ORDER BY epoch_us(ts)
+                RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS cents_1h
+    FROM events
+    WHERE user_id % 50 = 0
+    """,
+)
+def q_range_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per user, rolling 1-hour sum of value.
+    Both engines order by epoch MICROSECONDS (bigint) with a numeric
+    RANGE frame — ordering by seconds would truncate sub-second
+    timestamps and shift frame boundaries between engines.  Complements
+    rolling_window_avg (ROWS frame) with the RANGE-frame family."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 50 == 0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        F.col("user_id").cast("long").alias("user_id"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).over(w).alias("cents_1h"),
+    )

@@ -629,3 +629,95 @@ def q_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "id_a", "id_b", F.round("cosine", 6).cast("double").alias("cosine")
     )
+
+
+@gate(
+    "array_functions",
+    oracle="""
+    WITH pk AS (
+      SELECT l_orderkey, l_partkey,
+             max(CASE WHEN l_linenumber <= 3 THEN 1 ELSE 0 END) AS in_a,
+             max(CASE WHEN l_linenumber >= 3 THEN 1 ELSE 0 END) AS in_b
+      FROM lineitem WHERE l_orderkey % 20 = 0
+      GROUP BY l_orderkey, l_partkey
+    )
+    SELECT CAST(l_orderkey AS BIGINT) AS orderkey,
+           CAST(sum(in_a) AS BIGINT) AS n_a,
+           CAST(sum(in_b) AS BIGINT) AS n_b,
+           CAST(sum(in_a * in_b) AS BIGINT) AS n_inter,
+           CAST(count(*) AS BIGINT) AS n_union,
+           CAST(min(CASE WHEN in_a = 1 THEN l_partkey END) AS BIGINT) AS first_sorted,
+           CAST(max(l_partkey) AS BIGINT) AS mx
+    FROM pk GROUP BY l_orderkey
+    """,
+)
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function battery: collect_set -> array_sort / array_intersect /
+    array_union / array_except / array_min / array_max / element_at /
+    size.  The Spark side genuinely manipulates array columns; the oracle
+    computes the same scalars relationally (COUNT DISTINCT CASE), which
+    sidesteps engine-specific list-function semantics while pinning the
+    same answers (membership flags per (order, partkey), since a partkey
+    can recur across linenumbers).  SURVEY §2.8 array family."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 20 == 0)
+    grouped = li.groupBy(F.col("l_orderkey").cast("long").alias("orderkey")).agg(
+        F.array_sort(
+            F.array_distinct(
+                F.collect_list(F.when(F.col("l_linenumber") <= 3, F.col("l_partkey")))
+            )
+        ).alias("a"),
+        F.array_sort(
+            F.array_distinct(
+                F.collect_list(F.when(F.col("l_linenumber") >= 3, F.col("l_partkey")))
+            )
+        ).alias("b"),
+    )
+    return grouped.select(
+        "orderkey",
+        F.size("a").cast("long").alias("n_a"),
+        F.size("b").cast("long").alias("n_b"),
+        F.size(F.array_intersect("a", "b")).cast("long").alias("n_inter"),
+        F.size(F.array_union("a", "b")).cast("long").alias("n_union"),
+        F.try_element_at("a", F.lit(1)).cast("long").alias("first_sorted"),
+        F.array_max(F.array_union("a", "b")).cast("long").alias("mx"),
+    )
+
+
+@gate(
+    "string_functions",
+    oracle="""
+    SELECT CAST(p_partkey AS BIGINT) AS partkey,
+           upper(p_name) AS up,
+           lpad(p_brand, 12, '*') AS lp,
+           reverse(p_type) AS rev,
+           repeat(substr(p_name, 1, 3), 2) AS rep,
+           CAST(ascii(substr(p_name, 1, 1)) AS BIGINT) AS a0,
+           split_part(p_name, ' ', 2) AS word2,
+           replace(p_type, ' ', '_') AS rl,
+           translate(p_type, 'aeiou', 'AEIOU') AS tr,
+           CAST(length(p_name) AS BIGINT) AS ln,
+           CAST(position(' ' IN p_name) AS BIGINT) AS pos,
+           ltrim(p_name, 'abcdef') AS lt
+    FROM part WHERE p_partkey % 25 = 0
+    """,
+)
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar-function battery (upper/lpad/reverse/repeat/ascii/
+    split_part/replace/translate/length/position/char-class ltrim) —
+    widens SURVEY §2.8's string family from the reference's concat/substr
+    surface to the full set a replacement engine needs."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 25 == 0)
+    return p.select(
+        F.col("p_partkey").cast("long").alias("partkey"),
+        F.upper("p_name").alias("up"),
+        F.lpad("p_brand", 12, "*").alias("lp"),
+        F.reverse("p_type").alias("rev"),
+        F.repeat(F.substring("p_name", 1, 3), 2).alias("rep"),
+        F.ascii(F.substring("p_name", 1, 1)).cast("long").alias("a0"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("word2"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("rl"),
+        F.translate("p_type", "aeiou", "AEIOU").alias("tr"),
+        F.length("p_name").cast("long").alias("ln"),
+        F.instr("p_name", " ").cast("long").alias("pos"),
+        F.expr("trim(LEADING 'abcdef' FROM p_name)").alias("lt"),
+    )

@@ -111,3 +111,45 @@ def unpivot(
     return df.selectExpr(
         *id_cols, f"stack({n}, {stack_expr}) as ({var_name}, {value_name})"
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_start: str,
+    right_end: str,
+    band_seconds: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join for two LARGE sides (left_ts in
+    [right_start, right_end), plus equi-keys `on`).
+
+    Spark plans a bare inequality join as BroadcastNestedLoopJoin /
+    cartesian — O(|L|·|R|) and undistributable when neither side fits in
+    memory.  The scalable construction *bands* time: each left row maps
+    to bucket floor(epoch/band); each right interval explodes to the
+    buckets it spans (`F.sequence` — bounded when band_seconds is chosen
+    >= typical interval length, so spans are 1-2 buckets); the join is
+    then a plain shuffled equi-join on (keys..., bucket) followed by the
+    exact containment filter.  Work is O(|L| + |R|·spans) with full
+    partition parallelism.  SURVEY §2.3 notes the reference has no
+    range/interval joins; this is the general big-big form of
+    gate_olap.q_range_join_bands (whose small side can simply be
+    broadcast).
+    """
+    lb = left.withColumn("_ij_bucket", (F.unix_timestamp(F.col(left_ts)) / band_seconds).cast("long"))
+    rb = right.withColumn(
+        "_ij_bucket",
+        F.explode(
+            F.sequence(
+                (F.unix_timestamp(F.col(right_start)) / band_seconds).cast("long"),
+                (F.unix_timestamp(F.col(right_end)) / band_seconds).cast("long"),
+            )
+        ),
+    )
+    joined = lb.join(rb, [*on, "_ij_bucket"], how).filter(
+        (F.col(left_ts) >= F.col(right_start)) & (F.col(left_ts) < F.col(right_end))
+    )
+    return joined.drop("_ij_bucket")

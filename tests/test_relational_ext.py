@@ -59,3 +59,35 @@ def test_pivot_and_unpivot_roundtrip(spark):
     long = unpivot(wide, ["grp"], ["x", "y"])
     back = {(r.grp, r.variable): r.value for r in long.collect()}
     assert back[(1, "x")] == 10.0 and back[(2, "y")] == 0.0
+
+
+def test_interval_join_matches_naive(spark):
+    """Banded construction == naive inequality join, incl. band-crossing
+    intervals and intervals longer than one band."""
+    from datetime import datetime
+
+    from inferdb_spark.operators.relational_ext import interval_join
+
+    ev = spark.createDataFrame(
+        [(i, 1, datetime(2024, 1, 1, h, m)) for i, (h, m) in enumerate(
+            [(0, 0), (0, 59), (1, 0), (2, 30), (5, 0), (23, 59)]
+        )] + [(100, 2, datetime(2024, 1, 1, 1, 30))],
+        "event_id int, k int, ts timestamp",
+    )
+    iv = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 0, 30), datetime(2024, 1, 1, 2, 31)),  # spans 3 bands
+            (1, datetime(2024, 1, 1, 4, 0), datetime(2024, 1, 1, 6, 0)),
+            (2, datetime(2024, 1, 1, 0, 0), datetime(2024, 1, 2, 0, 0)),    # 24h interval
+        ],
+        "k int, s timestamp, e timestamp",
+    )
+    got = sorted(
+        (r["event_id"], r["s"].hour)
+        for r in interval_join(ev, iv, ["k"], "ts", "s", "e", band_seconds=3600).collect()
+    )
+    naive = sorted(
+        (r["event_id"], r["s"].hour)
+        for r in ev.join(iv, "k").filter((F.col("ts") >= F.col("s")) & (F.col("ts") < F.col("e"))).collect()
+    )
+    assert got == naive and len(got) == 5

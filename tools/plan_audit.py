@@ -83,6 +83,14 @@ def main() -> int:
         ("fact-fact sort-merge join once broadcast is impossible",
          lambda p: "SortMergeJoin" in p and "BroadcastHashJoin" not in p),
     ])
+    # Banded interval join must stay an equi hash/merge join even when
+    # neither side can broadcast — never a nested loop over raw ranges.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    audit("interval_join_counts", [
+        ("banded range join is a shuffled equi-join (no nested loop)",
+         lambda p: "SortMergeJoin" in p
+         and "NestedLoop" not in p and "CartesianProduct" not in p),
+    ])
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thr)
     audit("asof_join_rates", [
         ("single window pass, no join", lambda p: "Window" in p and "Join" not in p),
