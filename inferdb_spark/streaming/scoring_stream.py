@@ -109,6 +109,36 @@ def dedup_stream(
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts: str,
+    right_ts: str,
+    watermark: str = "10 minutes",
+    tolerance_seconds: int = 3600,
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream equi join bounded by a time-range condition.
+
+    Both inputs are watermarked and the join condition constrains
+    right_ts to [left_ts, left_ts + tolerance]; together these let the
+    engine evict buffered rows once the watermark passes the tolerance
+    horizon — WITHOUT the range condition a stream-stream join must
+    retain both sides' state forever, which is a leak, not an operator.
+    Column names (other than key/ts) must be disjoint between the sides.
+    """
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l[key_col] == r[key_col])
+        & (r[right_ts] >= l[left_ts])
+        & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {int(tolerance_seconds)} SECOND"))
+    )
+    joined = l.join(r, cond, how)
+    return joined.drop(r[key_col])
+
+
 def foreach_batch_parquet_sink(
     out_df: DataFrame, path: str, checkpoint: str
 ):

@@ -159,3 +159,46 @@ def test_streaming_foreach_batch_sink_idempotent(spark):
         assert sunk.select("batch_id").distinct().count() >= 2
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_stream_join_matches_batch(spark):
+    """views ⋈ purchases within 30 min per user: streaming result ==
+    batch join, and the range condition bounds join state."""
+    tmp_v = tempfile.mkdtemp(prefix="inferdb_ss_v_")
+    tmp_p = tempfile.mkdtemp(prefix="inferdb_ss_p_")
+    try:
+        views = spark.createDataFrame(
+            [(u, f"2024-01-01 00:{m:02d}:00") for u in range(5) for m in (0, 10, 40)],
+            "user_id int, ts_s string",
+        ).select("user_id", F.col("ts_s").cast("timestamp").alias("view_ts"))
+        buys = spark.createDataFrame(
+            [(u, f"2024-01-01 00:{m:02d}:30") for u in range(5) for m in (15, 55)],
+            "user_id int, ts_s string",
+        ).select("user_id", F.col("ts_s").cast("timestamp").alias("buy_ts"))
+        views.coalesce(1).write.mode("overwrite").parquet(tmp_v)
+        buys.coalesce(1).write.mode("overwrite").parquet(tmp_p)
+
+        sv = SS.stream_from_parquet_dir(spark, tmp_v, views.schema, 1)
+        sp = SS.stream_from_parquet_dir(spark, tmp_p, buys.schema, 1)
+        joined = SS.stream_stream_join(
+            sv, sp, "user_id", "view_ts", "buy_ts",
+            watermark="2 hours", tolerance_seconds=1800,
+        )
+        SS.run_stream_to_memory(joined, "ssj_out", output_mode="append")
+        got = sorted(
+            (r.user_id, str(r.view_ts), str(r.buy_ts))
+            for r in spark.sql("select * from ssj_out").collect()
+        )
+        want = sorted(
+            (r.user_id, str(r.view_ts), str(r.buy_ts))
+            for r in views.join(
+                buys,
+                (views.user_id == buys.user_id)
+                & (buys.buy_ts >= views.view_ts)
+                & (buys.buy_ts <= views.view_ts + F.expr("INTERVAL 1800 SECOND")),
+            ).drop(buys.user_id).collect()
+        )
+        assert got == want and len(got) > 0
+    finally:
+        shutil.rmtree(tmp_v, ignore_errors=True)
+        shutil.rmtree(tmp_p, ignore_errors=True)
