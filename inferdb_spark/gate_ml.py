@@ -740,3 +740,51 @@ def q_query_integration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@gate(
+    "auc_rank_sum",
+    oracle=f"""
+    WITH sc AS (
+      SELECT CAST(round((l_quantity * {LIN_COEF_Q!r} + l_discount * {LIN_COEF_D!r}
+                   + l_tax * {LIN_COEF_T!r} + {LIN_B!r}) * 1000) AS BIGINT) AS s,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem
+    ),
+    g AS (SELECT s, count(*) AS cnt, sum(y) AS pos FROM sc GROUP BY s),
+    r AS (SELECT cnt, pos,
+                 sum(cnt) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum
+          FROM g)
+    SELECT CAST(round((sum(pos * (2*cum - cnt + 1)) / 2.0
+                       - sum(pos) * (sum(pos) + 1) / 2.0)
+                      / (sum(pos) * sum(cnt - pos)), 6) AS DOUBLE) AS auc,
+           CAST(sum(pos) AS BIGINT) AS n_pos,
+           CAST(sum(cnt - pos) AS BIGINT) AS n_neg
+    FROM r
+    """,
+)
+def q_auc_rank_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the deterministic linear scorer against the
+    returnflag label (metrics.binary_auc: tie-corrected Mann-Whitney,
+    integer half-unit ranks — order-independent, bit-exact).  Scores are
+    discretized to integer millis on both sides (dyadic coefficients →
+    the rounding is exact)."""
+    from inferdb_spark.operators.metrics import binary_auc
+
+    li = load_table(spark, sf_dir, "lineitem")
+    scored = li.select(
+        F.round(
+            (
+                F.col("l_quantity") * LIN_COEF_Q
+                + F.col("l_discount") * LIN_COEF_D
+                + F.col("l_tax") * LIN_COEF_T
+                + F.lit(LIN_B)
+            )
+            * 1000
+        )
+        .cast("long")
+        .alias("s"),
+        (F.col("l_returnflag") == "R").cast("int").alias("y"),
+    )
+    return binary_auc(scored, "s", "y")

@@ -381,3 +381,81 @@ def q_embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count("*").alias("n"), F.min("vec_id").alias("min_id"))
     )
+
+
+@gate(
+    "vocab_id_assignment",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_d_tokens('text')}) AS term FROM documents
+    ),
+    counts AS (
+      SELECT term, count(*) AS n FROM tok GROUP BY term HAVING count(*) >= 5
+    ),
+    vocab AS (
+      SELECT term,
+             CAST(row_number() OVER (ORDER BY n DESC, term ASC) - 1 AS BIGINT) AS term_id
+      FROM counts
+    )
+    SELECT CAST(tok.doc_id AS BIGINT) AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_tok,
+           CAST(sum(CASE WHEN v.term_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           CAST(coalesce(sum(v.term_id), 0) AS BIGINT) AS sum_ids
+    FROM tok LEFT JOIN vocab v USING (term)
+    GROUP BY tok.doc_id
+    """,
+)
+def q_vocab_id_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic vocabulary build + application (StringIndexer
+    analog): term_id = dense rank by (count DESC, term ASC) over terms
+    with count >= 5; documents re-encoded via broadcast join with OOV
+    tokens null.  Output folds each doc's id sequence to checkable
+    scalars (token count, OOV count, id sum)."""
+    from inferdb_spark.operators.textprep import apply_vocab, build_vocab
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, "text", min_count=5)
+    mapped = apply_vocab(docs, vocab, "doc_id", "text")
+    return mapped.groupBy(F.col("doc_id").cast("long").alias("doc_id")).agg(
+        F.count("*").alias("n_tok"),
+        F.sum(F.when(F.col("term_id").isNull(), 1).otherwise(0)).cast("long").alias("n_oov"),
+        F.coalesce(F.sum("term_id"), F.lit(0)).cast("long").alias("sum_ids"),
+    )
+
+
+@gate(
+    "feature_hashing",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_d_tokens('text')}) AS term
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    h AS (SELECT doc_id, {_d_md5_52('term')} AS hv FROM tok),
+    s AS (
+      SELECT doc_id, hv % 64 AS bucket,
+             CASE WHEN (hv // 64) % 2 = 0 THEN 1 ELSE -1 END AS sign
+      FROM h
+    ),
+    coo AS (
+      SELECT doc_id, bucket, CAST(sum(sign) AS BIGINT) AS val
+      FROM s GROUP BY doc_id, bucket HAVING sum(sign) != 0
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_nonzero,
+           CAST(sum(val) AS BIGINT) AS sumval
+    FROM coo GROUP BY bucket
+    """,
+)
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed hashing trick (textprep.hash_features, dim=64) — stateless
+    token→bucket featurization via the portable h52 hash; per-bucket
+    rollup of the per-document COO output (bucket occupancy + signed
+    sums) pins both the hash routing and the per-doc aggregation."""
+    from inferdb_spark.operators.textprep import hash_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    coo = hash_features(docs, "doc_id", "text", dim=64)
+    return coo.groupBy(F.col("bucket").cast("long").alias("bucket")).agg(
+        F.count("*").alias("n_nonzero"),
+        F.sum("val").cast("long").alias("sumval"),
+    )

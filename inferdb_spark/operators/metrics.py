@@ -88,3 +88,39 @@ def rmsle(
     Uses literal ln(1+x) (not log1p) to match the SQL spec bit-for-bit."""
     d = ln1p_compat(F.col(prediction)) - ln1p_compat(F.col(label))
     return scored.agg(F.sqrt(F.sum(d * d) / F.count("*")).alias("rmsle"))
+
+
+def binary_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """Exact ROC-AUC via the Mann-Whitney rank-sum with average ranks for
+    ties — one row (auc, n_pos, n_neg).
+
+    Fully integer until the final division: scores are grouped, ranks
+    expressed in half-units (2*avg_rank = 2*cum - cnt + 1, a BIGINT), so
+    the aggregation is order-independent and bit-exact across engines at
+    any scale (no float accumulation).  The global cumulative window runs
+    over the DISTINCT-score relation (post-aggregation, small); the scan
+    and per-score counting are two-phase distributed.  Extends the
+    reference's metric set (acc/f1/rmsle — src/transpiler.py:241-377)
+    with the ranking metric its benchmarks lack."""
+    from pyspark.sql import Window
+
+    g = df.groupBy(F.col(score_col).alias("s")).agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col(label_col).cast("long")).alias("pos"),
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = g.withColumn("cum", F.sum("cnt").over(w))
+    agg = ranked.agg(
+        F.sum(F.col("pos") * (2 * F.col("cum") - F.col("cnt") + 1)).alias("rank_sum2"),
+        F.sum("pos").alias("n_pos"),
+        F.sum(F.col("cnt") - F.col("pos")).alias("n_neg"),
+    )
+    return agg.select(
+        F.round(
+            (F.col("rank_sum2") / 2.0 - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
+            / (F.col("n_pos") * F.col("n_neg")),
+            6,
+        ).cast("double").alias("auc"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+    )

@@ -136,3 +136,76 @@ def rolling_fingerprint(text_col: Column, base: int = 257, p: int = 1000000007) 
         F.lit(0).cast("long"),
         lambda acc, x: (acc * F.lit(base) + x) % F.lit(p),
     )
+
+
+def build_vocab(
+    df: DataFrame, text_col: str = "text", min_count: int = 1
+) -> DataFrame:
+    """Frequency-ranked vocabulary: (term, term_id, n) with term_id a
+    dense 0-based rank by (count DESC, term ASC) — the deterministic
+    StringIndexer analog for token-id mapping in training pipelines.
+
+    Scale: the global rank window runs on the POST-aggregation relation
+    (vocab size, ≪ corpus — counting is two-phase map-side combined);
+    a single-partition window over ≤ millions of terms is fine, and is
+    the same shape Spark's own StringIndexer uses (collect to driver —
+    ours stays distributed).
+    """
+    from pyspark.sql import Window
+
+    from inferdb_spark.functions import text as TXT
+
+    counts = (
+        df.select(F.explode(TXT.tokens(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("term"))
+    return counts.withColumn("term_id", F.row_number().over(w).cast("long") - 1)
+
+
+def apply_vocab(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Map each document's tokens to vocabulary ids: (id, term, term_id)
+    exploded rows; OOV tokens (absent from vocab) get term_id NULL.
+    Broadcast the vocab when it fits (typical); Catalyst/AQE picks the
+    strategy from stats otherwise."""
+    from inferdb_spark.functions import text as TXT
+
+    toks = df.select(F.col(id_col), F.explode(TXT.tokens(F.col(text_col))).alias("term"))
+    return toks.join(F.broadcast(vocab.select("term", "term_id")), "term", "left")
+
+
+def hash_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+) -> DataFrame:
+    """Hashing trick (signed feature hashing a la Weinberger'09): each
+    token maps to bucket h52(term) % dim with sign ±1 from the next hash
+    bit; output is sparse COO (id, bucket, val=Σsign) ready for
+    scoring.score_linear_coo.  No vocabulary state, no fit step — the
+    property that makes it the scale path when the term universe is
+    unbounded.  Portable hashing via functions/hashing.h52 so a SQL
+    oracle can recompute it bit-for-bit."""
+    from inferdb_spark.functions import text as TXT
+    from inferdb_spark.functions.hashing import h52
+
+    toks = df.select(F.col(id_col), F.explode(TXT.tokens(F.col(text_col))).alias("term"))
+    h = h52(F.col("term"))
+    signed = toks.select(
+        F.col(id_col),
+        (h % dim).alias("bucket"),
+        F.when((h / dim).cast("long") % 2 == 0, F.lit(1)).otherwise(F.lit(-1)).alias("sign"),
+    )
+    return (
+        signed.groupBy(id_col, "bucket")
+        .agg(F.sum("sign").cast("long").alias("val"))
+        .filter(F.col("val") != 0)
+    )

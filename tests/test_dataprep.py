@@ -153,3 +153,52 @@ def test_dedup_corpus_end_to_end(spark):
     ids = sorted(r.doc_id for r in out.collect())
     assert 0 in ids and 3 in ids
     assert 1 not in ids and 10 not in ids and 2 not in ids
+
+
+def test_binary_auc_exact(spark):
+    # hand-checkable: scores [1,2,3,4], labels [0,0,1,1] -> AUC 1.0;
+    # add a tie straddling classes -> tie-corrected value
+    df = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 1), (4, 1)], "s int, y int"
+    )
+    from inferdb_spark.operators.metrics import binary_auc
+
+    r = binary_auc(df, "s", "y").collect()[0]
+    assert (r["auc"], r["n_pos"], r["n_neg"]) == (1.0, 2, 2)
+
+    df2 = spark.createDataFrame(
+        [(1, 0), (2, 0), (2, 1), (3, 1)], "s int, y int"
+    )
+    r2 = binary_auc(df2, "s", "y").collect()[0]
+    # pairs: (1,2+):win, (1,3):win, (2-,2+):tie 0.5, (2-,3):win -> 3.5/4
+    assert r2["auc"] == 0.875
+
+
+def test_build_vocab_rank_determinism(spark):
+    df = spark.createDataFrame(
+        [(1, "b b b a a c"), (2, "a c d")], "doc_id int, text string"
+    )
+    from inferdb_spark.operators.textprep import build_vocab
+
+    vocab = {r["term"]: r["term_id"] for r in build_vocab(df, "text").collect()}
+    # counts: a=3, b=3, c=2, d=1 -> ties (a,b) break alphabetically
+    assert vocab == {"a": 0, "b": 1, "c": 2, "d": 3}
+
+
+def test_hash_features_signed_cancellation(spark):
+    from inferdb_spark.functions.hashing import h52
+    from inferdb_spark.operators.textprep import hash_features
+
+    df = spark.createDataFrame([(1, "x x y")], "doc_id int, text string")
+    coo = {(r["bucket"]): r["val"] for r in hash_features(df, dim=8).collect()}
+    hx, hy = [
+        r[0] for r in spark.createDataFrame([("x",), ("y",)], "t string")
+        .select(h52(F.col("t"))).collect()
+    ]
+    sx = 1 if (hx // 8) % 2 == 0 else -1
+    sy = 1 if (hy // 8) % 2 == 0 else -1
+    expect = {}
+    expect[hx % 8] = expect.get(hx % 8, 0) + 2 * sx
+    expect[hy % 8] = expect.get(hy % 8, 0) + sy
+    expect = {b: v for b, v in expect.items() if v != 0}
+    assert coo == expect
