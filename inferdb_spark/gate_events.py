@@ -212,3 +212,120 @@ def q_range_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").cast("long").alias("user_id"),
         F.sum(F.round(F.col("value") * 100).cast("long")).over(w).alias("cents_1h"),
     )
+
+
+@gate(
+    "funnel_stages",
+    oracle="""
+    WITH t1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    t2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN t1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > t1.t1
+        AND e.ts <= t1.t1 + INTERVAL 6 HOUR GROUP BY e.user_id
+    ),
+    t3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN t2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+        AND e.ts <= t2.t2 + INTERVAL 6 HOUR GROUP BY e.user_id
+    ),
+    u AS (SELECT DISTINCT user_id FROM events)
+    SELECT CAST(CASE WHEN t3.user_id IS NOT NULL THEN 3
+                     WHEN t2.user_id IS NOT NULL THEN 2
+                     WHEN t1.user_id IS NOT NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS stage,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM u LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
+           LEFT JOIN t3 USING (user_id)
+    GROUP BY 1
+    """,
+)
+def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis (view -> click -> purchase, strictly
+    increasing timestamps, each step within a 6-hour deadline): stage reached per user, user counts per
+    stage.  Spark computes all three stage timestamps in chained window
+    passes over ONE user-partitioning (single shuffle — the windows reuse
+    the exchange); the oracle derives them with three sequential
+    join-aggregates.  Event-analytics surface beyond the reference's
+    batch splits (SURVEY §1.4)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    staged = ev.withColumn("t1", t1)
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click")
+            & (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 6 HOUR")),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 6 HOUR")),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.withColumn("t3", t3)
+    per_user = staged.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("t3").isNotNull(), 3)
+            .when(F.col("t2").isNotNull(), 2)
+            .when(F.col("t1").isNotNull(), 1)
+            .otherwise(0)
+        ).alias("stage")
+    )
+    return per_user.groupBy(F.col("stage").cast("long").alias("stage")).agg(
+        F.count("*").alias("n_users")
+    )
+
+
+@gate(
+    "cohort_retention",
+    oracle="""
+    WITH fw AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week FROM events GROUP BY user_id
+    ),
+    act AS (
+      SELECT DISTINCT e.user_id, fw.cohort_week,
+             CAST(date_diff('day', fw.cohort_week, date_trunc('week', e.ts)) / 7 AS BIGINT) AS week_offset
+      FROM events e JOIN fw USING (user_id)
+    )
+    SELECT CAST(cohort_week AS VARCHAR) AS cohort_week, week_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM act GROUP BY cohort_week, week_offset
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort-retention matrix: users grouped by first-active ISO week,
+    distinct active users per (cohort, week-offset).  Both engines
+    truncate to Monday weeks; offsets via day-diff/7 (integer).  The
+    first-week per user comes from one window pass (shuffle shared with
+    the distinct)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    act = (
+        ev.withColumn("cohort_week", F.date_trunc("week", F.min("ts").over(w)))
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return act.groupBy(
+        F.col("cohort_week").cast("date").cast("string").alias("cohort_week"),
+        "week_offset",
+    ).agg(F.count("*").alias("n_users"))

@@ -256,3 +256,48 @@ def q_window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ck0") % 100 == 0)
         .drop("ck0")
     )
+
+
+@gate(
+    "correlated_above_avg",
+    oracle="""
+    WITH c AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT CAST(o.o_custkey AS BIGINT) AS custkey,
+           CAST(count(*) AS BIGINT) AS n_above,
+           CAST(sum(CAST(round(o.o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents_above
+    FROM orders o JOIN c ON o.o_custkey = c.o_custkey
+    WHERE CAST(round(o.o_totalprice*100) AS BIGINT) * c.n > c.sum_cents
+    GROUP BY o.o_custkey
+    """,
+)
+def q_correlated_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-scalar-subquery pattern ('orders above this customer's
+    average'), decorrelated into a window aggregate on the Spark side —
+    one shuffle, no per-row subquery.  The above-average comparison is
+    integer cross-multiplication (cents*n > sum_cents), never a float
+    average: double averages are shuffle-order-dependent and would break
+    cross-engine equality at the boundary."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = Window.partitionBy("o_custkey")
+    enriched = o.select(
+        F.col("o_custkey").cast("long").alias("custkey"),
+        cents.alias("cents"),
+    ).select(
+        "custkey",
+        "cents",
+        F.sum("cents").over(w.partitionBy("custkey")).alias("sum_cents"),
+        F.count("*").over(w.partitionBy("custkey")).alias("n"),
+    )
+    return (
+        enriched.filter(F.col("cents") * F.col("n") > F.col("sum_cents"))
+        .groupBy("custkey")
+        .agg(F.count("*").alias("n_above"), F.sum("cents").alias("cents_above"))
+    )
