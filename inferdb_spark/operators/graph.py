@@ -58,20 +58,15 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    prev_sum = None
     for _ in range(max_iters):
-        # candidate label per node: min over neighbors' current labels
-        nbr_min = (
+        # candidate labels = own ∪ neighbors' — one join + one min-agg
+        cand = (
             sym.join(labels, sym["u"] == labels["node"])
-            .groupBy(sym["v"].alias("node2"))
-            .agg(F.min("lbl").alias("nbr_lbl"))
+            .select(sym["v"].alias("node"), "lbl")
+            .unionByName(labels)
         )
-        new_labels = (
-            labels.join(nbr_min, labels["node"] == nbr_min["node2"], "left")
-            .select(
-                labels["node"],
-                F.least(labels["lbl"], F.coalesce("nbr_lbl", labels["lbl"])).alias("lbl"),
-            )
-        )
+        new_labels = cand.groupBy("node").agg(F.min("lbl").alias("lbl"))
         # path halving: lbl := lbl(lbl) — collapses chains exponentially
         lbl_map = new_labels.select(
             F.col("node").alias("lbl_node"), F.col("lbl").alias("lbl2")
@@ -84,15 +79,13 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
+        # labels only decrease, so an unchanged SUM is a fixpoint — one
+        # scalar aggregate instead of a join-based change count
+        cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
 
     return labels.select(F.col("node"), F.col("lbl").alias("component"))
 
