@@ -301,3 +301,129 @@ def q_correlated_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("custkey")
         .agg(F.count("*").alias("n_above"), F.sum("cents").alias("cents_above"))
     )
+
+
+@gate(
+    "full_outer_reconcile",
+    oracle="""
+    WITH c AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS n_orders
+               FROM orders GROUP BY o_custkey),
+         u AS (SELECT user_id AS k, CAST(count(*) AS BIGINT) AS n_events
+               FROM events GROUP BY user_id)
+    SELECT CAST(coalesce(c.k, u.k) AS BIGINT) AS k,
+           CAST(coalesce(c.n_orders, -1) AS BIGINT) AS n_orders,
+           CAST(coalesce(u.n_events, -1) AS BIGINT) AS n_events,
+           CASE WHEN c.k IS NULL THEN 'right_only'
+                WHEN u.k IS NULL THEN 'left_only' ELSE 'both' END AS side
+    FROM c FULL OUTER JOIN u ON c.k = u.k
+    """,
+)
+def q_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join reconciliation of two aggregates over different
+    domains (customers with orders vs users with events) — the join kind
+    missing from the reference's equi/left/cross surface (SURVEY §2.3).
+    Sentinel -1 for absent sides keeps the output hashable."""
+    o = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events")
+    c = o.groupBy(F.col("o_custkey").alias("ck")).agg(F.count("*").alias("n_orders"))
+    u = ev.groupBy(F.col("user_id").alias("uk")).agg(F.count("*").alias("n_events"))
+    j = c.join(u, c["ck"] == u["uk"], "full_outer")
+    return j.select(
+        F.coalesce("ck", "uk").cast("long").alias("k"),
+        F.coalesce("n_orders", F.lit(-1)).cast("long").alias("n_orders"),
+        F.coalesce("n_events", F.lit(-1)).cast("long").alias("n_events"),
+        F.when(F.col("ck").isNull(), "right_only")
+        .when(F.col("uk").isNull(), "left_only")
+        .otherwise("both")
+        .alias("side"),
+    )
+
+
+@gate(
+    "null_safe_join",
+    oracle="""
+    WITH l AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderpriority = '5-LOW' THEN NULL ELSE o_orderpriority END AS prio
+      FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    d AS (
+      SELECT * FROM (VALUES ('1-URGENT', 100), ('2-HIGH', 80), (NULL, 0)) AS t(prio, score)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n, CAST(coalesce(d.score, -1) AS BIGINT) AS score,
+           coalesce(l.prio, '(null)') AS prio
+    FROM l LEFT JOIN d ON l.prio IS NOT DISTINCT FROM d.prio
+    GROUP BY d.score, l.prio
+    """,
+)
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (Spark <=> / SQL IS NOT DISTINCT FROM):
+    NULL keys MATCH null dim rows instead of dropping — the semantic gap
+    between '=' joins and dimension tables with an explicit unknown
+    bucket."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    l = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderpriority") == "5-LOW", F.lit(None)).otherwise(
+            F.col("o_orderpriority")
+        ).alias("prio"),
+    )
+    d = spark.createDataFrame(
+        [("1-URGENT", 100), ("2-HIGH", 80), (None, 0)], "dprio string, score int"
+    )
+    j = l.join(F.broadcast(d), l["prio"].eqNullSafe(d["dprio"]), "left")
+    return j.groupBy(
+        F.coalesce("score", F.lit(-1)).cast("long").alias("score"),
+        F.coalesce("prio", F.lit("(null)")).alias("prio"),
+    ).agg(F.count("*").alias("n"))
+
+
+@gate(
+    "hof_battery",
+    oracle="""
+    WITH a AS (
+      SELECT l_orderkey, list(CAST(l_quantity AS BIGINT) ORDER BY l_linenumber, l_partkey) AS qtys
+      FROM lineitem WHERE l_orderkey % 25 = 0 GROUP BY l_orderkey
+    )
+    SELECT CAST(l_orderkey AS BIGINT) AS orderkey,
+           CAST(list_sum(list_transform(qtys, q -> q * 2 + 1)) AS BIGINT) AS sum_affine,
+           CAST(len(list_filter(qtys, q -> q > 25)) AS BIGINT) AS n_big,
+           CAST(CASE WHEN list_has_any(list_transform(qtys, q -> q > 40), [true]) THEN 1 ELSE 0 END AS BIGINT) AS any_gt40,
+           CAST(CASE WHEN len(list_filter(qtys, q -> q <= 0)) = 0 THEN 1 ELSE 0 END AS BIGINT) AS all_pos,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), qtys), (acc, q) -> acc + q * q) AS BIGINT) AS sum_sq
+    FROM a
+    """,
+)
+def q_hof_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order-function battery over per-order quantity arrays:
+    transform (affine map), filter+size, exists, forall, and a seeded
+    aggregate fold (sum of squares).  Lambdas are JVM expression trees —
+    whole-stage-codegen'd, no Python round trip (SURVEY §2.10 F1/F2
+    'UDFs become Column expressions').  Deterministic array order via
+    (linenumber, partkey) sort before collect."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 25 == 0)
+    a = (
+        li.select(
+            "l_orderkey",
+            F.struct(
+                F.col("l_linenumber"), F.col("l_partkey"), F.col("l_quantity").cast("long").alias("q")
+            ).alias("s"),
+        )
+        .groupBy(F.col("l_orderkey").cast("long").alias("orderkey"))
+        .agg(F.array_sort(F.collect_list("s")).alias("structs"))
+        .select("orderkey", F.transform("structs", lambda s: s["q"]).alias("qtys"))
+    )
+    return a.select(
+        "orderkey",
+        F.aggregate(
+            F.transform("qtys", lambda q: q * 2 + 1),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("sum_affine"),
+        F.size(F.filter("qtys", lambda q: q > 25)).cast("long").alias("n_big"),
+        F.exists("qtys", lambda q: q > 40).cast("long").alias("any_gt40"),
+        F.forall("qtys", lambda q: q > 0).cast("long").alias("all_pos"),
+        F.aggregate(
+            "qtys", F.lit(0).cast("long"), lambda acc, q: acc + q * q
+        ).alias("sum_sq"),
+    )
