@@ -329,3 +329,37 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cohort_week").cast("date").cast("string").alias("cohort_week"),
         "week_offset",
     ).agg(F.count("*").alias("n_users"))
+
+
+@gate(
+    "map_functions",
+    oracle="""
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+           string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types
+    FROM events GROUP BY user_id
+    """,
+)
+def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column plumbing: per-user event_type→count map built
+    with map_from_entries, probed with try_element_at, sized with
+    map_keys — then folded to scalars for the oracle (which computes the
+    same numbers relationally; map columns themselves don't hash-compare
+    across engines).  Extends the reference's flat-row type surface
+    (SURVEY §1.2 'no maps anywhere')."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    m = per.groupBy(F.col("user_id").cast("long").alias("user_id")).agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "n")))
+        ).alias("m")
+    )
+    return m.select(
+        "user_id",
+        F.coalesce(F.try_element_at("m", F.lit("click")), F.lit(0)).cast("long").alias("n_click"),
+        F.coalesce(F.try_element_at("m", F.lit("purchase")), F.lit(0)).cast("long").alias("n_purchase"),
+        F.size(F.map_keys("m")).cast("long").alias("n_types"),
+        F.array_join(F.array_sort(F.map_keys("m")), ",").alias("types"),
+    )

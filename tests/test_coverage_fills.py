@@ -152,3 +152,20 @@ def test_fit_index_pipeline_and_report(spark):
     # construction (x%5 split) — assert sanity, not tightness
     assert 0.0 < rows["index"].value < 3.0
     assert rows["index"].build_s > 0 and rows["index"].size_proxy > 0
+
+
+def test_jsonl_source_roundtrip(spark, sf_dir):
+    """S1 widening: JSON-lines scan with explicit schema (no inference
+    pass — at 100 TB schema inference is a full extra scan) and
+    predicate pushdown intact."""
+    from inferdb_spark.catalog import load_table
+
+    n = load_table(spark, sf_dir, "nation")
+    tmp = tempfile.mkdtemp(prefix="jsonl_")
+    try:
+        n.write.mode("overwrite").json(tmp)
+        back = spark.read.schema(n.schema).json(tmp).filter(F.col("n_regionkey") >= 2)
+        want = sorted(r.n_name for r in n.filter(F.col("n_regionkey") >= 2).collect())
+        assert sorted(r.n_name for r in back.collect()) == want
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
