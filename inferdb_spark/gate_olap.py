@@ -427,3 +427,58 @@ def q_hof_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qtys", F.lit(0).cast("long"), lambda acc, q: acc + q * q
         ).alias("sum_sq"),
     )
+
+
+@gate(
+    "grouping_sets_mix",
+    oracle="""
+    SELECT coalesce(l_returnflag, '(all)') AS rflag,
+           coalesce(CAST(month(l_shipdate) AS BIGINT), -1) AS smonth,
+           CAST(GROUPING(l_returnflag, month(l_shipdate)) AS BIGINT) AS gid,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (month(l_shipdate)), (l_returnflag, month(l_shipdate)))
+    """,
+)
+def q_grouping_sets_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither pure rollup nor cube) through the
+    engine's SQL surface — the DataFrame API has no grouping-sets
+    builder, and a user switching from the reference's SQL generation
+    needs the SQL path anyway (S3's spark.sql surface)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_gs")
+    return spark.sql("""
+        SELECT coalesce(l_returnflag, '(all)') AS rflag,
+               coalesce(CAST(month(l_shipdate) AS BIGINT), -1) AS smonth,
+               CAST(grouping_id(l_returnflag, month(l_shipdate)) AS BIGINT) AS gid,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (month(l_shipdate)), (l_returnflag, month(l_shipdate)))
+    """)
+
+
+@gate(
+    "decimal_exact_money",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS total,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(18,2))) AS VARCHAR) AS disc_total,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_decimal_exact_money(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-class DECIMAL money arithmetic: sums and decimal×decimal
+    products aggregate EXACTLY (no float rounding, no cents trick), with
+    string output pinning scale and value bit-for-bit across engines —
+    the money-typed alternative to the integer-cents recipe used by the
+    double-typed gates."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = F.col("l_extendedprice").cast("decimal(18,2)")
+    d = (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(p).cast("string").alias("total"),
+        F.sum(p * d).cast("string").alias("disc_total"),
+        F.count("*").alias("n"),
+    )
