@@ -95,6 +95,12 @@ def main() -> int:
     audit("asof_join_rates", [
         ("single window pass, no join", lambda p: "Window" in p and "Join" not in p),
     ])
+    audit("funnel_stages", [
+        ("three chained windows share ONE user shuffle (2nd exchange is the "
+         "4-row stage rollup)",
+         lambda p: p.count("Window") == 3
+         and p.count("Exchange hashpartitioning") == 2 and "Join" not in p),
+    ])
 
     print("\n" + ("ALL PLAN CHECKS PASS" if failures == 0 else f"{failures} PLAN CHECKS FAILED"))
     return 1 if failures else 0
