@@ -106,3 +106,65 @@ def test_binspec_expr_matches_python_model(spark):
     got = [r[0] for r in df.select(spec.expr()).collect()]
     want = [_bin_py(x, splits) for x in xs]
     assert got == want
+
+
+def _auc_bruteforce(pairs):
+    """O(n²) pair counting: wins + 0.5*ties over pos×neg pairs."""
+    pos = [s for s, y in pairs if y == 1]
+    neg = [s for s, y in pairs if y == 0]
+    if not pos or not neg:
+        return None
+    num = sum(1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg)
+    return num / (len(pos) * len(neg))
+
+
+def _auc_ranksum(pairs):
+    """Pure-python mirror of metrics.binary_auc (integer half-unit ranks)."""
+    from collections import Counter
+
+    cnt = Counter()
+    posc = Counter()
+    for s, y in pairs:
+        cnt[s] += 1
+        posc[s] += y
+    cum = 0
+    rank_sum2 = 0
+    for s in sorted(cnt):
+        cum += cnt[s]
+        rank_sum2 += posc[s] * (2 * cum - cnt[s] + 1)
+    npos = sum(posc.values())
+    nneg = sum(cnt.values()) - npos
+    if npos == 0 or nneg == 0:
+        return None
+    return (rank_sum2 / 2.0 - npos * (npos + 1) / 2.0) / (npos * nneg)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(-50, 50), st.integers(0, 1)), min_size=2, max_size=60
+    )
+)
+def test_auc_ranksum_equals_bruteforce(pairs):
+    want = _auc_bruteforce(pairs)
+    got = _auc_ranksum(pairs)
+    if want is None:
+        assert got is None
+    else:
+        assert math.isclose(got, want, rel_tol=0, abs_tol=1e-12)
+
+
+@given(
+    st.lists(st.integers(0, 10_000), min_size=1, max_size=40),
+    st.lists(st.tuples(st.integers(0, 10_000), st.integers(0, 3_000)), max_size=20),
+    st.integers(60, 1200),
+)
+def test_interval_banding_model_complete(points, intervals, band):
+    """The banding construction loses no matches: a point in [s, e) always
+    shares at least one band bucket with its interval (pure-python mirror
+    of relational_ext.interval_join's bucket math)."""
+    for t in points:
+        for s, length in intervals:
+            e = s + length
+            if s <= t < e:
+                span = range(s // band, e // band + 1)
+                assert t // band in span
