@@ -482,3 +482,118 @@ def q_decimal_exact_money(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(p * d).cast("string").alias("disc_total"),
         F.count("*").alias("n"),
     )
+
+
+@gate(
+    "cdc_apply_changes",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, CAST(round(o_totalprice*100) AS BIGINT) AS cents,
+             CAST(NULL AS BIGINT) AS v, 'U' AS op, 0 AS src
+      FROM orders
+    ),
+    changes AS (
+      SELECT o_orderkey, o_custkey, CAST(round(o_totalprice*100) AS BIGINT) + 100000 AS cents,
+             CAST(1 AS BIGINT) AS v, 'U' AS op, 1 AS src
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey, o_custkey, 0, CAST(2 AS BIGINT), 'D', 1
+      FROM orders WHERE o_orderkey % 13 = 0
+    ),
+    u AS (SELECT * FROM base UNION ALL SELECT * FROM changes),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                   ORDER BY v DESC NULLS LAST, src DESC) AS rn
+      FROM u
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS cents,
+           CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_updated
+    FROM r WHERE rn = 1 AND op != 'D'
+    """,
+)
+def q_cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot+delta reconciliation (relational_ext.apply_changes):
+    1-in-7 orders get a versioned price update, 1-in-13 a tombstone;
+    latest version per key wins, deletes drop.  Output is the final-state
+    rollup (row count, cents total, updated-row count) — pins both the
+    window dedup and the tombstone semantics.  The delete set overlaps
+    the update set (keys ≡ 0 mod 91), exercising version precedence."""
+    from inferdb_spark.operators.relational_ext import apply_changes
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = o.select("o_orderkey", "o_custkey", cents.alias("cents"))
+    upd = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            "o_orderkey", "o_custkey",
+            (cents + 100000).alias("cents"),
+            F.lit(1).cast("long").alias("v"),
+            F.lit("U").alias("op"),
+        )
+    )
+    dele = (
+        o.filter(F.col("o_orderkey") % 13 == 0)
+        .select(
+            "o_orderkey", "o_custkey",
+            F.lit(0).cast("long").alias("cents"),
+            F.lit(2).cast("long").alias("v"),
+            F.lit("D").alias("op"),
+        )
+    )
+    final = apply_changes(
+        base, upd.unionByName(dele), ["o_orderkey"], "v", "op", "D"
+    )
+    return final.agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("cents"),
+        F.sum(F.when(F.col("v") == 1, 1).otherwise(0)).cast("long").alias("n_updated"),
+    )
+
+
+@gate(
+    "morton_zorder_key",
+    oracle=None,  # set below to share the generator with the Spark side
+)
+def q_morton_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout key over (partkey, suppkey) — the
+    multi-dim data-skipping sort key (functions/layout.py); per-key-range
+    rollup pins every interleaved bit.  At scale: write with
+    sortWithinPartitions(morton) so parquet row-group min/max stats prune
+    2-D range predicates."""
+    from inferdb_spark.functions.layout import morton_interleave
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    m = morton_interleave(F.col("l_partkey"), F.col("l_suppkey"), bits=10)
+    return (
+        li.select(m.alias("mkey"))
+        .groupBy((F.col("mkey") % 97).cast("long").alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("mkey").cast("long").alias("sum_keys"),
+            F.min("mkey").cast("long").alias("min_key"),
+            F.max("mkey").cast("long").alias("max_key"),
+        )
+    )
+
+
+def _register_morton_oracle() -> None:
+    from inferdb_spark.functions.layout import duckdb_morton_sql
+    from inferdb_spark.gate import _ORACLES
+
+    mk = duckdb_morton_sql("l_partkey", "l_suppkey", bits=10)
+    _ORACLES["morton_zorder_key"] = f"""
+    WITH m AS (
+      SELECT {mk} AS mkey FROM lineitem WHERE l_orderkey % 50 = 0
+    )
+    SELECT CAST(mkey % 97 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(mkey) AS BIGINT) AS sum_keys,
+           CAST(min(mkey) AS BIGINT) AS min_key,
+           CAST(max(mkey) AS BIGINT) AS max_key
+    FROM m GROUP BY 1
+    """
+
+
+_register_morton_oracle()

@@ -153,3 +153,42 @@ def interval_join(
         (F.col(left_ts) >= F.col(right_start)) & (F.col(left_ts) < F.col(right_end))
     )
     return joined.drop("_ij_bucket")
+
+
+def apply_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    version_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """CDC upsert/merge without a table format: reconcile a base snapshot
+    (implicit version −∞) with a change log of upserts/deletes into the
+    final state — latest version per key wins, ties broken toward the
+    change log, deleted keys dropped.
+
+    One window pass over the unioned relation (single shuffle on the
+    key); no MERGE INTO / transactional storage needed, so it runs on
+    plain parquet snapshots.  At scale this is the standard
+    snapshot+delta compaction: base and delta shuffle once each, output
+    is the new snapshot (idempotent — re-applying the same delta is a
+    no-op).
+    """
+    from pyspark.sql import Window
+
+    b = base.withColumn(version_col, F.lit(None).cast(changes.schema[version_col].dataType)) \
+        if version_col not in base.columns else base
+    b = b.withColumn(op_col, F.lit("U")) if op_col not in base.columns else b
+    b = b.withColumn("_src", F.lit(0))
+    c = changes.withColumn("_src", F.lit(1))
+    allrows = b.unionByName(c, allowMissingColumns=True)
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(version_col).desc_nulls_last(), F.col("_src").desc()
+    )
+    latest = (
+        allrows.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_src")
+    )
+    return latest.filter(F.col(op_col) != delete_op).drop(op_col)

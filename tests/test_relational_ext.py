@@ -91,3 +91,40 @@ def test_interval_join_matches_naive(spark):
         for r in ev.join(iv, "k").filter((F.col("ts") >= F.col("s")) & (F.col("ts") < F.col("e"))).collect()
     )
     assert got == naive and len(got) == 5
+
+
+def test_apply_changes_idempotent_and_tombstones(spark):
+    from inferdb_spark.operators.relational_ext import apply_changes
+
+    base = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "k int, val int"
+    )
+    changes = spark.createDataFrame(
+        [(2, 25, 1, "U"), (3, 0, 1, "D"), (4, 40, 1, "U"), (2, 27, 2, "U")],
+        "k int, val int, v long, op string",
+    )
+    final = apply_changes(base, changes, ["k"], "v", "op", "D")
+    got = {r["k"]: r["val"] for r in final.collect()}
+    assert got == {1: 10, 2: 27, 4: 40}
+    # idempotence: re-applying the same delta to the result is a no-op
+    again = apply_changes(final.drop("v"), changes, ["k"], "v", "op", "D")
+    assert {r["k"]: r["val"] for r in again.collect()} == got
+
+
+def test_morton_key_roundtrip(spark):
+    from inferdb_spark.functions.layout import morton_interleave
+
+    df = spark.createDataFrame(
+        [(x, y) for x in (0, 1, 5, 1023) for y in (0, 2, 7, 1023)], "x int, y int"
+    )
+    rows = df.select("x", "y", morton_interleave(F.col("x"), F.col("y")).alias("m")).collect()
+
+    def deinterleave(m):
+        x = y = 0
+        for i in range(10):
+            x |= ((m >> (2 * i)) & 1) << i
+            y |= ((m >> (2 * i + 1)) & 1) << i
+        return x, y
+
+    for r in rows:
+        assert deinterleave(r["m"]) == (r["x"], r["y"])
