@@ -90,3 +90,68 @@ def test_partition_pruned_scan(spark, tmp_path):
     plan = rd._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "= 3" in plan, plan
     assert rd.count() == 100
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join handling: with one hot key dominating a sort-merge
+    join, adaptive execution splits the skewed partition (isSkew=true in
+    the final plan) instead of leaving one straggler task — the runtime
+    half of the salting strategy (salting covers groupBy skew, AQE covers
+    join skew)."""
+    import pyspark.sql.functions as F
+
+    prev = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    try:
+        left = spark.range(200_000).select(
+            F.when(F.col("id") % 100 < 95, F.lit(0)).otherwise(F.col("id") % 1000).alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(5_000).select(
+            F.when(F.col("id") % 100 < 95, F.lit(0)).otherwise(F.col("id") % 1000).alias("k"),
+            (F.col("id") * 2).alias("w"),
+        )
+        # global agg (no hash-partitioning requirement downstream — a
+        # keyed groupBy right after the join would veto the skew split)
+        j = left.join(right, "k").agg(F.count(F.lit(1)).alias("n"))
+        j.collect()  # AQE finalizes the plan only after execution
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isSkew=true" in plan or "skew=true" in plan
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+
+
+def test_exchange_reuse_for_shared_subplan(spark):
+    """A self-join over one aggregated subquery must shuffle it ONCE
+    (ReusedExchange in the final plan) — the exchange-reuse property that
+    keeps diamond-shaped pipelines (compare-to-baseline, share-of-total)
+    from paying double scans at 100 TB."""
+    import pyspark.sql.functions as F
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        base = spark.range(100_000).select(
+            (F.col("id") % 500).alias("k"), F.col("id").alias("v")
+        )
+        agg = base.groupBy("k").agg(F.sum("v").alias("s"))
+        # identical aggregation subtree on both sides (a k+1 shift would
+        # need a DIFFERENT partitioning and legitimately re-shuffle)
+        j = agg.join(agg.withColumnRenamed("s", "s2"), "k")
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "ReusedExchange" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
