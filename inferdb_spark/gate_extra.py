@@ -721,3 +721,33 @@ def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.instr("p_name", " ").cast("long").alias("pos"),
         F.expr("trim(LEADING 'abcdef' FROM p_name)").alias("lt"),
     )
+
+
+# NOT IN vs NOT EXISTS with NULLs in the subquery: ANSI three-valued logic
+# makes `x NOT IN (..., NULL, ...)` UNKNOWN for every non-matching x, so
+# the NOT IN branch must return 0 rows while NOT EXISTS returns the real
+# anti-join count.  Same text runs on both engines — pins the trap.
+_NOT_IN_SQL = """
+    WITH probe AS (
+      SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                  ELSE o_custkey END AS ck
+      FROM orders
+    )
+    SELECT 'not_in' AS variant, CAST(count(*) AS BIGINT) AS n
+    FROM customer WHERE c_custkey NOT IN (SELECT ck FROM probe)
+    UNION ALL
+    SELECT 'not_exists', CAST(count(*) AS BIGINT)
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM probe p WHERE p.ck = c.c_custkey)
+"""
+
+
+@gate("not_in_null_semantics", oracle=_NOT_IN_SQL)
+def q_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI NOT IN three-valued-logic trap vs NOT EXISTS anti-join, same
+    SQL text on both engines: a NULL in the subquery annihilates NOT IN
+    (0 rows) but not NOT EXISTS — the semantic edge every engine
+    migration trips over (Spark plans NOT IN as null-aware anti join)."""
+    for t in ("orders", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_NOT_IN_SQL)
