@@ -159,3 +159,40 @@ def greedy_select(
             best = iv
     selected.sort(key=lambda s: s.n_bins)
     return selected
+
+
+def brute_force_select(
+    encoded: DataFrame,
+    specs: list[BinSpec],
+    target: str,
+    task: str = "classification",
+    suffix: str = "_bin",
+    max_features: int | None = None,
+) -> tuple[list[BinSpec], float]:
+    """Exhaustive feature-subset search — the reference's optimality
+    baseline for greedy_select (src/optimizer.py:233-247, exercised by
+    experiments/microbenchmarks/feature_selection/brute_force_fs.py:148-180).
+
+    Evaluates every non-empty subset (up to `max_features`) by joint IV
+    and returns (best subset ordered by bin count, its IV).  2^n - 1
+    aggregation jobs over the cached encoded frame — a microbenchmark
+    tool, not a production path (greedy is the production path; the test
+    asserts greedy reaches the brute-force optimum on small spaces within
+    the reference's 1.002 improvement tolerance)."""
+    from itertools import combinations
+
+    iv_fn = {
+        "classification": iv_classification,
+        "multiclass": iv_multiclass,
+        "regression": iv_regression,
+    }[task]
+    best_subset: list[BinSpec] = []
+    best_iv = float("-inf")
+    limit = max_features or len(specs)
+    for k in range(1, limit + 1):
+        for combo in combinations(specs, k):
+            iv = iv_fn(encoded, [c.column + suffix for c in combo], target)
+            if iv > best_iv:
+                best_iv, best_subset = iv, list(combo)
+    best_subset.sort(key=lambda s: s.n_bins)
+    return best_subset, best_iv

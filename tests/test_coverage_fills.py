@@ -169,3 +169,38 @@ def test_jsonl_source_roundtrip(spark, sf_dir):
         assert sorted(r.n_name for r in back.collect()) == want
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_greedy_matches_brute_force_on_small_space(spark):
+    """Reference microbenchmark parity (brute_force_fs.py): on a small
+    feature space the greedy selection's joint IV reaches the exhaustive
+    optimum within the 1.002 improvement tolerance."""
+    import random
+
+    from inferdb_spark.operators.binning import BinSpec, apply_bins
+    from inferdb_spark.operators.iv import (
+        brute_force_select,
+        greedy_select,
+        iv_classification,
+    )
+
+    rng = random.Random(3)
+    rows = []
+    for _ in range(600):
+        x1 = rng.uniform(0, 100)   # informative
+        x2 = rng.uniform(0, 100)   # weakly informative
+        x3 = rng.uniform(0, 100)   # noise
+        y = 1 if (x1 > 60) ^ (x2 > 80 and rng.random() < 0.5) else 0
+        rows.append((x1, x2, x3, y))
+    df = spark.createDataFrame(rows, "x1 double, x2 double, x3 double, y int")
+    specs = [
+        BinSpec(column="x1", splits=[30.0, 60.0]),
+        BinSpec(column="x2", splits=[40.0, 80.0]),
+        BinSpec(column="x3", splits=[50.0]),
+    ]
+    enc = apply_bins(df, specs).cache()
+    greedy = greedy_select(enc, specs, "y")
+    best, best_iv = brute_force_select(enc, specs, "y")
+    greedy_iv = iv_classification(enc, [s.column + "_bin" for s in greedy], "y")
+    assert greedy_iv * 1.002 >= best_iv
+    assert {s.column for s in greedy} >= {"x1"}
