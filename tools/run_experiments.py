@@ -70,6 +70,48 @@ def main() -> None:
         ["price", "month", "cust_bucket"], "target", task="classification",
     ).show(truncate=False)
 
+    scalability_experiment(spark, sf)
+
+
+def scalability_experiment(spark, sf: str) -> None:
+    """Growing-temporal-window scalability microbenchmark — the analog of
+    experiments/microbenchmarks/scalability/pm25.py:100-185 (train on an
+    expanding history, measure index build + scoring time and error as
+    the window grows).  Prints one row per window; build time should grow
+    ~linearly with rows (one scan + map-side-combined groupBy) and score
+    time should stay flat (broadcast probe)."""
+    import time
+
+    from inferdb_spark.api import fit_index_pipeline
+    from inferdb_spark.catalog import load_table
+    from inferdb_spark.operators.metrics import rmsle
+    from inferdb_spark.operators.scoring import index_score
+
+    ev = load_table(spark, sf, "events").select(
+        F.hour("ts").cast("double").alias("hour"),
+        (F.col("user_id") % 20).cast("double").alias("route"),
+        (F.col("value") + 1.0).alias("target"),
+        F.dayofmonth("ts").alias("_day"),
+    )
+    test = ev.filter(F.col("_day") > 24).cache()
+    test.count()
+    print("== scalability (growing train window, events) ==")
+    print("window_days  train_rows  build_s  score_s  rmsle")
+    for cutoff in (6, 12, 18, 24):
+        train = ev.filter(F.col("_day") <= cutoff).cache()
+        n = train.count()
+        t0 = time.time()
+        pipe = fit_index_pipeline(
+            train, ["hour", "route"], "target", task="regression"
+        )
+        build_s = time.time() - t0
+        t0 = time.time()
+        scored = index_score(test, pipe.index)
+        err = float(rmsle(scored, "prediction", "target").first()["rmsle"])
+        score_s = time.time() - t0
+        print(f"{cutoff:>11}  {n:>10}  {build_s:7.2f}  {score_s:7.2f}  {err:.4f}")
+        train.unpersist()
+
 
 if __name__ == "__main__":
     main()
