@@ -788,3 +788,87 @@ def q_auc_rank_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_returnflag") == "R").cast("int").alias("y"),
     )
     return binary_auc(scored, "s", "y")
+
+
+@gate(
+    "benford_first_digit",
+    oracle="""
+    SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders WHERE o_totalprice >= 1
+    GROUP BY 1
+    """,
+)
+def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit histogram (Benford-test input) — the
+    data-forensics profile for anomaly screening over money columns.
+    Digit extracted via explicit floor + string head on BOTH sides
+    (double→BIGINT casts round in DuckDB but truncate in Spark — floor
+    first makes them agree)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+    ).cast("long")
+    return o.groupBy(digit.alias("digit")).agg(F.count("*").alias("n"))
+
+
+@gate(
+    "calibration_bins",
+    oracle=f"""
+    WITH sc AS (
+      SELECT CAST(round((l_quantity * {LIN_COEF_Q!r} + l_discount * {LIN_COEF_D!r}
+                   + l_tax * {LIN_COEF_T!r} + {LIN_B!r}) * 1000) AS BIGINT) AS s,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    r AS (
+      SELECT s, y,
+             row_number() OVER (ORDER BY s, l_orderkey, l_linenumber) AS rn,
+             count(*) OVER () AS n_total
+      FROM sc
+    )
+    SELECT CAST((rn - 1) * 10 // n_total AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(y) AS BIGINT) AS n_pos,
+           CAST(sum(s) AS BIGINT) AS sum_score_millis
+    FROM r GROUP BY 1
+    """,
+)
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration-curve bins (reliability diagram input): equal-count
+    score deciles → positives per bin vs summed score.  Decile
+    assignment uses row_number over a UNIQUE ordering (score, orderkey,
+    linenumber) — plain ntile over a tied score column is
+    order-nondeterministic across engines.  Completes the ranking-metric
+    family next to auc_rank_sum."""
+    from pyspark.sql import Window as W2
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sc = li.select(
+        F.round(
+            (
+                F.col("l_quantity") * LIN_COEF_Q
+                + F.col("l_discount") * LIN_COEF_D
+                + F.col("l_tax") * LIN_COEF_T
+                + F.lit(LIN_B)
+            )
+            * 1000
+        ).cast("long").alias("s"),
+        (F.col("l_returnflag") == "R").cast("long").alias("y"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = W2.orderBy("s", "l_orderkey", "l_linenumber")
+    ranked = sc.select(
+        "s", "y",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(W2.partitionBy()).alias("n_total"),
+    )
+    return ranked.groupBy(
+        ((F.col("rn") - 1) * 10 / F.col("n_total")).cast("long").alias("bucket")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("y").alias("n_pos"),
+        F.sum("s").alias("sum_score_millis"),
+    )

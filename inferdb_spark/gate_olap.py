@@ -597,3 +597,40 @@ def _register_morton_oracle() -> None:
 
 
 _register_morton_oracle()
+
+
+@gate(
+    "column_profile",
+    oracle="""
+    SELECT 'o_totalprice' AS column_name, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT o_totalprice) AS BIGINT) AS n_distinct,
+           CAST(min(o_totalprice) AS VARCHAR) AS min_str,
+           CAST(max(o_totalprice) AS VARCHAR) AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+           CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT o_custkey) AS BIGINT),
+           CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+    FROM orders
+    """,
+)
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profiling (validate.profile_columns): null
+    counts, exact cardinalities, min/max per column in ONE aggregation —
+    the batch data-quality gate every 100 TB ingest runs before
+    downstream work (approx=True swaps the HLL sketch in at scale).
+    Floats stringify identically here because parquet doubles of 2-dp
+    synthetic money values round-trip exactly."""
+    from inferdb_spark.operators.validate import profile_columns
+
+    o = load_table(spark, sf_dir, "orders")
+    prof = profile_columns(o, ["o_totalprice", "o_orderpriority", "o_custkey"])
+    return prof.withColumnRenamed("column", "column_name")

@@ -204,3 +204,39 @@ def test_greedy_matches_brute_force_on_small_space(spark):
     greedy_iv = iv_classification(enc, [s.column + "_bin" for s in greedy], "y")
     assert greedy_iv * 1.002 >= best_iv
     assert {s.column for s in greedy} >= {"x1"}
+
+
+def test_expect_violation_counts(spark):
+    from inferdb_spark.operators.validate import expect
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (3, None), (4, 200.0)], "id int, v double"
+    )
+    out = {
+        r["check"]: r["n_violations"]
+        for r in expect(
+            df,
+            {
+                "v_not_null": F.col("v").isNotNull(),
+                # compound check: NULL fails it too (-1, 200, NULL -> 3)
+                "v_in_range": F.col("v").isNotNull() & F.col("v").between(0, 100),
+                "id_positive": F.col("id") > 0,
+            },
+        ).collect()
+    }
+    assert out == {"v_not_null": 1, "v_in_range": 3, "id_positive": 0}
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """S1 robustness: reading a dataset whose later files added a column
+    (mergeSchema) — the schema-evolution path any long-lived 100 TB
+    dataset hits."""
+    p = str(tmp_path / "evolve")
+    spark.createDataFrame([(1, "a")], "id int, s string").write.parquet(p + "/part=0")
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id int, s string, extra double"
+    ).write.parquet(p + "/part=1")
+    merged = spark.read.option("mergeSchema", True).parquet(p)
+    assert set(merged.columns) == {"id", "s", "extra", "part"}
+    rows = {r["id"]: r["extra"] for r in merged.collect()}
+    assert rows == {1: None, 2: 9.5}
