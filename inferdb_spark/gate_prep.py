@@ -459,3 +459,53 @@ def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_nonzero"),
         F.sum("val").cast("long").alias("sumval"),
     )
+
+
+@gate(
+    "bigram_lm_score",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_d_tokens('text')} AS t FROM documents),
+    dp AS (
+      SELECT doc_id, b['w1'] AS w1, b['w2'] AS w2
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(t) - 1),
+                      i -> {{'w1': t[i], 'w2': t[i + 1]}})) AS b
+        FROM tok WHERE len(t) >= 2
+      )
+    ),
+    big AS (SELECT w1, w2, count(*) AS c12 FROM dp GROUP BY w1, w2),
+    uni AS (SELECT w1, count(*) AS c1 FROM dp GROUP BY w1),
+    v AS (
+      SELECT count(DISTINCT tk) AS vs
+      FROM (SELECT unnest(t) AS tk FROM tok)
+    ),
+    sc AS (
+      SELECT dp.doc_id,
+             CAST(round(ln(CAST(b.c12 + 1 AS DOUBLE)
+                           / CAST(u.c1 + v.vs AS DOUBLE)) * 1000000) AS BIGINT) AS lp
+      FROM dp JOIN big b USING (w1, w2) JOIN uni u USING (w1) CROSS JOIN v
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(lp) AS BIGINT) AS score_unats
+    FROM sc GROUP BY doc_id
+    """,
+)
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-one-smoothed bigram log-likelihood per document
+    (textprep.bigram_counts + bigram_logprob_score) — the
+    perplexity-proxy fluency filter of web-corpus pipelines, trained and
+    scored on the same corpus here.  Scores are integer MICRO-NATS
+    (round(ln p · 1e6) per bigram, summed as BIGINT) so the aggregation
+    is order-independent and engine-exact."""
+    from inferdb_spark.operators.textprep import bigram_counts, bigram_logprob_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    bigrams, unigrams, vocab = bigram_counts(docs)
+    out = bigram_logprob_score(docs, bigrams, unigrams, vocab)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.col("score_unats").cast("long").alias("score_unats"),
+    )

@@ -209,3 +209,84 @@ def hash_features(
         .agg(F.sum("sign").cast("long").alias("val"))
         .filter(F.col("val") != 0)
     )
+
+
+def _bigram_structs(tok_col: str):
+    """array<struct<w1,w2>> of adjacent token pairs; empty for <2 tokens
+    (guard: F.sequence(1, 0) would step DOWN, not produce an empty array)."""
+    return F.when(
+        F.size(F.col(tok_col)) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col(tok_col)) - 1),
+            lambda i: F.struct(
+                F.element_at(F.col(tok_col), i).alias("w1"),
+                F.element_at(F.col(tok_col), i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+
+def bigram_counts(df: DataFrame, text_col: str = "text") -> tuple[DataFrame, DataFrame, int]:
+    """Corpus bigram/unigram counts for the LM scorer: returns
+    (bigrams(w1, w2, c12), unigrams(w1, c1), vocab_size)."""
+    from inferdb_spark.functions import text as TXT
+
+    toks = df.select(TXT.tokens(F.col(text_col)).alias("t"))
+    pairs = toks.select(F.explode(_bigram_structs("t")).alias("b")).select(
+        "b.w1", "b.w2"
+    )
+    bigrams = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    unigrams = pairs.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = toks.select(F.explode("t").alias("w")).agg(
+        F.countDistinct("w").alias("v")
+    ).first()["v"]
+    return bigrams, unigrams, int(vocab)
+
+
+def bigram_logprob_score(
+    df: DataFrame,
+    bigrams: DataFrame,
+    unigrams: DataFrame,
+    vocab_size: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document add-one-smoothed bigram log-likelihood — the
+    perplexity-proxy quality score used to filter training corpora
+    (fluent text scores high, gibberish low).  Output: (id, n_bigrams,
+    score_unats) with the score in integer MICRO-NATS
+    (Σ round(ln(p)·1e6) as BIGINT): integer summation is
+    order-independent, so the aggregate is bit-exact under any shuffle
+    and any engine — float log-prob sums are not.
+
+    Scale: bigram/unigram relations shuffle once to join the exploded
+    doc bigrams (both sides partition by w1; counts relation ≪ corpus);
+    everything else is map-side."""
+    from inferdb_spark.functions import text as TXT
+
+    # bind the tokenization ONCE per row (HOF trap: an expensive subtree
+    # referenced inside a per-element lambda re-evaluates per element)
+    toks = df.select(F.col(id_col), TXT.tokens(F.col(text_col)).alias("t"))
+    doc_pairs = toks.select(
+        F.col(id_col), F.explode(_bigram_structs("t")).alias("b")
+    ).select(id_col, "b.w1", "b.w2")
+    joined = (
+        doc_pairs.join(bigrams, ["w1", "w2"], "left")
+        .join(unigrams, ["w1"], "left")
+        .select(
+            F.col(id_col),
+            F.round(
+                F.log(
+                    (F.coalesce("c12", F.lit(0)) + 1).cast("double")
+                    / (F.coalesce("c1", F.lit(0)) + vocab_size).cast("double")
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("lp_unats"),
+        )
+    )
+    return joined.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("lp_unats").alias("score_unats"),
+    )

@@ -202,3 +202,29 @@ def test_hash_features_signed_cancellation(spark):
     expect[hy % 8] = expect.get(hy % 8, 0) + sy
     expect = {b: v for b, v in expect.items() if v != 0}
     assert coo == expect
+
+
+def test_bigram_lm_scores_fluency(spark):
+    """Docs made of corpus-frequent bigrams must outscore shuffled-token
+    gibberish (per-bigram average, in micro-nats)."""
+    from inferdb_spark.operators.textprep import bigram_counts, bigram_logprob_score
+
+    fluent = "the cat sat on the mat and the cat ran"
+    corpus = [(i, fluent) for i in range(10)] + [(99, "mat the on cat sat ran the and")]
+    df = spark.createDataFrame(corpus, "doc_id int, text string")
+    bg, ug, v = bigram_counts(df)
+    scores = {
+        r["doc_id"]: r["score_unats"] / r["n_bigrams"]
+        for r in bigram_logprob_score(df, bg, ug, v).collect()
+    }
+    assert scores[0] > scores[99]
+
+
+def test_bigram_counts_empty_and_single_token(spark):
+    from inferdb_spark.operators.textprep import bigram_counts
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "single"), (3, "two words")], "doc_id int, text string"
+    )
+    bg, ug, v = bigram_counts(df)
+    assert bg.count() == 1 and v == 3  # only doc 3 yields a bigram
