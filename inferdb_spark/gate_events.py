@@ -363,3 +363,78 @@ def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.map_keys("m")).cast("long").alias("n_types"),
         F.array_join(F.array_sort(F.map_keys("m")), ",").alias("types"),
     )
+
+
+@gate(
+    "resample_daily_ffill",
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events WHERE user_id % 50 = 0),
+    spine AS (
+      SELECT u.user_id, CAST(d AS DATE) AS day
+      FROM u CROSS JOIN generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                                        INTERVAL 1 DAY) AS t(d)
+    ),
+    daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events WHERE user_id % 50 = 0
+      GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    joined AS (
+      SELECT s.user_id, s.day, d.cents,
+             CAST(d.cents IS NOT NULL AS INT) AS observed
+      FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id, CAST(day AS VARCHAR) AS day,
+           CAST(coalesce(
+             cents,
+             last_value(cents IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             -1) AS BIGINT) AS cents_filled,
+           CAST(observed AS BIGINT) AS observed
+    FROM joined
+    """,
+)
+def q_resample_daily_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling to a regular daily grid with forward fill:
+    calendar spine (sequence + explode) ⟕ daily aggregates, gaps carry
+    the last observation (last_value IGNORE NULLS window), -1 before the
+    first observation.  The gap-filling prerequisite for the reference's
+    precomputed pm25 lag/rolling features (SURVEY §1.4) — lag features
+    are only meaningful on a regular grid."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 50 == 0)
+    users = ev.select("user_id").distinct()
+    spine = users.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"),
+                F.lit("2024-01-30").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day"),
+    )
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    joined = spine.join(daily, ["user_id", "day"], "left").withColumn(
+        "observed", F.col("cents").isNotNull().cast("int")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("day").cast("string").alias("day"),
+        F.coalesce(
+            F.col("cents"),
+            F.last("cents", ignorenulls=True).over(w),
+            F.lit(-1),
+        ).cast("long").alias("cents_filled"),
+        F.col("observed").cast("long").alias("observed"),
+    )

@@ -751,3 +751,74 @@ def q_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("orders", "customer"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_NOT_IN_SQL)
+
+
+@gate(
+    "cooccurrence_pmi",
+    oracle="""
+    WITH ords AS (SELECT count(DISTINCT l_orderkey) AS n_ord FROM lineitem),
+    item AS (
+      SELECT l_partkey, count(DISTINCT l_orderkey) AS n_i
+      FROM lineitem GROUP BY l_partkey
+    ),
+    pair AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(DISTINCT a.l_orderkey) AS n_ab
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2
+    )
+    SELECT CAST(part_a AS BIGINT) AS part_a, CAST(part_b AS BIGINT) AS part_b,
+           CAST(n_ab AS BIGINT) AS n_ab,
+           CAST(round(ln(CAST(n_ab AS DOUBLE) * o.n_ord
+                         / (ia.n_i * ib.n_i)) * 1000000) AS BIGINT) AS pmi_unats
+    FROM pair JOIN item ia ON pair.part_a = ia.l_partkey
+              JOIN item ib ON pair.part_b = ib.l_partkey
+              CROSS JOIN ords o
+    """,
+)
+def q_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over co-purchase pairs — association
+    strength on top of the raw cooccurrence counts (gate:cooccurrence_
+    pairs), the statistic behind word/item-embedding objectives.  PMI in
+    integer micro-nats (all inputs are exact integer counts; one ln per
+    pair, rounded identically).  Item marginals broadcast against the
+    pair relation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    n_ord = li.select("l_orderkey").distinct().count()
+    item = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_orderkey").alias("n_i")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.countDistinct("a.l_orderkey").alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("n_i").alias("n_a"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("n_i").alias("n_b"))
+    return (
+        pair.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .select(
+            F.col("part_a").cast("long").alias("part_a"),
+            F.col("part_b").cast("long").alias("part_b"),
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.round(
+                F.log(
+                    F.col("n_ab").cast("double")
+                    * F.lit(float(n_ord))
+                    / (F.col("n_a") * F.col("n_b")).cast("double")
+                )
+                * 1e6
+            ).cast("long").alias("pmi_unats"),
+        )
+    )

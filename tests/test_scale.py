@@ -155,3 +155,28 @@ def test_exchange_reuse_for_shared_subplan(spark):
         assert "ReusedExchange" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_approx_aggregates_track_exact(spark, sf_dir):
+    """The 100-TB substitutions (approx_count_distinct HLL, approxQuantile
+    GK sketch) stay within their documented error of the exact answers
+    they replace in gates — the sanity bound behind every 'approx at
+    scale' note in COVERAGE.md."""
+    import pyspark.sql.functions as F
+
+    from inferdb_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    exact_d = li.select(F.countDistinct("l_partkey")).first()[0]
+    approx_d = li.select(F.approx_count_distinct("l_partkey", rsd=0.02)).first()[0]
+    assert abs(approx_d - exact_d) / exact_d < 0.06  # 3x rsd
+
+    exact_q = li.select(
+        F.percentile(F.col("l_extendedprice"), F.lit(0.5))
+    ).first()[0]
+    (approx_q,) = li.approxQuantile("l_extendedprice", [0.5], 0.01)
+    # 1% relative-RANK error -> value gap bounded by the local density;
+    # assert the rank of the approx answer is within 2% of the median rank
+    n = li.count()
+    rank = li.filter(F.col("l_extendedprice") <= approx_q).count()
+    assert abs(rank - n / 2) / n < 0.02
