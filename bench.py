@@ -214,6 +214,8 @@ def main() -> None:
         "text_quality",
         "tfidf_top_terms",
         "cooccurrence_pairs",
+        "bigram_lm_score",
+        "feature_hashing",
         "interval_join_counts",
         "connected_components",
         "dedup_exact",

@@ -634,3 +634,118 @@ def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     prof = profile_columns(o, ["o_totalprice", "o_orderpriority", "o_custkey"])
     return prof.withColumnRenamed("column", "column_name")
+
+
+@gate(
+    "triangle_count",
+    oracle="""
+    WITH sel AS (
+      SELECT DISTINCT l.l_orderkey AS ok, CAST(l.l_partkey AS BIGINT) AS pk
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderdate >= DATE '1995-01-01' AND o.o_orderdate < DATE '1996-01-01'
+        AND l.l_partkey % 10 = 0
+    ),
+    e AS (
+      SELECT DISTINCT a.pk AS u, b.pk AS v
+      FROM sel a JOIN sel b ON a.ok = b.ok AND a.pk < b.pk
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles,
+           CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges
+    FROM e e1 JOIN e e2 ON e1.v = e2.u
+              JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the sampled co-purchase graph (same edge set
+    as gate:connected_components): the oriented u<v<w two-hop join —
+    each triangle counted exactly once, no symmetric double-join blowup.
+    The clustering-coefficient numerator for graph-shaped dedup QA.
+    Scale: edges shuffle on v=u join key; orientation (u<v) keeps
+    per-node fan-out bounded by out-degree, the standard MapReduce
+    triangle trick."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    sel = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01").cast("date"))
+            & (F.col("l_partkey") % 10 == 0)
+        )
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").cast("long").alias("pk"))
+        .distinct()
+    )
+    a, b = sel.alias("a"), sel.alias("b")
+    e = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .distinct()
+        .cache()
+    )
+    n_edges = e.count()
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .count()
+    )
+    return spark.createDataFrame(
+        [(tri, n_edges)], "n_triangles long, n_edges long"
+    )
+
+
+@gate(
+    "mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT l_returnflag, quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS m
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    dev AS (
+      SELECT l.l_returnflag, abs(l.l_extendedprice - med.m) AS d, l.l_extendedprice, med.m
+      FROM lineitem l JOIN med USING (l_returnflag)
+    ),
+    mad AS (
+      SELECT l_returnflag, quantile_cont(d, 0.5) AS mad
+      FROM dev GROUP BY l_returnflag
+    )
+    SELECT dev.l_returnflag AS flag,
+           CAST(round(mad.mad, 6) AS DOUBLE) AS mad,
+           CAST(sum(CASE WHEN abs(dev.l_extendedprice - dev.m) > 3 * 1.4826 * mad.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(count(*) AS BIGINT) AS n
+    FROM dev JOIN mad USING (l_returnflag)
+    GROUP BY dev.l_returnflag, mad.mad
+    """,
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier screening per group — the
+    robust-statistics alternative to the reference's IQR bounds (P7,
+    src/featurizers/nyc_rides_featurizer.py:165-172): flag rows beyond
+    3·1.4826·MAD of the group median.  Two exact-percentile passes
+    (approx_percentile is the scale substitution); broadcast joins for
+    the 3-row stats relations."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice").cast("double")
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile(x, F.lit(0.5)).alias("m")
+    )
+    dev = li.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag", x.alias("x"), "m", F.abs(x - F.col("m")).alias("d")
+    )
+    mad = dev.groupBy("l_returnflag").agg(
+        F.percentile(F.col("d"), F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "l_returnflag")
+        .groupBy(F.col("l_returnflag").alias("flag"), F.round("mad", 6).cast("double").alias("mad"))
+        .agg(
+            F.sum(
+                (F.col("d") > 3 * 1.4826 * F.col("mad")).cast("long")
+            ).alias("n_outliers"),
+            F.count("*").alias("n"),
+        )
+    )
