@@ -51,10 +51,11 @@ def connected_components(
     sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     sym = sym.localCheckpoint(eager=True)
 
+    # seed with the 1-hop minimum (min(self, neighbors)) — one aggregation
+    # that replaces the first propagation round
     labels = (
-        sym.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("lbl", F.col("node"))
+        sym.groupBy(F.col("v").alias("node"))
+        .agg(F.least(F.first("v"), F.min("u")).alias("lbl"))
         .localCheckpoint(eager=True)
     )
 
