@@ -749,3 +749,48 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
     )
+
+
+@gate(
+    "try_safe_arithmetic",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN TRY_CAST(pseudo AS BIGINT) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_badcast,
+           CAST(sum(COALESCE(TRY_CAST(pseudo AS BIGINT), 0)) AS BIGINT) AS sum_parsed,
+           CAST(sum(CASE WHEN d = 0 THEN -1
+                    ELSE CAST(CAST(round(o_totalprice*100) AS BIGINT) // d AS BIGINT) END) AS BIGINT) AS sum_div
+    FROM (
+      SELECT o_totalprice,
+             CASE WHEN o_orderkey % 3 = 0 THEN CAST(o_orderkey AS VARCHAR)
+                  ELSE o_orderpriority END AS pseudo,
+             CAST(o_orderkey % 5 AS BIGINT) AS d
+      FROM orders
+    )
+    """,
+)
+def q_try_safe_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe scalar semantics: try_cast on a mixed numeric/text
+    column (invalid → NULL, never a job-killing exception — at 100 TB a
+    single dirty row must not fail a 6-hour job) and explicit
+    zero-divisor handling with integer division pinned on both engines
+    (Spark div vs DuckDB //)."""
+    o = load_table(spark, sf_dir, "orders")
+    src = o.select(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 3 == 0, F.col("o_orderkey").cast("string"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("pseudo"),
+        (F.col("o_orderkey") % 5).cast("long").alias("d"),
+    )
+    parsed = F.col("pseudo").try_cast("bigint")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return src.agg(
+        F.count("*").alias("n"),
+        F.sum(parsed.isNull().cast("long")).alias("n_badcast"),
+        F.sum(F.coalesce(parsed, F.lit(0))).alias("sum_parsed"),
+        F.sum(
+            F.when(F.col("d") == 0, F.lit(-1)).otherwise(
+                F.expr(f"CAST(round(o_totalprice*100) AS BIGINT) div d")
+            )
+        ).alias("sum_div"),
+    )

@@ -71,6 +71,53 @@ def main() -> None:
     ).show(truncate=False)
 
     scalability_experiment(spark, sf)
+    generalization_experiment(spark, sf)
+    sparsity_experiment(spark, sf)
+
+
+def generalization_experiment(spark, sf: str) -> None:
+    """Temporal-generalization microbenchmark — the analog of
+    experiments/microbenchmarks/generalization/generalization.py: fit on
+    the first half of the month, score the unseen second half (vs the
+    random-fold split of the main reports).  Distribution shift shows up
+    as the gap between the two test errors."""
+    from inferdb_spark.api import standalone_report
+    from inferdb_spark.catalog import load_table
+
+    ev = load_table(spark, sf, "events").select(
+        F.hour("ts").cast("double").alias("hour"),
+        (F.col("user_id") % 20).cast("double").alias("route"),
+        (F.col("value") + 1.0).alias("target"),
+        F.dayofmonth("ts").alias("_day"),
+    )
+    print("== generalization (train days 1-15, test days 16-30, events) ==")
+    standalone_report(
+        ev.filter(F.col("_day") <= 15),
+        ev.filter(F.col("_day") > 15),
+        ["hour", "route"], "target", task="regression",
+    ).show(truncate=False)
+
+
+def sparsity_experiment(spark, sf: str) -> None:
+    """Index filling-degree analysis — the analog of experiments/
+    microbenchmarks/sparsity/sparsity_analysis.py (src/optimizer.py:
+    250-276): stored paths vs the full bin-domain product; low filling
+    degree means the prefix-fallback path does real work on unseen
+    keys."""
+    from inferdb_spark.api import fit_index_pipeline
+    from inferdb_spark.catalog import load_table
+    from inferdb_spark.operators.index import index_size_info
+
+    li = load_table(spark, sf, "lineitem").select(
+        "l_quantity", "l_discount", "l_tax",
+        (F.col("l_extendedprice")).alias("target"),
+    )
+    pipe = fit_index_pipeline(
+        li, ["l_quantity", "l_discount", "l_tax"], "target", task="regression"
+    )
+    info = index_size_info(pipe.index, spark)
+    print("== sparsity / filling degree (lineitem index) ==")
+    print(info)
 
 
 def scalability_experiment(spark, sf: str) -> None:
