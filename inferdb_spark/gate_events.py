@@ -438,3 +438,92 @@ def q_resample_daily_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("cents_filled"),
         F.col("observed").cast("long").alias("observed"),
     )
+
+
+@gate(
+    "activity_islands",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    marked AS (
+      SELECT user_id, day,
+             day - CAST(row_number() OVER
+                 (PARTITION BY user_id ORDER BY day) AS INTEGER) AS island_key
+      FROM days
+    ),
+    islands AS (
+      SELECT user_id, island_key, CAST(count(*) AS BIGINT) AS len,
+             min(day) AS start_day
+      FROM marked GROUP BY user_id, island_key
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(max(len) AS BIGINT) AS longest_streak,
+           CAST(min(start_day) AS VARCHAR) AS first_day
+    FROM islands GROUP BY user_id
+    """,
+)
+def q_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: consecutive-day activity streaks per user via
+    the (day − row_number) constant-key trick — one window pass + two
+    aggregations, the streak/retention idiom that has no direct operator
+    in any engine."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    marked = days.withColumn(
+        "island_key", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    islands = marked.groupBy("user_id", "island_key").agg(
+        F.count("*").alias("len"), F.min("day").alias("start_day")
+    )
+    return islands.groupBy(F.col("user_id").cast("long").alias("user_id")).agg(
+        F.count("*").alias("n_islands"),
+        F.max("len").cast("long").alias("longest_streak"),
+        F.min("start_day").cast("string").alias("first_day"),
+    )
+
+
+@gate(
+    "share_of_total",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderpriority AS prio, year(o_orderdate) AS yr,
+             CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT prio, CAST(yr AS BIGINT) AS yr, cents,
+           CAST(round(CAST(cents AS DOUBLE) /
+                sum(cents) OVER (PARTITION BY yr), 6) AS DOUBLE) AS share_of_year,
+           CAST(round(CAST(cents AS DOUBLE) / sum(cents) OVER (), 6) AS DOUBLE) AS share_total
+    FROM c
+    """,
+)
+def q_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total windows at two grains (per-year partition and
+    global): unpartitioned window sums over the AGGREGATED relation (35
+    rows), never the fact table — the share-of-total idiom with the
+    single-partition hazard confined to post-aggregation data.  Integer
+    cents numerators/denominators make the double division identical
+    across engines."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = o.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        F.year("o_orderdate").alias("yr0"),
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    wy = Window.partitionBy("yr0")
+    wall = Window.partitionBy()
+    return c.select(
+        "prio",
+        F.col("yr0").cast("long").alias("yr"),
+        "cents",
+        F.round(F.col("cents").cast("double") / F.sum("cents").over(wy), 6)
+        .cast("double").alias("share_of_year"),
+        F.round(F.col("cents").cast("double") / F.sum("cents").over(wall), 6)
+        .cast("double").alias("share_total"),
+    )
