@@ -144,3 +144,30 @@ def standalone_report(
         "method string, metric string, value double, score_runtime_s double, "
         "size_proxy double, encode_s double, solution_s double, build_s double",
     )
+
+
+def register_pipeline_views(
+    spark: SparkSession,
+    pipe: IndexPipeline,
+    df: DataFrame,
+    prefix: str = "demo",
+) -> list[str]:
+    """Expose the scoring pipeline's stages as SQL temp views, mirroring
+    the reference's per-stage materialized views (`{x}_translated`,
+    `{x}_scored` — src/transpiler.py:1261-1274, 1077-1088) so SQL-surface
+    users can SELECT from any stage or join predictions relationally
+    (the query-integration pattern).  Views are lazy plans, not copies;
+    add .cache() on a stage to pin it like the reference's ANALYZE'd
+    materialized views."""
+    from inferdb_spark.operators.scoring import index_score, translate
+
+    names = []
+    stages = {
+        f"{prefix}_input": df,
+        f"{prefix}_translated": translate(df, pipe.index),
+        f"{prefix}_scored": pipe.score(df),
+    }
+    for name, stage_df in stages.items():
+        stage_df.createOrReplaceTempView(name)
+        names.append(name)
+    return names

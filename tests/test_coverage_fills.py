@@ -240,3 +240,21 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert set(merged.columns) == {"id", "s", "extra", "part"}
     rows = {r["id"]: r["extra"] for r in merged.collect()}
     assert rows == {1: None, 2: 9.5}
+
+
+def test_register_pipeline_views_sql_surface(spark):
+    """S4/SQL surface: per-stage temp views (the reference's _translated /
+    _scored materialized-view naming) queryable and joinable via
+    spark.sql."""
+    from inferdb_spark.api import fit_index_pipeline, register_pipeline_views
+
+    rows = [(float(i % 40), float(i % 7), float(i)) for i in range(300)]
+    df = spark.createDataFrame(rows, "x double, z double, y double")
+    pipe = fit_index_pipeline(df, ["x", "z"], "y", task="regression")
+    names = register_pipeline_views(spark, pipe, df, prefix="t99")
+    assert names == ["t99_input", "t99_translated", "t99_scored"]
+    assert spark.sql("SELECT count(*) c FROM t99_translated").first()["c"] == 300
+    joined = spark.sql(
+        "SELECT avg(s.prediction) a FROM t99_scored s"
+    ).first()
+    assert joined["a"] is not None
