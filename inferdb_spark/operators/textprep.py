@@ -228,10 +228,15 @@ def _bigram_structs(tok_col: str):
 
 def bigram_counts(df: DataFrame, text_col: str = "text") -> tuple[DataFrame, DataFrame, int]:
     """Corpus bigram/unigram counts for the LM scorer: returns
-    (bigrams(w1, w2, c12), unigrams(w1, c1), vocab_size)."""
+    (bigrams(w1, w2, c12), unigrams(w1, c1), vocab_size).
+
+    The tokenized relation is cached and shared by all three aggregates —
+    tokenization (regex normalize + split) is the expensive projection,
+    and without the cache each consumer would re-run it over the corpus
+    (one scan here vs three)."""
     from inferdb_spark.functions import text as TXT
 
-    toks = df.select(TXT.tokens(F.col(text_col)).alias("t"))
+    toks = df.select(TXT.tokens(F.col(text_col)).alias("t")).cache()
     pairs = toks.select(F.explode(_bigram_structs("t")).alias("b")).select(
         "b.w1", "b.w2"
     )
