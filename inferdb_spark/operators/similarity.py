@@ -219,3 +219,109 @@ def cosine_topk_pandas(
         part, schema=f"{id_col} long, cosine double"
     )
     return local.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-compression tier of ANN
+# ---------------------------------------------------------------------------
+
+def fit_pq_codebooks(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_subvectors: int = 8,
+    n_centroids: int = 16,
+    sample_rows: int = 4096,
+    iters: int = 12,
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """Fit PQ codebooks: split each vector into `n_subvectors` chunks and
+    run a small deterministic Lloyd k-means per subspace on a driver-side
+    sample (numpy — subspace k-means state is tiny; the 100 TB data never
+    leaves the cluster, only the sample does).
+
+    Returns codebooks[s][c] = centroid c of subspace s.  PQ is the ANN
+    memory tier: 8 one-byte codes replace 64 floats (32× compression), so
+    a 100 TB embedding corpus's codes fit the page cache — the same role
+    as in FAISS IVF-PQ.
+    """
+    import numpy as np
+
+    pdf = df.select(as_double_array(F.col(vec_col)).alias("v")).limit(sample_rows).toPandas()
+    X = np.array(pdf["v"].tolist(), dtype=np.float64)
+    dim = X.shape[1]
+    assert dim % n_subvectors == 0, "dim must divide into subvectors"
+    sub = dim // n_subvectors
+    rng = np.random.RandomState(seed)
+    books: list[list[list[float]]] = []
+    for s in range(n_subvectors):
+        Xs = X[:, s * sub : (s + 1) * sub]
+        idx = rng.choice(len(Xs), size=n_centroids, replace=False)
+        C = Xs[idx].copy()
+        for _ in range(iters):
+            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(n_centroids):
+                m = assign == c
+                if m.any():
+                    C[c] = Xs[m].mean(axis=0)
+        books.append([[float(x) for x in row] for row in C])
+    return books
+
+
+def pq_encode(vec_col: Column, codebooks: list[list[list[float]]]) -> Column:
+    """array<int> of per-subspace nearest-centroid codes — pure Column
+    expressions (argmin over literal centroids via array_min on
+    (dist, id) structs, the W3 cluster-assign pattern), whole-stage
+    codegen'd, no Python in the encode path."""
+    v = as_double_array(vec_col)
+    sub = len(codebooks[0][0])
+    codes = []
+    for s, book in enumerate(codebooks):
+        cands = F.array(
+            *[
+                F.struct(
+                    sum(
+                        (
+                            (F.element_at(v, s * sub + j + 1) - F.lit(book[c][j]))
+                            * (F.element_at(v, s * sub + j + 1) - F.lit(book[c][j]))
+                            for j in range(sub)
+                        ),
+                        F.lit(0.0),
+                    ).alias("d"),
+                    F.lit(c).alias("c"),
+                )
+                for c in range(len(book))
+            ]
+        )
+        codes.append(F.array_min(cands)["c"])
+    return F.array(*codes)
+
+
+def pq_adc_topk(
+    codes_df: DataFrame,
+    codes_col: str,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    k: int = 10,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query's
+    per-subspace distance table is burned in as literals, so the scan is
+    element_at lookups + a sum — map-only over the 32×-compressed codes,
+    TakeOrdered for top-k, zero shuffle of the corpus."""
+    sub = len(codebooks[0][0])
+    dist_expr = None
+    for s, book in enumerate(codebooks):
+        q_s = query_vec[s * sub : (s + 1) * sub]
+        table = [
+            sum((q_s[j] - book[c][j]) ** 2 for j in range(sub))
+            for c in range(len(book))
+        ]
+        lut = F.array(*[F.lit(float(x)) for x in table])
+        term = F.element_at(lut, F.element_at(F.col(codes_col), s + 1) + 1)
+        dist_expr = term if dist_expr is None else dist_expr + term
+    return (
+        codes_df.select(F.col(id_col), dist_expr.alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(k)
+    )

