@@ -527,3 +527,36 @@ def q_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("cents").cast("double") / F.sum("cents").over(wall), 6)
         .cast("double").alias("share_total"),
     )
+
+
+@gate(
+    "event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order transition matrix over per-user event sequences (the
+    Markov-chain statistic behind next-event prediction and path
+    analysis): one lag window with a (ts, event_id) total order, then a
+    count matrix — 25 cells from millions of rows, all map-side
+    combinable."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("prev_type", F.lag("event_type").over(w))
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
