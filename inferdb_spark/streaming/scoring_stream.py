@@ -177,3 +177,33 @@ def run_stream_to_memory(
     )
     q.processAllAvailable()
     q.stop()
+
+
+def session_window_aggregate(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Native session windows (F.session_window): dynamic-length windows
+    that close after `gap` of inactivity per key — the streaming twin of
+    relational_ext.sessionize's batch lag+cumsum construction.  State per
+    key is one open session; watermark expiry emits and evicts closed
+    sessions, so state stays bounded by ACTIVE keys, not history."""
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col(key_col))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(value_col).alias("total"),
+        )
+        .select(
+            key_col,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total",
+        )
+    )

@@ -202,3 +202,37 @@ def test_stream_stream_join_matches_batch(spark):
     finally:
         shutil.rmtree(tmp_v, ignore_errors=True)
         shutil.rmtree(tmp_p, ignore_errors=True)
+
+
+def test_session_window_stream_matches_batch(spark):
+    """Native session windows on a stream == the same session_window
+    aggregation in batch mode, and session boundaries respect the gap."""
+    tmp = tempfile.mkdtemp(prefix="inferdb_sw_")
+    try:
+        rows = []
+        for u in range(3):
+            # two sessions per user: minutes 0-10 and 50-55 (gap 30m)
+            for m in (0, 5, 10, 50, 55):
+                rows.append((u, f"2024-01-01 00:{m:02d}:00", 1.0))
+        df = spark.createDataFrame(rows, "user_id int, ts_s string, value double").select(
+            "user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value"
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        stream = SS.stream_from_parquet_dir(spark, tmp, df.schema, 1)
+        agg = SS.session_window_aggregate(stream, "ts", "user_id", "value", gap="30 minutes")
+        SS.run_stream_to_memory(agg, "sw_out", output_mode="complete")
+        got = sorted(
+            (r.user_id, str(r.session_start), r.n_events)
+            for r in spark.sql("select * from sw_out").collect()
+        )
+        batch = (
+            df.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+            .agg(F.count("*").alias("n_events"))
+            .select("user_id", F.col("session_window.start").alias("s"), "n_events")
+        )
+        want = sorted((r.user_id, str(r.s), r.n_events) for r in batch.collect())
+        assert got == want
+        assert len(got) == 6  # 3 users x 2 sessions
+        assert all(n in (2, 3) for (_, _, n) in got)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
