@@ -163,3 +163,43 @@ def q_stream_index_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.processAllAvailable()
     q.stop()
     return spark.sql(f"select event_id, prediction from {name}")
+
+
+@gate(
+    "session_window_batch",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS ns
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+      SELECT user_id,
+             sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM g
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(count(DISTINCT sid) AS BIGINT) AS n_sessions,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id
+    """,
+)
+def q_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native F.session_window (batch mode) vs the classic lag+cumsum
+    construction as the oracle: a new session opens when the gap since
+    the previous event is >= 30 min (session end is exclusive:
+    prev_ts + gap).  Pins the native operator's merge semantics — the
+    same operator streams with a watermark
+    (streaming.session_window_aggregate)."""
+    ev = load_table(spark, sf_dir, "events")
+    sess = ev.groupBy(
+        F.session_window("ts", "30 minutes"), F.col("user_id")
+    ).agg(F.count("*").alias("n"))
+    return sess.groupBy(F.col("user_id").cast("long").alias("user_id")).agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n").cast("long").alias("n_events"),
+    )
