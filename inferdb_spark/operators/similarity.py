@@ -1,11 +1,15 @@
 """Similarity search over embedding columns (array<float>).
 
-Two tiers, as a 100 TB pipeline needs:
+Four tiers, as a 100 TB pipeline needs:
 - brute-force cosine top-k: one map-only projection + TakeOrdered — the
   exact baseline; scales linearly and never materializes a global sort;
 - random-hyperplane LSH: per-row bucket signature (projection), search
   within bucket — the approximate scale path.  Hyperplanes are dyadic
-  literals so bucketing is engine-reproducible.
+  literals so bucketing is engine-reproducible;
+- IVF: coarse k-means cells + partition-pruned probe of the nearest
+  cells (fit_ivf_centroids / ivf_build / ivf_search);
+- PQ: 32×-compressed codes + ADC literal-LUT scan for shortlist →
+  exact re-rank (fit_pq_codebooks / pq_encode / pq_adc_topk).
 
 Vector math stays in whole-stage codegen via functions/vector.py; a numpy
 mapInPandas variant is provided for very wide embeddings where the
