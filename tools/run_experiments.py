@@ -70,9 +70,45 @@ def main() -> None:
         ["price", "month", "cust_bucket"], "target", task="classification",
     ).show(truncate=False)
 
+    mnist_like_experiment(spark, sf)
     scalability_experiment(spark, sf)
     generalization_experiment(spark, sf)
     sparsity_experiment(spark, sf)
+
+
+def mnist_like_experiment(spark, sf: str) -> None:
+    """mnist_784 analog (FIXTURES.md: embeddings = vector features +
+    int label, the multiclass pixel-vector shape at 64 dims): index with
+    multiclass IV selection + majority-vote kv vs MLlib multinomial LR.
+    Accuracy = exact-match rate (multiclass_report computes the macro
+    P/R variants; exact match is the reference's headline number)."""
+    from inferdb_spark.api import fit_index_pipeline
+    from inferdb_spark.catalog import load_table
+    from inferdb_spark.functions.vector import as_double_array
+    from inferdb_spark.mllib_bridge import fit_predict_mllib
+
+    emb = load_table(spark, sf, "embeddings")
+    v = as_double_array(F.col("embedding"))
+    feats = [f"f_{i}" for i in range(8)]
+    df = emb.select(
+        *[F.element_at(v, i + 1).alias(f"f_{i}") for i in range(8)],
+        F.col("label").cast("int").alias("target"),
+        (F.col("vec_id") % 5).alias("_fold"),
+    )
+    train, test = df.filter("_fold != 0"), df.filter("_fold = 0")
+    pipe = fit_index_pipeline(train, feats, "target", task="multiclass")
+    idx_acc = (
+        pipe.score(test)
+        .select((F.col("prediction") == F.col("target")).cast("int").alias("hit"))
+        .agg(F.avg("hit")).first()[0]
+    )
+    lr = fit_predict_mllib(train, test, feats, "target", "logistic_regression")
+    lr_acc = (
+        lr.select((F.col("prediction") == F.col("target")).cast("int").alias("hit"))
+        .agg(F.avg("hit")).first()[0]
+    )
+    print("== mnist_like (multiclass, embeddings 8-dim slice) ==")
+    print(f"index accuracy={idx_acc:.4f}   model:multinomial_lr accuracy={lr_acc:.4f}")
 
 
 def generalization_experiment(spark, sf: str) -> None:
