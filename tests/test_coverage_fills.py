@@ -258,3 +258,18 @@ def test_register_pipeline_views_sql_surface(spark):
         "SELECT avg(s.prediction) a FROM t99_scored s"
     ).first()
     assert joined["a"] is not None
+
+
+def test_pipeline_demo_runs_end_to_end(spark, sf_dir):
+    """The composed training-data pipeline (tools/pipeline_demo.py) must
+    run every stage at the smallest fixture — guards the demo against
+    operator-signature rot."""
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "tools/pipeline_demo.py", sf_dir.replace("sf0.01", "sf0.001")],
+        capture_output=True, text=True, timeout=600, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "index-fit+score" in out.stdout

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 def main() -> None:
     from inferdb_spark.catalog import load_table
     from inferdb_spark.functions.hashing import h52
-    from inferdb_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+    from inferdb_spark.operators.dedup import exact_dedup, minhash_lsh_pairs, ngram_jaccard
     from inferdb_spark.operators.graph import dedup_clusters
     from inferdb_spark.operators.textprep import (
         bigram_counts,
@@ -57,15 +57,22 @@ def main() -> None:
     deduped = exact_dedup(docs, ["text"], "doc_id")
     stage("exact-dedup", deduped, "md5 groupBy, keep lowest doc_id")
 
-    pairs = minhash_lsh_pairs(deduped, "doc_id", "text")
+    # LSH emits CANDIDATES; verify with exact n-gram Jaccard before
+    # clustering (skipping the verify step would over-merge a corpus with
+    # a shared small vocabulary — every doc LSH-collides with something)
+    cand = minhash_lsh_pairs(deduped, "doc_id", "text")
+    verified = ngram_jaccard(deduped, cand, "doc_id", "text").filter(
+        F.col("jaccard") >= 0.8
+    )
     clusters = dedup_clusters(
-        pairs.select(F.col("id_a"), F.col("id_b")), deduped, "doc_id"
+        verified.select(F.col("id_a"), F.col("id_b")), deduped, "doc_id"
     )
     canonical = deduped.join(
         clusters.filter(F.col("doc_id") == F.col("cluster")).select("doc_id"),
         "doc_id",
     )
-    stage("near-dedup", canonical, "LSH pairs -> connected components -> 1 rep/cluster")
+    stage("near-dedup", canonical,
+          "LSH candidates -> Jaccard>=0.8 verify -> CC -> 1 rep/cluster")
 
     lang = canonical.withColumn("lang_pred", detect_language(F.col("text")))
     en = lang.filter(F.col("lang_pred").isin("en", "und"))
