@@ -56,6 +56,7 @@ def _ensure_registered() -> None:
         "inferdb_spark.gate_events",
         "inferdb_spark.gate_stream",
         "inferdb_spark.gate_olap",
+        "inferdb_spark.gate_knn",
     ):
         try:
             importlib.import_module(mod)

@@ -157,6 +157,28 @@ def ivf_assign(vec_col: Column, centroids: list[list[float]]) -> Column:
     return F.array_min(F.array(*entries))["list_id"]
 
 
+def ivf_probe_cells(
+    vec_col: Column, centroids: list[list[float]], n_probe: int
+) -> Column:
+    """The n_probe nearest list ids for a *column* of query vectors — the
+    set-probe twin of ivf_search's driver-side ranking, for workloads where
+    the queries are themselves a relation (batch ANN scoring, KNN joins).
+    Pure expression: array of (distance, id) structs, sorted, sliced —
+    lowest-id tiebreak via struct field order."""
+    v = as_double_array(vec_col)
+    entries = []
+    for i, c in enumerate(centroids):
+        clit = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(v, clit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        entries.append(F.struct(d.alias("d"), F.lit(i).alias("list_id")))
+    ranked = F.slice(F.array_sort(F.array(*entries)), 1, n_probe)
+    return F.transform(ranked, lambda s: s["list_id"])
+
+
 def ivf_build(
     df: DataFrame, vec_col: str, centroids: list[list[float]], id_col: str = "vec_id"
 ) -> DataFrame:
