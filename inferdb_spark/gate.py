@@ -57,6 +57,7 @@ def _ensure_registered() -> None:
         "inferdb_spark.gate_stream",
         "inferdb_spark.gate_olap",
         "inferdb_spark.gate_knn",
+        "inferdb_spark.gate_trees",
     ):
         try:
             importlib.import_module(mod)

@@ -1,0 +1,107 @@
+"""Gate queries: tree-model scoring transpiled to CASE WHEN expressions and
+in-database OLS training via exact normal equations (the reference's MADlib
+tree/linregr and XGBoost-in-PG paths, src/transpiler.py:2338-2753).
+
+Shared-literal rule: ONE Python tree structure / column list generates both
+the Spark Column tree and the oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from inferdb_spark.catalog import load_table
+from inferdb_spark.gate import gate
+from inferdb_spark.operators import linreg as LR
+from inferdb_spark.operators import trees as T
+
+# dyadic thresholds and leaf values: comparisons and leaves are exact in
+# both engines, so the tree gate needs no rounding at all.
+TREE_1 = {
+    "feature": "l_quantity", "threshold": 24.0,
+    "left": {
+        "feature": "l_discount", "threshold": 0.04,
+        "left": {"value": 1.25}, "right": {"value": -0.5},
+    },
+    "right": {
+        "feature": "l_tax", "threshold": 0.03,
+        "left": {"value": 0.75}, "right": {"value": 2.5},
+    },
+}
+TREE_2 = {
+    "feature": "l_discount", "threshold": 0.06,
+    "left": {"value": -0.25},
+    "right": {
+        "feature": "l_quantity", "threshold": 40.0,
+        "left": {"value": 0.5}, "right": {"value": -1.5},
+    },
+}
+TREE_3 = {
+    "feature": "l_tax", "threshold": 0.05,
+    "left": {
+        "feature": "l_quantity", "threshold": 12.0,
+        "left": {"value": 2.0}, "right": {"value": -0.125},
+    },
+    "right": {"value": 0.0625},
+}
+GBT_TREES = [TREE_1, TREE_2, TREE_3]
+GBT_WEIGHTS = [1.0, 0.5, 0.25]
+GBT_BASE = -0.5
+
+LINREG_FEATURES = ["l_quantity", "l_discount", "l_tax"]
+
+
+@gate(
+    "tree_score",
+    oracle=f"""
+    SELECT l_orderkey*10 + l_linenumber AS row_id,
+           CAST({T.tree_to_sql(TREE_1)} AS DOUBLE) AS prediction
+    FROM lineitem
+    """,
+)
+def q_tree_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A fitted decision tree burned into the plan as one nested CASE WHEN
+    projection (operators/trees.tree_to_expression): zero join, zero UDF,
+    whole-stage codegen'd — the transpiled analog of madlib.tree_predict."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("row_id"),
+        T.tree_to_expression(TREE_1).cast("double").alias("prediction"),
+    )
+
+
+@gate(
+    "gbt_score_sigmoid",
+    oracle=f"""
+    SELECT l_orderkey*10 + l_linenumber AS row_id,
+           CAST(round({T.gbt_sql(GBT_TREES, GBT_WEIGHTS, GBT_BASE, link="sigmoid")}, 6) AS DOUBLE) AS prob
+    FROM lineitem
+    """,
+)
+def q_gbt_score_sigmoid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GBT ensemble scoring: base + Σ wᵢ·treeᵢ(x) through a sigmoid link,
+    still ONE flat projection (operators/trees.gbt_expression) — the
+    XGBoost-in-PG analog (src/transpiler.py:2500-2753).  Transcendental
+    output rounded to 6dp on both sides per the repo rule."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("row_id"),
+        F.round(
+            T.gbt_expression(GBT_TREES, GBT_WEIGHTS, GBT_BASE, link="sigmoid"), 6
+        ).cast("double").alias("prob"),
+    )
+
+
+@gate(
+    "linreg_gram",
+    oracle=LR.gram_relation_sql("lineitem", LINREG_FEATURES, "l_extendedprice", 100),
+)
+def q_linreg_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS sufficient statistics (XᵀX, Xᵀy) as ONE exact-integer aggregation
+    over the training scan (operators/linreg.gram_relation) — the
+    distributed half of madlib.linregr_train.  The p×p solve is driver-side
+    (pytest vs numpy); this gate pins the distributed statistics
+    bit-for-bit."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return LR.gram_relation(li, LINREG_FEATURES, "l_extendedprice", 100)
