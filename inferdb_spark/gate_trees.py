@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from inferdb_spark.catalog import load_table
 from inferdb_spark.gate import gate
+from inferdb_spark.operators import cluster as CL
 from inferdb_spark.operators import linreg as LR
 from inferdb_spark.operators import trees as T
 
@@ -105,3 +106,66 @@ def q_linreg_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit."""
     li = load_table(spark, sf_dir, "lineitem")
     return LR.gram_relation(li, LINREG_FEATURES, "l_extendedprice", 100)
+
+
+# --- KMeans Lloyd step + exact covariance moments -------------------------
+
+# integer-scaled feature space: (round(l_quantity*100), round(l_discount*1e4))
+KM_CENTERS = [[1000, 200], [3000, 500], [5000, 800]]
+
+_km_feat_sql = [
+    "CAST(round(l_quantity*100) AS BIGINT)",
+    "CAST(round(l_discount*10000) AS BIGINT)",
+]
+_km_d = [
+    " + ".join(
+        f"({fs} - {c[i]}) * ({fs} - {c[i]})" for i, fs in enumerate(_km_feat_sql)
+    )
+    for c in KM_CENTERS
+]
+
+
+@gate(
+    "kmeans_lloyd_step",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT CASE WHEN ({_km_d[0]}) <= ({_km_d[1]}) AND ({_km_d[0]}) <= ({_km_d[2]}) THEN 0
+                  WHEN ({_km_d[1]}) <= ({_km_d[2]}) THEN 1 ELSE 2 END AS cluster,
+             {_km_feat_sql[0]} AS f0, {_km_feat_sql[1]} AS f1
+      FROM lineitem
+    )
+    SELECT CAST(cluster AS INT) AS cluster, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(f0) AS BIGINT) AS sum_0, CAST(sum(f1) AS BIGINT) AS sum_1
+    FROM assigned GROUP BY cluster
+    """,
+)
+def q_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration's sufficient statistics (operators/cluster.
+    lloyd_update): argmin assignment is a centers-as-literals projection
+    (zero join), the update one k-row exact-integer aggregate — the
+    distributed-KMeans-training unit (madlib kmeans analog).  Lowest-id
+    tie-break pinned in both dialects."""
+    li = load_table(spark, sf_dir, "lineitem")
+    feat = li.select(
+        F.round(F.col("l_quantity") * 100).cast("long").alias("fq"),
+        F.round(F.col("l_discount") * 10000).cast("long").alias("fd"),
+    )
+    out = CL.lloyd_update(feat, ["fq", "fd"], KM_CENTERS)
+    return out.select(
+        F.col("cluster").cast("int").alias("cluster"), "n", "sum_0", "sum_1"
+    )
+
+
+PCA_COLS = ["l_quantity", "l_discount", "l_tax"]
+
+
+@gate(
+    "covariance_moments",
+    oracle=LR.moments_relation_sql("lineitem", PCA_COLS, 100),
+)
+def q_covariance_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance/PCA sufficient statistics in one exact-integer aggregate
+    (operators/linreg.moments_relation) — the distributed half of
+    fit_pca_exact; eigendecomposition is driver-side (pytest vs numpy)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return LR.moments_relation(li, PCA_COLS, 100)

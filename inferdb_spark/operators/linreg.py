@@ -91,6 +91,66 @@ def solve_normal(row, feature_cols: list[str], scale: int = 100):
     return coefs, intercept
 
 
+def moments_relation(df: DataFrame, cols: list[str], scale: int = 100) -> DataFrame:
+    """Label-free twin of gram_relation: n, s_i = Σx_i, g_i_j = Σx_i·x_j
+    (i ≤ j) over integer-scaled columns — the sufficient statistics of the
+    covariance matrix (and so of PCA fit) in ONE exact aggregation."""
+    xs = {c: _ix(df, c, scale) for c in cols}
+    aggs: list[Column] = [F.count("*").alias("n")]
+    for i, ci in enumerate(cols):
+        aggs.append(F.sum(xs[ci]).alias(f"s_{i}"))
+        for j, cj in enumerate(cols):
+            if i <= j:
+                aggs.append(F.sum(xs[ci] * xs[cj]).alias(f"g_{i}_{j}"))
+    return df.agg(*aggs)
+
+
+def moments_relation_sql(table: str, cols: list[str], scale: int = 100) -> str:
+    def ix(c: str) -> str:
+        return f"CAST(round({c}*{scale}) AS BIGINT)"
+
+    parts = ["CAST(count(*) AS BIGINT) AS n"]
+    for i, ci in enumerate(cols):
+        parts.append(f"CAST(sum({ix(ci)}) AS BIGINT) AS s_{i}")
+        for j, cj in enumerate(cols):
+            if i <= j:
+                parts.append(f"CAST(sum({ix(ci)} * {ix(cj)}) AS BIGINT) AS g_{i}_{j}")
+    return f"SELECT {', '.join(parts)} FROM {table}"
+
+
+def fit_pca_exact(df: DataFrame, cols: list[str], k: int, scale: int = 100):
+    """PCA fit from the exact moments relation: covariance on the driver
+    from integer sums (no sampling, no ML runtime in the distributed path
+    — the cluster-scale twin of featurize.fit_pca's MLlib estimator).
+    Returns (means, components[k][p]) in original units for
+    featurize.pca_project."""
+    import numpy as np
+
+    row = moments_relation(df, cols, scale).collect()[0]
+    n = row["n"]
+    p = len(cols)
+    s = np.array([row[f"s_{i}"] for i in range(p)], dtype=float)
+    G = np.zeros((p, p))
+    for i in range(p):
+        for j in range(p):
+            key = f"g_{i}_{j}" if i <= j else f"g_{j}_{i}"
+            G[i, j] = float(row[key])
+    mean = s / n
+    cov = (G - np.outer(mean, s)) / (n - 1)
+    eigval, eigvec = np.linalg.eigh(cov)
+    order = np.argsort(eigval)[::-1][:k]
+    comps = []
+    for idx in order:
+        v = eigvec[:, idx]
+        # deterministic sign: largest-|coordinate| entry positive
+        pivot = int(np.argmax(np.abs(v)))
+        if v[pivot] < 0:
+            v = -v
+        comps.append([float(x) for x in v])
+    means = [float(m) / scale for m in mean]
+    return means, comps
+
+
 def fit_linear_normal(
     df: DataFrame, feature_cols: list[str], label_col: str, scale: int = 100
 ):
