@@ -58,6 +58,7 @@ def _ensure_registered() -> None:
         "inferdb_spark.gate_olap",
         "inferdb_spark.gate_knn",
         "inferdb_spark.gate_trees",
+        "inferdb_spark.gate_dss",
     ):
         try:
             importlib.import_module(mod)
