@@ -95,6 +95,38 @@ def main() -> int:
     audit("asof_join_rates", [
         ("single window pass, no join", lambda p: "Window" in p and "Join" not in p),
     ])
+    audit("min_acctbal_supplier_per_nation", [
+        ("decorrelated min joins broadcast (no SMJ, no subquery loop)",
+         lambda p: p.count("BroadcastHashJoin") == 2 and "SortMergeJoin" not in p),
+    ])
+    audit("having_fraction_of_total", [
+        ("grand total is a 1-row broadcast (nested-loop over 1 row), "
+         "partial agg map-side",
+         lambda p: "BroadcastNestedLoopJoin" in p and p.count("HashAggregate") >= 2),
+    ])
+    audit("customer_order_distribution", [
+        ("zero-bucket preserved: outer join present, no filter pushed "
+         "below the left side",
+         lambda p: "Join LeftOuter" in p or "leftouter" in p.lower()),
+    ])
+    audit("large_volume_orders", [
+        ("HAVING filter applied on aggregated side before join",
+         lambda p: p.index("Filter (qty") < p.index("Join ")
+         if "Filter (qty" in p else ("HashAggregate" in p)),
+    ])
+    audit("multi_count_distinct", [
+        ("Expand-based multi-distinct rewrite (one pass over input)",
+         lambda p: "Expand" in p and p.count("HashAggregate") >= 2),
+    ])
+    audit("cumulative_distinct_users", [
+        ("bounded-state rewrite: aggregates before the window, "
+         "window over per-day rows only",
+         lambda p: p.count("HashAggregate") >= 2 and "Window" in p),
+    ])
+    audit("width_bucket_histogram", [
+        ("two-phase hash aggregation, no shuffle before partial agg",
+         lambda p: p.count("HashAggregate") >= 2),
+    ])
     audit("funnel_stages", [
         ("three chained windows share ONE user shuffle (2nd exchange is the "
          "4-row stage rollup)",
