@@ -315,6 +315,35 @@ def q_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @gate(
+    "group_exact_quartiles",
+    oracle="""
+    SELECT l_returnflag AS rflag,
+           percentile_cont(0.25) WITHIN GROUP (ORDER BY CAST(round(l_extendedprice*100) AS BIGINT)) AS p25,
+           percentile_cont(0.5)  WITHIN GROUP (ORDER BY CAST(round(l_extendedprice*100) AS BIGINT)) AS p50,
+           percentile_cont(0.75) WITHIN GROUP (ORDER BY CAST(round(l_extendedprice*100) AS BIGINT)) AS p75,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_group_exact_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group EXACT interpolated quartiles (percentile_cont WITHIN
+    GROUP) — the group-wise twin of the global exact_quantiles gate and
+    the exact form of the P7 IQR fit.  Inputs are integer cents, so the
+    linear interpolation (midpoint halves) is bit-identical across
+    engines.  At 100 TB the documented substitution is
+    percentile_approx per group (single-pass sketch, no per-group sort).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    c = _cents("l_extendedprice")
+    return li.groupBy(F.col("l_returnflag").alias("rflag")).agg(
+        F.percentile(c, F.lit(0.25)).alias("p25"),
+        F.percentile(c, F.lit(0.5)).alias("p50"),
+        F.percentile(c, F.lit(0.75)).alias("p75"),
+        F.count("*").cast("long").alias("n"),
+    )
+
+
+@gate(
     "width_bucket_histogram",
     oracle="""
     SELECT least(11, CAST(floor(CAST(round(o_totalprice*100) AS BIGINT)
