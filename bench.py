@@ -216,6 +216,10 @@ def main() -> None:
         "cooccurrence_pairs",
         "bigram_lm_score",
         "feature_hashing",
+        "customer_order_distribution",
+        "large_volume_orders",
+        "multi_count_distinct",
+        "group_exact_quartiles",
         "interval_join_counts",
         "connected_components",
         "dedup_exact",
