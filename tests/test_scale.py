@@ -180,3 +180,59 @@ def test_approx_aggregates_track_exact(spark, sf_dir):
     n = li.count()
     rank = li.filter(F.col("l_extendedprice") <= approx_q).count()
     assert abs(rank - n / 2) / n < 0.02
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """DPP: a selective dimension filter must prune FACT PARTITIONS at
+    runtime when joining on the partition column — at 100 TB this is the
+    difference between scanning one date partition and scanning the
+    table.  The executed plan carries a dynamicpruning expression inside
+    the fact scan's PartitionFilters."""
+    fact = spark.range(0, 20000).select(
+        (F.col("id") % 50).alias("pdate"), F.col("id").alias("v")
+    )
+    path = str(tmp_path / "dpp_fact")
+    fact.write.partitionBy("pdate").parquet(path)
+    fact_rd = spark.read.parquet(path)
+    dim = spark.range(0, 50).select(
+        F.col("id").alias("pdate"),
+        F.when(F.col("id") == 7, "keep").otherwise("drop").alias("tag"),
+    )
+    joined = fact_rd.join(dim.filter(F.col("tag") == "keep"), "pdate")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    assert joined.count() == 400
+
+
+def test_runtime_bloom_filter_pruning(spark):
+    """Runtime Bloom-filter injection: for a shuffle join with a selective
+    build side, Spark plants a bloom_filter_agg on the build side and a
+    might_contain probe on the stream side, cutting shuffle volume before
+    the join — the non-partition-column analog of DPP.  Verify the rewrite
+    fires (plan) and preserves the result (count)."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1B",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = spark.range(0, 200000).select(
+            (F.col("id") % 1000).alias("k"), F.col("id").alias("v")
+        )
+        dim = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") % 97).alias("attr")
+        )
+        joined = fact.join(dim.filter(F.col("attr") == 3), "k")
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan or "bloom" in plan.lower(), plan
+        assert joined.count() == 200 * 11
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
