@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from inferdb_spark.catalog import load_table
-from inferdb_spark.functions.hashing import MERSENNE_P, perm_params
+from inferdb_spark.functions.hashing import MERSENNE_P, duckdb_h52, perm_params
 from inferdb_spark.gate import gate
 from inferdb_spark.operators import dedup as DD
 from inferdb_spark.operators import similarity as SIM
@@ -509,3 +509,120 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_bigrams").cast("long").alias("n_bigrams"),
         F.col("score_unats").cast("long").alias("score_unats"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-prep extensions: chunking, mixture sampling, repetition filtering
+# ---------------------------------------------------------------------------
+
+_TOK_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+
+
+@gate(
+    "doc_chunking",
+    oracle="""
+    WITH st AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, greatest(1, length(text)), 150)) AS gs
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST((gs - 1) // 150 AS BIGINT) AS chunk_id,
+           CAST(gs AS BIGINT) AS start,
+           CAST(length(substring(text, gs, 200)) AS BIGINT) AS n_chars,
+           md5(substring(text, gs, 200)) AS chunk_md5
+    FROM st
+    """,
+)
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window chunking (200 chars, stride 150): sequence-of-starts →
+    posexplode → substring, fused with the scan (no shuffle).  Chunks are
+    compared by md5 so the gate payload stays small while pinning exact
+    window boundaries and overlap semantics."""
+    d = load_table(spark, sf_dir, "documents")
+    ch = TP.chunk_documents(d, "doc_id", "text", size=200, stride=150)
+    return ch.select(
+        "doc_id",
+        "chunk_id",
+        "start",
+        F.length("chunk").cast("long").alias("n_chars"),
+        F.md5("chunk").alias("chunk_md5"),
+    )
+
+
+@gate(
+    "mixture_sampling",
+    oracle=f"""
+    WITH rated AS (
+      SELECT source,
+             CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) * 53 % 1001
+                 AS rate_permille,
+             {duckdb_h52("'mix.' || CAST(doc_id AS VARCHAR)")} % 1000 AS h
+      FROM documents
+    )
+    SELECT source,
+           CAST(min(rate_permille) AS BIGINT) AS rate_permille,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN h < rate_permille THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept
+    FROM rated GROUP BY source
+    """,
+)
+def q_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mixture sampling across corpus sources (the training-mix
+    step: each source gets its own keep rate).  Deterministic hash
+    thresholding — no RNG, so re-runs, task retries, and the DuckDB twin
+    all select the identical subset.  Per-source rate derived from the
+    source id; selection is h52(doc) % 1000 < rate."""
+    from inferdb_spark.functions.hashing import h52
+
+    d = load_table(spark, sf_dir, "documents")
+    rate = (
+        F.regexp_extract("source", "([0-9]+)", 1).cast("long") * 53 % 1001
+    ).alias("rate_permille")
+    h = h52(F.concat(F.lit("mix."), F.col("doc_id").cast("string"))) % 1000
+    rated = d.select("source", rate, h.alias("h"))
+    return rated.groupBy("source").agg(
+        F.min("rate_permille").cast("long").alias("rate_permille"),
+        F.count("*").cast("long").alias("n_total"),
+        F.sum(F.when(F.col("h") < F.col("rate_permille"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+    )
+
+
+@gate(
+    "gopher_repetition",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             CASE WHEN length({_TOK_SQL}) = 0 THEN []
+                  ELSE string_split({_TOK_SQL}, ' ') END AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, t,
+             list_transform(range(1, greatest(length(t), 1)),
+                            i -> t[i] || ' ' || t[i+1]) AS g2
+      FROM tok
+    )
+    SELECT doc_id,
+           CAST(length(t) AS BIGINT) AS n_tokens,
+           CAST(round(CASE WHEN length(g2) > 0
+                THEN CAST(length(g2) - length(list_distinct(g2)) AS DOUBLE)
+                     / length(g2)
+                ELSE 0.0 END, 6) AS DOUBLE) AS dup_bigram_frac,
+           CAST(round(CASE WHEN length(t) > 0
+                THEN CAST(length(list_distinct(t)) AS DOUBLE) / length(t)
+                ELSE 0.0 END, 6) AS DOUBLE) AS distinct_ratio
+    FROM grams
+    """,
+)
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (Gopher/C4-style filters):
+    duplicate word-bigram fraction + distinct-token ratio per document.
+    One tokenize pass, array expressions only — fused into the scan."""
+    d = load_table(spark, sf_dir, "documents")
+    return TP.repetition_features(d, "doc_id", "text")

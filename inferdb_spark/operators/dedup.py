@@ -97,6 +97,86 @@ def minhash_signature(
     return F.aggregate(hs, init, merge)
 
 
+def lsh_band_relation(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 4,
+    mode: str = "char",
+    seed: int = 42,
+    hash_fn: str = "md5",
+    parallelism: int | None = None,
+) -> DataFrame:
+    """(id, band_id, band_key) — the persistable LSH state: tiny strings,
+    O(rows × bands), independent of document length.  Persist this
+    relation to dedup future batches against the corpus WITHOUT
+    re-hashing history (see incremental_lsh_candidates)."""
+    assert n_hashes % bands == 0
+    rpb = n_hashes // bands
+    if parallelism:
+        df = df.repartition(parallelism)
+    sig = df.select(
+        F.col(id_col),
+        minhash_signature(
+            F.col(text_col), n_hashes, shingle_n, mode, seed, hash_fn
+        ).alias("sig"),
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws(
+                    ".", *[F.element_at("sig", b * rpb + r + 1).cast("string") for r in range(rpb)]
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select(id_col, F.explode(band_structs).alias("b")).select(
+        id_col, F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key")
+    )
+
+
+def incremental_lsh_candidates(
+    new_bands: DataFrame, corpus_bands: DataFrame, id_col: str
+) -> DataFrame:
+    """Candidate near-duplicate pairs for a NEW batch against an existing
+    corpus: new×new (self join) plus new×corpus — history is probed via
+    its persisted band relation only (documents are never re-hashed and
+    never shuffle).  Incremental-ingest twin of minhash_lsh_pairs: at
+    steady state each batch costs O(batch) signatures + an equi-join of
+    the batch's bands against the (bucketable) corpus band store.
+    Assumes batch ids are disjoint from corpus ids (pairs are returned
+    id_a < id_b either way).
+    """
+    a = new_bands.alias("a")
+    b = new_bands.alias("b")
+    new_new = a.join(
+        b,
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+    )
+    c = corpus_bands.alias("c")
+    new_old = (
+        a.join(
+            c,
+            (F.col("a.band_id") == F.col("c.band_id"))
+            & (F.col("a.band_key") == F.col("c.band_key"))
+            & (F.col(f"a.{id_col}") != F.col(f"c.{id_col}")),
+        )
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"c.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"c.{id_col}")).alias("id_b"),
+        )
+    )
+    return new_new.unionByName(new_old).distinct()
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -122,29 +202,9 @@ def minhash_lsh_pairs(
     for large inputs that already carry enough partitions — the extra
     shuffle would cost more than it buys.
     """
-    assert n_hashes % bands == 0
-    rpb = n_hashes // bands
-    if parallelism:
-        df = df.repartition(parallelism)
-    sig = df.select(
-        F.col(id_col),
-        minhash_signature(
-            F.col(text_col), n_hashes, shingle_n, mode, seed, hash_fn
-        ).alias("sig"),
-    )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.concat_ws(
-                    ".", *[F.element_at("sig", b * rpb + r + 1).cast("string") for r in range(rpb)]
-                ).alias("band_key"),
-            )
-            for b in range(bands)
-        ]
-    )
-    bands_df = sig.select(id_col, F.explode(band_structs).alias("b")).select(
-        id_col, F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key")
+    bands_df = lsh_band_relation(
+        df, id_col, text_col, n_hashes, bands, shingle_n, mode, seed,
+        hash_fn, parallelism,
     )
     a = bands_df.alias("a")
     bdf = bands_df.alias("b")

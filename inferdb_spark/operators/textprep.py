@@ -295,3 +295,76 @@ def bigram_logprob_score(
         F.count("*").alias("n_bigrams"),
         F.sum("lp_unats").alias("score_unats"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 512,
+    stride: int = 384,
+) -> DataFrame:
+    """Split each document into fixed-size character windows every
+    `stride` chars (overlap = size - stride) — the context-window
+    chunking step of a training-data pipeline (long doc → model-sized
+    pieces).  Pure generator expression: sequence of window starts →
+    posexplode → substring; the text never leaves the JVM and chunking
+    parallelizes with the scan (no shuffle).  Empty docs yield one empty
+    chunk (start=1) so no document silently disappears.
+
+    The reference has no long-text handling (flat numeric rows,
+    /root/reference/src/transpiler.py:379-433); this extends the engine
+    for corpus-scale text work.
+    """
+    assert stride >= 1 and size >= 1
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.lit(1), F.length(F.col(text_col))),
+        F.lit(stride),
+    )
+    return df.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.posexplode(starts).alias("chunk_id", "start"),
+    ).select(
+        F.col(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("start").cast("long").alias("start"),
+        F.col(text_col).substr(F.col("start"), F.lit(size)).alias("chunk"),
+    )
+
+
+def repetition_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate word-bigram
+    fraction and distinct-token ratio.  Repetitive machine-generated or
+    boilerplate text scores high dup_bigram_frac / low distinct_ratio and
+    gets filtered before training.  All array expressions (tokenize once,
+    ngrams + distinct JVM-side) — no shuffle, no UDF.
+    """
+    from inferdb_spark.functions.text import word_ngrams
+
+    t = tokens(F.col(text_col))
+    out = df.select(
+        F.col(id_col),
+        t.alias("t"),
+        word_ngrams(F.col(text_col), 2).alias("g2"),
+    )
+    n_tok = F.size("t")
+    n_g = F.size("g2")
+    d_g = F.size(F.array_distinct("g2"))
+    return out.select(
+        F.col(id_col),
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(
+            F.when(n_g > 0, (n_g - d_g).cast("double") / n_g).otherwise(0.0), 6
+        ).cast("double").alias("dup_bigram_frac"),
+        F.round(
+            F.when(
+                n_tok > 0,
+                F.size(F.array_distinct("t")).cast("double") / n_tok,
+            ).otherwise(0.0),
+            6,
+        ).cast("double").alias("distinct_ratio"),
+    )

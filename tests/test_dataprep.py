@@ -228,3 +228,71 @@ def test_bigram_counts_empty_and_single_token(spark):
     )
     bg, ug, v = bigram_counts(df)
     assert bg.count() == 1 and v == 3  # only doc 3 yields a bigram
+
+
+def test_incremental_lsh_matches_full_rebuild(spark):
+    """Incremental candidates (new batch probed against the persisted band
+    relation) must equal the full-corpus LSH pairs restricted to pairs
+    touching the new batch — the invariant that lets a 100 TB corpus
+    dedup new data without re-hashing history."""
+    from inferdb_spark.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    kw = dict(n_hashes=16, bands=4, shingle_n=4)
+
+    full = {
+        (r.id_a, r.id_b)
+        for r in DD.minhash_lsh_pairs(docs, "doc_id", "text", **kw).collect()
+    }
+    new_ids = {r.doc_id for r in batch.select("doc_id").collect()}
+    expected = {p for p in full if p[0] in new_ids or p[1] in new_ids}
+
+    corpus_bands = DD.lsh_band_relation(corpus, "doc_id", "text", **kw)
+    new_bands = DD.lsh_band_relation(batch, "doc_id", "text", **kw)
+    got = {
+        (r.id_a, r.id_b)
+        for r in DD.incremental_lsh_candidates(
+            new_bands, corpus_bands, "doc_id"
+        ).collect()
+    }
+    assert got == expected
+    assert expected, "fixture must produce at least one cross/new pair"
+
+
+def test_chunk_documents_boundaries(spark):
+    """Window boundaries: full coverage, exact overlap, empty doc kept."""
+    rows = [(1, "abcdefghij"), (2, ""), (3, "xyz")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r.doc_id, r.chunk_id): (r.start, r.chunk)
+        for r in TP.chunk_documents(df, size=4, stride=3).collect()
+    }
+    assert out[(1, 0)] == (1, "abcd")
+    assert out[(1, 1)] == (4, "defg")
+    assert out[(1, 2)] == (7, "ghij")
+    assert out[(1, 3)] == (10, "j")
+    assert out[(2, 0)] == (1, "")
+    assert out[(3, 0)] == (1, "xyz")
+    # reconstruction: stride-prefix concatenation re-yields the document
+    doc1 = "".join(
+        chunk[:3] if (1, i + 1) in out else chunk
+        for (d, i), (_, chunk) in sorted(out.items())
+        if d == 1
+    )
+    assert doc1 == "abcdefghij"
+
+
+def test_repetition_features_flags_loops(spark):
+    """A looping document must score high dup_bigram_frac; natural text low."""
+    rows = [
+        (1, "spam ham " * 30),
+        (2, "the quick brown fox jumps over a lazy dog near the river bank"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in TP.repetition_features(df).collect()}
+    assert out[1].dup_bigram_frac > 0.9 and out[1].distinct_ratio < 0.1
+    assert out[2].dup_bigram_frac < 0.1 and out[2].distinct_ratio > 0.9
