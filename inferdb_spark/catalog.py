@@ -32,10 +32,21 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # nanos-since-epoch long -> TimestampType (truncate to micros, the
-        # same instant DuckDB reports for TIMESTAMP_NS at micro precision)
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # nanos-since-epoch long -> TimestampType (truncate to micros,
+            # the same instant DuckDB reports for TIMESTAMP_NS at micro
+            # precision)
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        elif ts_type == "timestamp_ntz":
+            # parquet timestamp[us] with isAdjustedToUTC=false reads as
+            # TIMESTAMP_NTZ; watermarks and unix_micros need TimestampType.
+            # Session timezone is pinned to UTC (session.py), so the cast
+            # keeps the same instant DuckDB sees for the naive timestamp.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

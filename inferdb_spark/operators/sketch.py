@@ -1,0 +1,152 @@
+"""Mergeable distinct-count sketches (KMV / k-minimum-values).
+
+The reference computes exact `COUNT(DISTINCT ...)` everywhere (e.g. the
+index-size accounting in `src/optimizer.py:225-231` counts distinct
+compound keys exactly).  At 100 TB an exact global distinct is a full
+shuffle of every distinct value; the standard scale substitute is a
+mergeable sketch.  Spark ships HLL (`approx_count_distinct`) but its
+register layout is engine-internal — it cannot be hash-compared against an
+independent oracle, and its partials cannot be stored as plain columns.
+
+KMV is the oracle-friendly alternative: keep the k smallest values of a
+deterministic uniform hash (functions/hashing.h52, md5-derived, portable to
+any engine).  Properties that matter at cluster scale:
+
+- **partials are plain relations** (`group_cols, kmv array<bigint>`): they
+  can be written to parquet per partition/day/source and re-merged later
+  without touching the base data — the incremental-rollup pattern;
+- **merge is associative + idempotent**: min-k of a union of min-k sets ==
+  min-k of the union, so partial granularity is free to choose;
+- **estimate is deterministic**: (k-1) * 2^52 / kth_min_hash, pure integer
+  inputs into one IEEE division — bit-identical across engines, unlike HLL
+  whose estimate depends on register encoding;
+- groups with fewer than k distinct hashes are EXACT (the sketch holds all
+  of them).
+
+Plan shape: one shuffle for the per-group distinct-hash dedup, one narrow
+rank-filter per group.  No Python, no UDAF — `row_number` + `collect_list`
+only, all whole-stage-codegen'd except the final small aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from inferdb_spark.functions.hashing import h52
+
+# h52 is uniform over [0, 16^13) = [0, 2^52)
+H52_SPACE = 1 << 52
+
+
+def kmv_sketch(
+    df: DataFrame, group_cols: list[str], value_col: Column, k: int
+) -> DataFrame:
+    """Per-group KMV sketch: the k smallest distinct h52(value) hashes.
+
+    Returns `group_cols + (kmv array<bigint>, n_kept bigint)`.  The
+    distinct() is the only wide dependency on the input size; the
+    rank-filter shuffles only the (already deduplicated) hash relation.
+    """
+    dh = df.select(*group_cols, h52(value_col).alias("h")).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        dh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .groupBy(*group_cols)
+        .agg(
+            F.sort_array(F.collect_list("h")).alias("kmv"),
+            F.count("*").alias("n_kept"),
+        )
+    )
+
+
+def kmv_merge(sketches: DataFrame, group_cols: list[str], k: int) -> DataFrame:
+    """Merge partial sketches (finer grouping) up to `group_cols`.
+
+    Explode → distinct → re-rank-filter: exactly the build-side plan but
+    over the tiny sketch relation, never the base data.  Associative and
+    idempotent, so partials may be merged in any order / any number of
+    times — safe under task retry and speculative execution.
+    """
+    ex = sketches.select(*group_cols, F.explode("kmv").alias("h")).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        ex.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .groupBy(*group_cols)
+        .agg(
+            F.sort_array(F.collect_list("h")).alias("kmv"),
+            F.count("*").alias("n_kept"),
+        )
+    )
+
+
+def kmv_estimate(sketches: DataFrame, k: int) -> DataFrame:
+    """Distinct-count estimate column from a sketch relation.
+
+    n_kept < k  → the group had fewer than k distinct hashes: exact.
+    n_kept == k → (k-1) * 2^52 / kth_min  (classic KMV estimator).
+
+    (k-1)*2^52 and the kth hash are both exact in double precision
+    (< 2^59 with ≤ 6 significant bits × 2^52), so the single division is
+    correctly rounded and engine-portable; rounded to 4dp for the gate.
+    """
+    kth = F.element_at("kmv", k).cast("double")
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(F.round(F.lit(float((k - 1) * H52_SPACE)) / kth, 4))
+    return sketches.withColumn("est_distinct", est).withColumn(
+        "kth_hash", F.when(F.col("n_kept") >= k, F.element_at("kmv", k)).otherwise(F.lit(None).cast("long"))
+    )
+
+
+def kmv_pairwise_overlap(sketches: DataFrame, key_col: str, k: int) -> DataFrame:
+    """Set algebra over sketches: union / intersection / Jaccard estimates
+    for every key pair, from the sketch relation ALONE.
+
+    The k smallest hashes of A ∪ B are a uniform sample of the union, and
+    any union-sample member h ∈ A iff h appears in A's sketch (h is below
+    the union's kth minimum ≤ A's kth minimum).  So per pair:
+
+      u        = k smallest of (kmv_a ∪ kmv_b)
+      n_both   = |{h ∈ u : h ∈ kmv_a ∧ h ∈ kmv_b}|
+      J        = n_both / |u|              (exact when |u| < k)
+      |A ∪ B|  = KMV estimate on u
+      |A ∩ B|  = J · |A ∪ B|
+
+    Pure array expressions over the tiny sketch relation — the 100 TB
+    base data is never re-read to answer "how much do sources overlap",
+    which is the cross-source contamination / mixture-planning question.
+    """
+    a, b = sketches.alias("a"), sketches.alias("b")
+    ka, kb = F.col("a.kmv"), F.col("b.kmv")
+    pairs = a.join(b, F.col(f"a.{key_col}") < F.col(f"b.{key_col}")).select(
+        F.col(f"a.{key_col}").alias(f"{key_col}_a"),
+        F.col(f"b.{key_col}").alias(f"{key_col}_b"),
+        F.slice(F.array_sort(F.array_distinct(F.concat(ka, kb))), 1, k).alias("u"),
+        ka.alias("ka"),
+        kb.alias("kb"),
+    )
+
+    def in_both(h: Column) -> Column:
+        return F.array_contains(F.col("ka"), h) & F.array_contains(F.col("kb"), h)
+
+    n_u = F.size("u")
+    n_both = F.size(F.filter(F.col("u"), in_both)).cast("long")
+    union_raw = F.when(n_u < k, n_u.cast("double")).otherwise(
+        F.lit(float((k - 1) * H52_SPACE)) / F.element_at("u", k).cast("double")
+    )
+    jacc_raw = n_both.cast("double") / n_u.cast("double")
+    return pairs.select(
+        f"{key_col}_a",
+        f"{key_col}_b",
+        n_u.cast("long").alias("n_union_kept"),
+        n_both.alias("n_both"),
+        F.round(union_raw, 4).alias("union_est"),
+        F.round(jacc_raw, 6).alias("jaccard_est"),
+        F.round(n_both.cast("double") * union_raw / n_u.cast("double"), 4).alias(
+            "intersect_est"
+        ),
+    )
