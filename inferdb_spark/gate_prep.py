@@ -626,3 +626,161 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     One tokenize pass, array expressions only — fused into the scan."""
     d = load_table(spark, sf_dir, "documents")
     return TP.repetition_features(d, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Train/eval decontamination (n-gram overlap)
+# ---------------------------------------------------------------------------
+
+DECON_N = 5
+DECON_MIN_SHARED = 3
+
+
+def _d_word_gram_hashes(tok_expr: str, n: int) -> str:
+    """DuckDB fragment: list of h52 hashes of word n-grams over a token list."""
+    gram = f"array_to_string({tok_expr}[i:i+{n - 1}], ' ')"
+    return (
+        f"list_transform(range(1, greatest(length({tok_expr}) - {n - 2}, 1)),"
+        f" i -> {duckdb_h52(gram)})"
+    )
+
+
+@gate(
+    "eval_decontamination",
+    oracle=f"""
+    WITH ev AS (
+      SELECT doc_id AS eval_id, substr(text, 21, 100) AS text
+      FROM documents WHERE doc_id % 13 = 0
+    ),
+    evt AS (SELECT eval_id, {_d_tokens('text')} AS t FROM ev),
+    evg AS (
+      SELECT DISTINCT eval_id, gh FROM (
+        SELECT eval_id, unnest({_d_word_gram_hashes('t', DECON_N)}) AS gh FROM evt
+      )
+    ),
+    ct AS (SELECT doc_id, {_d_tokens('text')} AS t FROM documents),
+    cg AS (
+      SELECT DISTINCT doc_id, gh FROM (
+        SELECT doc_id, unnest({_d_word_gram_hashes('t', DECON_N)}) AS gh FROM ct
+      )
+    )
+    SELECT doc_id, eval_id, CAST(count(*) AS BIGINT) AS n_shared
+    FROM cg JOIN evg USING (gh)
+    GROUP BY doc_id, eval_id
+    HAVING count(*) >= {DECON_MIN_SHARED}
+    """,
+)
+def q_eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination pairs: corpus docs sharing >= 3 word
+    5-grams with a (synthetic) eval suite carved out of the corpus.
+
+    The eval suite is substrings of every 13th document, so the oracle has
+    guaranteed true positives; the corpus side is the scan that partitions
+    the work, the eval postings broadcast (fixed benchmark suites are
+    small).  See textprep.ngram_overlap for the 100 TB plan shape.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 13 == 0).select(
+        F.col("doc_id").alias("eval_id"),
+        F.substring("text", 21, 100).alias("text"),
+    )
+    return TP.ngram_overlap(
+        d, ev, n=DECON_N, min_shared=DECON_MIN_SHARED
+    ).select("doc_id", "eval_id", "n_shared")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic exact-k per-group sample (reservoir analog)
+# ---------------------------------------------------------------------------
+
+SAMPLE_K = 8
+
+
+@gate(
+    "reservoir_group_sample",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY {duckdb_h52("CAST(doc_id AS VARCHAR)")}, doc_id
+             ) AS sample_rank
+      FROM documents
+    )
+    SELECT lang, doc_id, CAST(sample_rank AS BIGINT) AS sample_rank
+    FROM ranked WHERE sample_rank <= {SAMPLE_K}
+    """,
+)
+def q_reservoir_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k uniform sample per group, deterministic: rank by the
+    portable h52 of the row key and keep the k smallest — the reservoir-
+    sampling twin that is retry-safe and engine-portable (a true
+    random reservoir is neither).  Complements gate:stratified_sample
+    (hash-threshold Bernoulli, approximate k) with exact cardinality;
+    the rank shuffle carries only (group, key, hash).
+    """
+    from inferdb_spark.functions.hashing import h52
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        h52(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("lang", "doc_id")
+        .withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= SAMPLE_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate n-gram detection (document-frequency heavy hitters)
+# ---------------------------------------------------------------------------
+
+BOILER_N = 3
+BOILER_MIN_DF = 5
+BOILER_TOPN = 20
+
+
+@gate(
+    "boilerplate_ngrams",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_d_tokens('text')} AS t FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, greatest(length(t) - {BOILER_N - 2}, 1)),
+                 i -> array_to_string(t[i:i+{BOILER_N - 1}], ' '))) AS g
+        FROM tok
+      )
+    )
+    SELECT g AS gram, CAST(count(*) AS BIGINT) AS df
+    FROM grams GROUP BY g HAVING count(*) >= {BOILER_MIN_DF}
+    ORDER BY df DESC, gram ASC LIMIT {BOILER_TOPN}
+    """,
+)
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top repeated word trigrams by document frequency — the boilerplate/
+    template detector (licence headers, nav bars) run before dedup in a
+    corpus pipeline.  Distinct-per-doc postings then a two-phase count —
+    the same partial-aggregate shape as the vocab build, with an integer
+    (df desc, gram asc) total order for the top-k.
+    """
+    from inferdb_spark.functions.text import word_ngrams
+
+    d = load_table(spark, sf_dir, "documents")
+    # array_distinct makes (doc_id, gram) unique per row already — no
+    # dedup shuffle needed before the df count
+    grams = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_ngrams(F.col("text"), BOILER_N))).alias(
+            "gram"
+        ),
+    )
+    df_counts = (
+        grams.groupBy("gram")
+        .agg(F.count("*").cast("long").alias("df"))
+        .filter(F.col("df") >= BOILER_MIN_DF)
+    )
+    return df_counts.orderBy(F.desc("df"), F.asc("gram")).limit(BOILER_TOPN)

@@ -368,3 +368,75 @@ def repetition_features(
             6,
         ).cast("double").alias("distinct_ratio"),
     )
+
+
+def ngram_hash_postings(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """Distinct (id, gram_hash) posting relation of word n-grams.
+
+    The join key is the 52-bit portable hash of the n-gram string
+    (functions/hashing.h52), so downstream joins shuffle compact BIGINTs
+    instead of n-word strings — at 100 TB the shuffle payload per posting
+    is 8 bytes, not ~n*8 characters.
+    """
+    from inferdb_spark.functions.hashing import h52
+    from inferdb_spark.functions.text import word_ngrams
+
+    return (
+        df.select(
+            F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("g")
+        )
+        .select(F.col(id_col), h52(F.col("g")).alias("gh"))
+        .distinct()
+    )
+
+
+def ngram_overlap(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    n: int = 5,
+    min_shared: int = 1,
+    corpus_id: str = "doc_id",
+    eval_id: str = "eval_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train/eval contamination pairs by shared word n-grams.
+
+    The benchmark-decontamination operator the big-corpus pipelines run
+    before training (n-gram collision against every eval suite): corpus
+    postings are the 100 TB side and partition the shuffle; the eval side
+    is a fixed benchmark suite — small — and BROADCASTS onto it, so the
+    full-corpus scan is one map-side join + one (doc, eval) count
+    aggregation.  Returns (corpus_id, eval_id, n_shared) with
+    n_shared >= min_shared.
+
+    The reference has no corpus tooling (its datasets are pre-split,
+    e.g. `experiments/standalone/credit_card_new_pipeline.py:30`); this
+    extends its train/test-split hygiene to corpus scale.
+    """
+    cg = ngram_hash_postings(corpus, corpus_id, text_col, n)
+    eg = ngram_hash_postings(eval_df, eval_id, text_col, n)
+    pairs = (
+        cg.join(F.broadcast(eg), "gh")
+        .groupBy(corpus_id, eval_id)
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    return pairs.filter(F.col("n_shared") >= min_shared)
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    n: int = 5,
+    min_shared: int = 1,
+    corpus_id: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus with contaminated docs removed (left_anti against the
+    overlap pair relation).  The keep-side twin of ngram_overlap."""
+    hits = ngram_overlap(
+        corpus, eval_df, n=n, min_shared=min_shared,
+        corpus_id=corpus_id, text_col=text_col,
+    ).select(corpus_id).distinct()
+    return corpus.join(hits, corpus_id, "left_anti")

@@ -127,6 +127,22 @@ def main() -> int:
         ("two-phase hash aggregation, no shuffle before partial agg",
          lambda p: p.count("HashAggregate") >= 2),
     ])
+    audit("eval_decontamination", [
+        ("eval postings broadcast onto the corpus scan (no fact-fact SMJ)",
+         lambda p: "BroadcastHashJoin" in p and "SortMergeJoin" not in p),
+    ])
+    audit("bm25_ranked_retrieval", [
+        ("idf/corpus stats broadcast; top-k is TakeOrderedAndProject",
+         lambda p: "BroadcastHashJoin" in p and "TakeOrderedAndProject" in p),
+    ])
+    audit("kmv_pairwise_overlap", [
+        ("pairwise set algebra over the tiny sketch relation broadcasts",
+         lambda p: "BroadcastNestedLoopJoin" in p and "SortMergeJoin" not in p),
+    ])
+    audit("boilerplate_ngrams", [
+        ("two-phase df count (map-side partial), top-k without global sort",
+         lambda p: p.count("HashAggregate") >= 2 and "TakeOrderedAndProject" in p),
+    ])
     audit("funnel_stages", [
         ("three chained windows share ONE user shuffle (2nd exchange is the "
          "4-row stage rollup)",
