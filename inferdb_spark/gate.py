@@ -59,6 +59,7 @@ def _ensure_registered() -> None:
         "inferdb_spark.gate_knn",
         "inferdb_spark.gate_trees",
         "inferdb_spark.gate_dss",
+        "inferdb_spark.gate_dss2",
         "inferdb_spark.gate_sketch",
     ):
         try:

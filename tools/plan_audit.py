@@ -127,6 +127,24 @@ def main() -> int:
         ("two-phase hash aggregation, no shuffle before partial agg",
          lambda p: p.count("HashAggregate") >= 2),
     ])
+    audit("q3_shipping_priority", [
+        ("top-10 after agg is TakeOrderedAndProject (no global sort)",
+         lambda p: "TakeOrderedAndProject" in p),
+        ("date predicates pushed to both fact scans",
+         lambda p: p.count("PushedFilters: [IsNotNull") >= 2),
+    ])
+    audit("q15_top_supplier", [
+        ("revenue view computed once (ReusedExchange for max + join-back)",
+         lambda p: "ReusedExchange" in p or "InMemoryTableScan" in p),
+    ])
+    audit("q17_small_quantity_revenue", [
+        ("per-part stats broadcast back (no SMJ on the lines side)",
+         lambda p: "BroadcastHashJoin" in p and "SortMergeJoin" not in p),
+    ])
+    audit("q21_waiting_suppliers", [
+        ("EXISTS/NOT EXISTS are semi+anti hash joins, no nested loop",
+         lambda p: "LeftSemi" in p and "LeftAnti" in p and "NestedLoop" not in p),
+    ])
     audit("eval_decontamination", [
         ("eval postings broadcast onto the corpus scan (no fact-fact SMJ)",
          lambda p: "BroadcastHashJoin" in p and "SortMergeJoin" not in p),
