@@ -224,6 +224,11 @@ def main() -> None:
         "connected_components",
         "dedup_exact",
         "query_integration",
+        "q3_shipping_priority",
+        "q21_waiting_suppliers",
+        "bm25_ranked_retrieval",
+        "eval_decontamination",
+        "kmv_distinct_sketch",
     ]:
         if name in gq:
             fn = gq[name]

@@ -27,6 +27,9 @@ from inferdb_spark.gate import gate
 from inferdb_spark.gate_prep import _d_tokens, _d_word_gram_hashes
 from inferdb_spark.operators.sketch import (
     H52_SPACE,
+    hist_quantile_estimate,
+    hist_quantile_merge,
+    hist_quantile_sketch,
     kmv_estimate,
     kmv_merge,
     kmv_pairwise_overlap,
@@ -272,3 +275,77 @@ def q_kmv_pairwise_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = d.select("lang", F.explode(word_ngrams(F.col("text"), OVL_N)).alias("g"))
     sk = kmv_sketch(grams, ["lang"], F.col("g"), OVL_K)
     return kmv_pairwise_overlap(sk, "lang", OVL_K)
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch (mergeable approx percentiles)
+
+HQ_LO, HQ_HI, HQ_BINS = 0.0, 110000.0, 220
+HQ_W = (HQ_HI - HQ_LO) / HQ_BINS
+HQ_QS = [0.5, 0.9, 0.99]
+
+_HQ_ORACLE = f"""
+    WITH binned AS (
+      SELECT l_returnflag AS returnflag,
+             least(greatest(CAST(floor((l_extendedprice - {HQ_LO}) / {HQ_W}) AS BIGINT),
+                            0), {HQ_BINS - 1}) AS bin
+      FROM lineitem
+    ),
+    h AS (SELECT returnflag, bin, count(*) AS cnt FROM binned GROUP BY returnflag, bin),
+    c AS (
+      SELECT returnflag, bin, cnt,
+             sum(cnt) OVER (PARTITION BY returnflag ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(cnt) OVER (PARTITION BY returnflag) AS total
+      FROM h
+    ),
+    j AS (
+      SELECT c.*, q, CAST(ceil(q * CAST(total AS DOUBLE)) AS BIGINT) AS r
+      FROM c CROSS JOIN (SELECT unnest([{", ".join(str(q) for q in HQ_QS)}]) AS q)
+    )
+    SELECT returnflag, q,
+           round({HQ_LO} + (CAST(bin AS DOUBLE)
+                 + CAST(r - (cum - cnt) AS DOUBLE) / CAST(cnt AS DOUBLE))
+                 * {HQ_W}, 6) AS est
+    FROM j WHERE cum >= r AND (cum - cnt) < r
+"""
+
+
+@gate("hist_quantile_sketch", oracle=_HQ_ORACLE)
+def q_hist_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of extended price per return flag from a 220-bin
+    histogram sketch — the engine-portable `approx_percentile`/t-digest
+    twin (gate:exact_quantiles pins the exact path; this pins the scale
+    path).  Build is one map-side-combined shuffle to ≤ bins rows per
+    group; estimation is a window over the tiny sketch relation.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    sk = hist_quantile_sketch(
+        li, ["l_returnflag"], F.col("l_extendedprice"), HQ_LO, HQ_HI, HQ_BINS
+    )
+    return hist_quantile_estimate(
+        sk, ["l_returnflag"], HQ_QS, HQ_LO, HQ_HI, HQ_BINS
+    ).select(F.col("l_returnflag").alias("returnflag"), "q", "est")
+
+
+@gate("hist_quantile_merge", oracle=_HQ_ORACLE)
+def q_hist_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same estimates from per-(returnflag, linestatus) PARTIAL histograms
+    merged up to returnflag — additive merge is exact, so the rollup is
+    bit-identical to the direct sketch (the oracle is the direct
+    computation).  The incremental-ingest pattern: persist partials per
+    batch, merge on demand.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    partials = hist_quantile_sketch(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        F.col("l_extendedprice"),
+        HQ_LO,
+        HQ_HI,
+        HQ_BINS,
+    )
+    merged = hist_quantile_merge(partials, ["l_returnflag"])
+    return hist_quantile_estimate(
+        merged, ["l_returnflag"], HQ_QS, HQ_LO, HQ_HI, HQ_BINS
+    ).select(F.col("l_returnflag").alias("returnflag"), "q", "est")

@@ -150,3 +150,78 @@ def kmv_pairwise_overlap(sketches: DataFrame, key_col: str, k: int) -> DataFrame
             "intersect_est"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-boundary histogram quantile sketch (mergeable approx percentiles)
+
+
+def hist_quantile_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: Column,
+    lo: float,
+    hi: float,
+    n_bins: int,
+) -> DataFrame:
+    """Per-group equi-width histogram over [lo, hi): the mergeable quantile
+    sketch (t-digest / `approx_percentile` stand-in whose state is a plain
+    relation and whose estimate is engine-portable).
+
+    State = `group_cols + (bin bigint, cnt bigint)`, ≤ n_bins rows per
+    group regardless of input size.  Merge = additive union (groupBy sum —
+    associative, commutative), so per-partition/day/source partials roll
+    up without re-reading the base data.  Build is ONE shuffle with
+    map-side partial aggregation; error is bounded by one bin width.
+    Values outside [lo, hi) clamp into the edge bins.
+    """
+    w = (hi - lo) / n_bins
+    b = F.floor((value_col - F.lit(lo)) / F.lit(w)).cast("long")
+    b = F.least(F.greatest(b, F.lit(0)), F.lit(n_bins - 1))
+    return (
+        df.select(*group_cols, b.alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def hist_quantile_merge(sketches: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Roll partial histograms (finer grouping) up to `group_cols`:
+    a plain additive aggregation over the tiny sketch relation."""
+    return sketches.groupBy(*group_cols, "bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def hist_quantile_estimate(
+    sketches: DataFrame,
+    group_cols: list[str],
+    qs: list[float],
+    lo: float,
+    hi: float,
+    n_bins: int,
+) -> DataFrame:
+    """Quantile estimates from a histogram sketch relation.
+
+    For each q: target integer rank r = ceil(q·n); find the bin whose
+    cumulative count first reaches r; interpolate within the bin by
+    (r - cum_prev)/cnt.  Integer ranks + one fixed double expression
+    order make the estimate bit-portable across engines.  Output:
+    group_cols + (q, est) rows, rounded to 6dp.
+    """
+    w = (hi - lo) / n_bins
+    win = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = sketches.withColumn("cum", F.sum("cnt").over(win)).withColumn(
+        "total", F.sum("cnt").over(Window.partitionBy(*group_cols))
+    )
+    qdf = cum.sparkSession.createDataFrame([(float(q),) for q in qs], "q double")
+    j = cum.crossJoin(F.broadcast(qdf))
+    r = F.ceil(F.col("q") * F.col("total").cast("double")).cast("long")
+    hit = j.filter((F.col("cum") >= r) & ((F.col("cum") - F.col("cnt")) < r))
+    frac = (r - (F.col("cum") - F.col("cnt"))).cast("double") / F.col("cnt").cast(
+        "double"
+    )
+    est = F.lit(lo) + (F.col("bin").cast("double") + frac) * F.lit(w)
+    return hit.select(*group_cols, "q", F.round(est, 6).alias("est"))

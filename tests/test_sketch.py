@@ -98,3 +98,39 @@ def test_pairwise_overlap_estimates(docs, spark):
             # k=64 union sample: generous 4-sigma-ish windows
             assert abs(r["jaccard_est"] - true_j) < 0.35
             assert abs(r["union_est"] - true_u) / true_u < 0.6
+
+
+def test_hist_quantile_error_bound(spark, sf_dir):
+    # estimate within one bin width of the exact interpolated percentile
+    from inferdb_spark.operators.sketch import (
+        hist_quantile_estimate,
+        hist_quantile_merge,
+        hist_quantile_sketch,
+    )
+
+    lo, hi, bins = 0.0, 110000.0, 220
+    width = (hi - lo) / bins
+    li = load_table(spark, sf_dir, "lineitem").cache()
+    sk = hist_quantile_sketch(
+        li, ["l_returnflag"], F.col("l_extendedprice"), lo, hi, bins
+    )
+    est = hist_quantile_estimate(sk, ["l_returnflag"], [0.5, 0.9], lo, hi, bins)
+    exact = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
+    )
+    ex = {r["l_returnflag"]: r for r in exact.collect()}
+    rows = est.collect()
+    assert rows
+    for r in rows:
+        truth = ex[r["l_returnflag"]]["p50" if r["q"] == 0.5 else "p90"]
+        assert abs(r["est"] - truth) <= width + 1e-6
+
+    # additive merge of partials == direct build (same relation)
+    partials = hist_quantile_sketch(
+        li, ["l_returnflag", "l_linestatus"], F.col("l_extendedprice"), lo, hi, bins
+    )
+    merged = hist_quantile_merge(partials, ["l_returnflag"])
+    direct = {(r["l_returnflag"], r["bin"]): r["cnt"] for r in sk.collect()}
+    rolled = {(r["l_returnflag"], r["bin"]): r["cnt"] for r in merged.collect()}
+    assert direct == rolled
