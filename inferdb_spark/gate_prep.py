@@ -784,3 +784,65 @@ def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") >= BOILER_MIN_DF)
     )
     return df_counts.orderBy(F.desc("df"), F.asc("gram")).limit(BOILER_TOPN)
+
+
+# ---------------------------------------------------------------------------
+# Weighted priority sampling (Duffield–Lund–Thorup) — deterministic twin
+# ---------------------------------------------------------------------------
+
+PRIO_K = 6
+
+
+@gate(
+    "priority_weighted_sample",
+    oracle=f"""
+    WITH pr AS (
+      SELECT source, doc_id, n_chars,
+             CAST(n_chars AS DOUBLE) * {float(1 << 52)}
+               / CAST({duckdb_h52("CAST(doc_id AS VARCHAR)")} + 1 AS DOUBLE)
+               AS priority
+      FROM documents
+    ),
+    ranked AS (
+      SELECT source, doc_id, n_chars, priority,
+             row_number() OVER (
+               PARTITION BY source ORDER BY priority DESC, doc_id ASC
+             ) AS rn
+      FROM pr
+    )
+    SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           round(priority, 4) AS priority,
+           CAST(rn AS BIGINT) AS sample_rank
+    FROM ranked WHERE rn <= {PRIO_K}
+    """,
+)
+def q_priority_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample of k docs per source by PRIORITY SAMPLING
+    (Duffield–Lund–Thorup): priority = weight / u with u = (h52(key)+1)/2^52,
+    keep the k largest per group.  Inclusion probability tracks weight
+    (here n_chars — longer docs proportionally likelier), estimates of
+    weight sums stay unbiased via the threshold rule, and the whole design
+    is DETERMINISTIC: u comes from the portable hash, priority is one IEEE
+    multiply + divide (no transcendentals), so resamples are reproducible
+    across engines and retries.  Same rank-shuffle shape as
+    gate:reservoir_group_sample (the unweighted special case).
+    """
+    from inferdb_spark.functions.hashing import h52
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    u_inv = (h52(F.col("doc_id").cast("string")) + 1).cast("double")
+    pr = d.select(
+        "source",
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        (F.col("n_chars").cast("double") * F.lit(float(1 << 52)) / u_inv).alias(
+            "priority"
+        ),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("priority"), F.asc("doc_id"))
+    return (
+        pr.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= PRIO_K)
+        .withColumn("priority", F.round("priority", 4))
+    )

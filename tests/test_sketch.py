@@ -134,3 +134,56 @@ def test_hist_quantile_error_bound(spark, sf_dir):
     direct = {(r["l_returnflag"], r["bin"]): r["cnt"] for r in sk.collect()}
     rolled = {(r["l_returnflag"], r["bin"]): r["cnt"] for r in merged.collect()}
     assert direct == rolled
+
+
+def test_streaming_hist_sketch_matches_batch(spark):
+    # the histogram sketch build is a plain streaming aggregation: the
+    # incrementally-maintained state equals the batch rebuild bit-for-bit
+    import shutil, tempfile
+    from inferdb_spark.operators.sketch import hist_quantile_sketch
+    from inferdb_spark.streaming import scoring_stream as SS
+
+    tmp = tempfile.mkdtemp(prefix="inferdb_sk_stream_")
+    try:
+        rows = [(i % 7, float((i * 37) % 1000)) for i in range(500)]
+        batch = spark.createDataFrame(rows, "g int, v double")
+        batch.coalesce(4).write.mode("overwrite").parquet(tmp)
+        stream = SS.stream_from_parquet_dir(spark, tmp, batch.schema, 2)
+        sk = hist_quantile_sketch(stream, ["g"], F.col("v"), 0.0, 1000.0, 50)
+        q = (
+            sk.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("sk_stream_out")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {
+            (r["g"], r["bin"]): r["cnt"]
+            for r in spark.sql("select * from sk_stream_out").collect()
+        }
+        want = {
+            (r["g"], r["bin"]): r["cnt"]
+            for r in hist_quantile_sketch(
+                batch, ["g"], F.col("v"), 0.0, 1000.0, 50
+            ).collect()
+        }
+        assert got == want
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_kmv_incremental_merge_chain(docs, spark):
+    # uneven ingest batches merged one at a time (the foreachBatch
+    # accumulate pattern) converge to the direct sketch exactly
+    from inferdb_spark.operators.sketch import kmv_merge, kmv_sketch
+
+    batches = [
+        docs.filter(F.col("doc_id") % 3 == i) for i in range(3)
+    ]
+    state = kmv_sketch(batches[0], ["lang"], F.col("text"), K)
+    for b in batches[1:]:
+        part = kmv_sketch(b, ["lang"], F.col("text"), K)
+        state = kmv_merge(state.unionByName(part), ["lang"], K)
+    direct = kmv_sketch(docs, ["lang"], F.col("text"), K)
+    assert _rows(state) == _rows(direct)
