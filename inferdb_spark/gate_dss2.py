@@ -1,10 +1,11 @@
-"""Gate queries: the remaining TPC-H classic shapes (Q3/4/5/7/9/10/12/14/
-15/16/17/19/20/21), adapted to the synthetic schema (no partsupp /
+"""Gate queries: the remaining TPC-H classic shapes (Q3/4/5/6/7/8/9/10/12/
+14/15/16/17/19/20/21), adapted to the synthetic schema (no partsupp /
 commitdate / shipmode columns — substitutions documented per query).
 
-Together with gate_dss.py (Q1/2/11/13/18/22 shapes) this completes the
-canonical decision-support battery around the reference's
-query-integration benchmark (``sql_scripts/query_integration.sql:1-43``).
+Together with gate_dss.py (Q1/2/11/13/18/22 shapes) ALL 22 TPC-H query
+shapes are covered, completing the canonical decision-support battery
+around the reference's query-integration benchmark
+(``sql_scripts/query_integration.sql:1-43``).
 
 Determinism rules per CLAUDE.md: money as integer cents rounded per line
 BEFORE summing (BIGINT sums are exact and order-independent, double sums
@@ -792,4 +793,118 @@ def q_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("s_name").alias("name"), "numwait")
         .orderBy(F.desc("numwait"), F.asc("name"))
         .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q6 — forecasting revenue change (pure filtered aggregate)
+# ---------------------------------------------------------------------------
+
+
+@gate(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT))
+             AS BIGINT) AS revenue_cents,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: no joins at all — three pushed-down predicates and
+    one exact integer sum.  The whole query is scan + map-side partial
+    agg + a 1-row final agg; every predicate reaches the parquet reader
+    as a PushedFilter, so row groups outside the year/discount/quantity
+    bounds never decompress.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    )
+    disc_cents = F.round(
+        F.col("l_extendedprice") * F.col("l_discount") * F.lit(100.0)
+    ).cast("long")
+    return f.agg(
+        F.sum(disc_cents).cast("long").alias("revenue_cents"),
+        F.count("*").cast("long").alias("n_lines"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8 — national market share (conditional-sum ratio per year)
+# ---------------------------------------------------------------------------
+
+
+@gate(
+    "q8_market_share",
+    oracle=f"""
+    SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(sum(CASE WHEN sn.n_name = 'NATION_5' THEN {_REV_SQL} ELSE 0 END)
+             AS BIGINT) AS nation_cents,
+           CAST(sum({_REV_SQL}) AS BIGINT) AS total_cents,
+           round(CAST(sum(CASE WHEN sn.n_name = 'NATION_5' THEN {_REV_SQL}
+                               ELSE 0 END) AS DOUBLE)
+                 / CAST(sum({_REV_SQL}) AS DOUBLE), 6) AS mkt_share
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    JOIN region r ON cn.n_regionkey = r.r_regionkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+    GROUP BY year(o.o_orderdate)
+    """,
+)
+def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's market for a part
+    type, per year — the numerator is a CASE inside the SAME aggregate
+    pass as the denominator (no second scan, no self-join).  Customer
+    nation restricts via region; supplier nation feeds the share
+    condition through a second, independent path to the nation dim.
+    """
+    p, li, s, o, c, n, r = _t(
+        spark, sf_dir, "part", "lineitem", "supplier", "orders", "customer",
+        "nation", "region",
+    )
+    cn = (
+        n.join(
+            F.broadcast(r.filter(F.col("r_name") == "AMERICA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("cnk"))
+    )
+    sn = n.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))
+    pf = p.filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    j = (
+        li.join(F.broadcast(pf), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cnk"), "inner")
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("snk"))
+    )
+    is_nat = F.col("supp_nation") == "NATION_5"
+    agg = j.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.sum(F.when(is_nat, _rev_cents()).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("nation_cents"),
+        F.sum(_rev_cents()).cast("long").alias("total_cents"),
+    )
+    return agg.select(
+        F.col("o_year").cast("long"),
+        "nation_cents",
+        "total_cents",
+        F.round(
+            F.col("nation_cents").cast("double") / F.col("total_cents").cast("double"),
+            6,
+        ).alias("mkt_share"),
     )

@@ -133,6 +133,11 @@ def main() -> int:
         ("date predicates pushed to both fact scans",
          lambda p: p.count("PushedFilters: [IsNotNull") >= 2),
     ])
+    audit("q6_forecast_revenue", [
+        ("all three predicates pushed to the parquet scan, no join",
+         lambda p: "PushedFilters" in p and "GreaterThanOrEqual" in p
+         and "Join" not in p and p.count("HashAggregate") >= 2),
+    ])
     audit("q15_top_supplier", [
         ("revenue view computed once (ReusedExchange for max + join-back)",
          lambda p: "ReusedExchange" in p or "InMemoryTableScan" in p),
