@@ -61,6 +61,7 @@ def _ensure_registered() -> None:
         "inferdb_spark.gate_dss",
         "inferdb_spark.gate_dss2",
         "inferdb_spark.gate_sketch",
+        "inferdb_spark.gate_stats",
     ):
         try:
             importlib.import_module(mod)

@@ -1,0 +1,226 @@
+"""Gate queries: statistical-dependence measures (rank correlation,
+chi-squared independence, mutual information).
+
+The reference selects features by information value (`src/optimizer.py:
+73-104`); these gates pin the classic alternatives a warehouse feature-
+selection pass would run — each with the same cross-engine determinism
+engineering as the IV gate family:
+
+- per-cell / per-row terms are rounded to INTEGER micro-units BEFORE the
+  final sum (BIGINT sums are order-independent; double sums are not);
+- ranks come from a deterministic total order (value, then primary key),
+  so rank statistics are exact integers;
+- the single final division happens on already-exact integers with one
+  fixed expression order on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from inferdb_spark.catalog import load_table
+from inferdb_spark.gate import gate
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation (deterministic tie resolution)
+# ---------------------------------------------------------------------------
+
+
+@gate(
+    "spearman_rank_corr",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey AS ok,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    ranked AS (
+      SELECT row_number() OVER (ORDER BY qty, ok) AS rx,
+             row_number() OVER (ORDER BY rev_cents, ok) AS ry
+      FROM per_order
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2
+      FROM ranked
+    )
+    SELECT n, sum_d2,
+           round(1.0 - 6.0 * CAST(sum_d2 AS DOUBLE)
+                 / CAST(n * (n * n - 1) AS DOUBLE), 6) AS rho
+    FROM s
+    """,
+)
+def q_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of order quantity vs order revenue, via
+    the exact 6·Σd² identity over integer ranks.
+
+    Ranking needs a TOTAL order to be engine/retry-deterministic, and the
+    raw line relation cannot provide one (the fixture has fully duplicate
+    rows — as real ingests do).  So the statistic runs on the per-order
+    aggregate relation, whose key IS unique: ranks order by (value,
+    orderkey), making every rank an exact integer and Σd² an exact BIGINT
+    (overflow-safe to ~2M groups; beyond that, binned ranks from the
+    histogram sketch are the scale path).  One aggregation shuffle + two
+    rank passes over the much smaller per-order relation.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"),
+        F.sum(F.round(F.col("l_extendedprice") * F.lit(100.0)).cast("long"))
+        .cast("long")
+        .alias("rev_cents"),
+    )
+    ranked = per_order.select(
+        F.row_number().over(Window.orderBy("qty", "ok")).alias("rx"),
+        F.row_number().over(Window.orderBy("rev_cents", "ok")).alias("ry"),
+    )
+    d = (F.col("rx") - F.col("ry")).cast("long")
+    s = ranked.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(d * d).cast("long").alias("sum_d2"),
+    )
+    n = F.col("n")
+    return s.select(
+        "n",
+        "sum_d2",
+        F.round(
+            F.lit(1.0)
+            - F.lit(6.0)
+            * F.col("sum_d2").cast("double")
+            / (n * (n * n - 1)).cast("double"),
+            6,
+        ).alias("rho"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-squared independence + mutual information over one contingency table
+# ---------------------------------------------------------------------------
+
+_CONTINGENCY_SQL = """
+    obs AS (
+      SELECT l_returnflag AS a, l_linestatus AS b,
+             CAST(count(*) AS BIGINT) AS nab
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+    ),
+    marg AS (
+      SELECT a, b, nab,
+             sum(nab) OVER (PARTITION BY a) AS na,
+             sum(nab) OVER (PARTITION BY b) AS nb,
+             sum(nab) OVER () AS n
+      FROM obs
+    )
+"""
+
+
+@gate(
+    "chi2_independence",
+    oracle=f"""
+    WITH {_CONTINGENCY_SQL},
+    cells AS (
+      SELECT CAST(round(
+               (CAST(nab AS DOUBLE) - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+                / CAST(n AS DOUBLE))
+               * (CAST(nab AS DOUBLE) - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+                  / CAST(n AS DOUBLE))
+               / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / CAST(n AS DOUBLE))
+               * 1000000) AS BIGINT) AS term_micro
+      FROM marg
+    ),
+    dims AS (
+      SELECT CAST((count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS BIGINT)
+               AS dof
+      FROM obs
+    )
+    SELECT CAST(sum(term_micro) AS BIGINT) AS chi2_micro,
+           (SELECT dof FROM dims) AS dof,
+           CAST(count(*) AS BIGINT) AS n_cells
+    FROM cells
+    """,
+)
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared independence statistic for return flag × line status.
+
+    The χ² term of EACH cell is rounded to integer micro-units before the
+    sum — the cell sum is then an exact BIGINT addition, immune to the
+    float-accumulation order differences between engines (and between
+    Spark partition schedules).  One contingency aggregation (6 cells)
+    does all the work; marginals are windows over the tiny cell relation.
+    MADlib ships this as a feature-selection primitive; the reference's IV
+    (gate:woe_iv) is its supervised sibling.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = li.groupBy(
+        F.col("l_returnflag").alias("a"), F.col("l_linestatus").alias("b")
+    ).agg(F.count("*").cast("long").alias("nab"))
+    marg = (
+        obs.withColumn("na", F.sum("nab").over(Window.partitionBy("a")))
+        .withColumn("nb", F.sum("nab").over(Window.partitionBy("b")))
+        .withColumn("n", F.sum("nab").over(Window.partitionBy()))
+    )
+    exp = F.col("na").cast("double") * F.col("nb").cast("double") / F.col("n").cast(
+        "double"
+    )
+    diff = F.col("nab").cast("double") - exp
+    cells = marg.select(
+        F.round(diff * diff / exp * F.lit(1000000.0)).cast("long").alias("term_micro")
+    )
+    dof = obs.agg(
+        ((F.countDistinct("a") - 1) * (F.countDistinct("b") - 1))
+        .cast("long")
+        .alias("dof")
+    )
+    return cells.agg(
+        F.sum("term_micro").cast("long").alias("chi2_micro"),
+        F.count("*").cast("long").alias("n_cells"),
+    ).crossJoin(F.broadcast(dof)).select("chi2_micro", "dof", "n_cells")
+
+
+@gate(
+    "mutual_information",
+    oracle=f"""
+    WITH {_CONTINGENCY_SQL},
+    cells AS (
+      SELECT CAST(round(
+               CAST(nab AS DOUBLE) / CAST(n AS DOUBLE)
+               * ln(CAST(nab AS DOUBLE) * CAST(n AS DOUBLE)
+                    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))
+               * 1000000) AS BIGINT) AS mi_micro
+      FROM marg WHERE nab > 0
+    )
+    SELECT CAST(sum(mi_micro) AS BIGINT) AS mi_unats,
+           CAST(count(*) AS BIGINT) AS n_cells
+    FROM cells
+    """,
+)
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(return flag; line status) in integer
+    micro-nats — the information-theoretic dependence measure behind
+    feature selection (the IV greedy search's unsupervised sibling) and
+    token-association mining (gate:cooccurrence_pmi is its pointwise
+    per-cell term).  Same contingency relation as chi2_independence; one
+    ln per CELL (not per row), rounded to micro-nats before the exact
+    integer sum.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = li.groupBy(
+        F.col("l_returnflag").alias("a"), F.col("l_linestatus").alias("b")
+    ).agg(F.count("*").cast("long").alias("nab"))
+    marg = (
+        obs.withColumn("na", F.sum("nab").over(Window.partitionBy("a")))
+        .withColumn("nb", F.sum("nab").over(Window.partitionBy("b")))
+        .withColumn("n", F.sum("nab").over(Window.partitionBy()))
+    )
+    nab, na, nb, n = (F.col(c).cast("double") for c in ("nab", "na", "nb", "n"))
+    cells = marg.filter(F.col("nab") > 0).select(
+        F.round(nab / n * F.log(nab * n / (na * nb)) * F.lit(1000000.0))
+        .cast("long")
+        .alias("mi_micro")
+    )
+    return cells.agg(
+        F.sum("mi_micro").cast("long").alias("mi_unats"),
+        F.count("*").cast("long").alias("n_cells"),
+    )
