@@ -4,6 +4,8 @@ from the engine, chained the way a 100 TB corpus build would run.
     ingest -> profile (quality gate) -> exact dedup -> near-dedup
     (MinHash LSH pairs -> connected components -> canonical docs)
     -> language filter -> quality filter -> fluency filter (bigram LM)
+    -> eval-suite decontamination (word-5-gram overlap)
+    -> weighted priority sample (deterministic, k per source)
     -> tokenize + vocab + hashed features -> deterministic split
     -> supervised index fit + score (the InferDB path)
 
@@ -91,12 +93,41 @@ def main() -> None:
     )
     stage("fluency-filter", fluent, "bigram-LM micro-nats above p10")
 
-    vocab = build_vocab(fluent, min_count=2)
-    feats = hash_features(fluent, dim=256)
+    # decontaminate against a (synthetic) eval suite before any sampling
+    from inferdb_spark.operators.textprep import decontaminate
+
+    eval_suite = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("eval_id"),
+        F.substring("text", 21, 100).alias("text"),
+    )
+    clean = decontaminate(fluent, eval_suite, n=5, min_shared=3)
+    stage("decontaminate", clean,
+          "drop docs sharing >=3 word-5-grams with the eval suite "
+          "(broadcast eval postings)")
+
+    # weighted priority sample: longer docs proportionally likelier,
+    # deterministic across engines/retries (no RNG state)
+    from pyspark.sql.window import Window
+
+    u_inv = (h52(F.col("doc_id").cast("string")) + 1).cast("double")
+    pri = clean.withColumn(
+        "priority", F.col("n_chars").cast("double") * float(1 << 52) / u_inv
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("priority"), F.asc("doc_id"))
+    sampled = (
+        pri.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 15)
+        .drop("rn", "priority")
+    )
+    stage("priority-sample", sampled,
+          "k=15/source, weight=n_chars (Duffield-Lund-Thorup priorities)")
+
+    vocab = build_vocab(sampled, min_count=2)
+    feats = hash_features(sampled, dim=256)
     print(f"{'featurize':<22} {'':>8}       | vocab={vocab.count()} terms, "
           f"hashed COO nnz={feats.count()}")
 
-    split = fluent.withColumn(
+    split = sampled.withColumn(
         "split",
         F.when(h52(F.col("doc_id").cast("string")) % 100 < 80, "train").otherwise("test"),
     )
