@@ -872,3 +872,148 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y").alias("n_pos"),
         F.sum("s").alias("sum_score_millis"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-out target encoding (leakage-free categorical encoding)
+# ---------------------------------------------------------------------------
+
+
+@gate(
+    "target_encode_loo",
+    oracle="""
+    WITH lines AS (
+      SELECT l_orderkey, l_linenumber, l_returnflag AS cat,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y_cents
+      FROM lineitem
+    ),
+    stats AS (
+      SELECT cat, CAST(sum(y_cents) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+      FROM lines GROUP BY cat
+    ),
+    enc AS (
+      SELECT l.cat,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(CASE WHEN st.c > 1
+                  THEN CAST(round(CAST(st.s - l.y_cents AS DOUBLE)
+                                  / CAST(st.c - 1 AS DOUBLE) * 1000) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS sum_enc_milli
+      FROM lines l JOIN stats st ON l.cat = st.cat
+      GROUP BY l.cat
+    )
+    SELECT cat, n_lines, sum_enc_milli FROM enc
+    """,
+)
+def q_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding: each row's categorical value becomes
+    the mean target of the OTHER rows in its category —
+    (sum - y) / (count - 1) — the leakage-free form of the target-aware
+    encoding the reference's supervised binning performs
+    (`src/encoder.py:22-98` bins by target statistics the same way).
+
+    Decorrelation: per-category (sum, count) is one exact-integer
+    aggregate BROADCAST back onto the rows; the per-row encode is then a
+    projection (no self-join, no window over the fact table).  The gate
+    checksums the encodes per category (each row's encode rounded to
+    integer milli-cents first, so the checksum sum is exact BIGINT).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    lines = li.select(
+        F.col("l_returnflag").alias("cat"),
+        F.round(F.col("l_extendedprice") * F.lit(100.0)).cast("long").alias("y_cents"),
+    )
+    stats = lines.groupBy(F.col("cat").alias("c_cat")).agg(
+        F.sum("y_cents").alias("s"), F.count("*").alias("c")
+    )
+    enc_milli = F.when(
+        F.col("c") > 1,
+        F.round(
+            (F.col("s") - F.col("y_cents")).cast("double")
+            / (F.col("c") - 1).cast("double")
+            * 1000
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    return (
+        lines.join(F.broadcast(stats), F.col("cat") == F.col("c_cat"))
+        .groupBy("cat")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(enc_milli).cast("long").alias("sum_enc_milli"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouped OLS (per-group closed-form simple regression; MADlib grouped
+# linregr_train analog)
+# ---------------------------------------------------------------------------
+
+
+@gate(
+    "grouped_ols_slope",
+    oracle="""
+    WITH pts AS (
+      SELECT l_returnflag AS returnflag,
+             CAST(l_quantity AS BIGINT) AS x,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    m AS (
+      SELECT returnflag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM pts GROUP BY returnflag
+    )
+    SELECT returnflag, n,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+             AS slope_cents,
+           round((CAST(sy AS DOUBLE) - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+             AS intercept_cents
+    FROM m
+    """,
+)
+def q_grouped_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group simple OLS (price-per-quantity line per return flag) from
+    closed-form moment sums — the grouped `madlib.linregr_train` pattern
+    (one model per partition key) and the 2-variable special case of
+    operators/linreg's normal-equations fit.
+
+    All five moments are exact BIGINT sums in ONE aggregation pass;
+    slope/intercept are computed from the already-exact moments with one
+    fixed double expression order, so a 1000-executor run and DuckDB
+    produce identical bits.  Thousands of per-key models cost exactly one
+    shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.col("l_returnflag").alias("returnflag"),
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * F.lit(100.0)).cast("long").alias("y"),
+    )
+    m = pts.groupBy("returnflag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    nd, sxd, syd, sxyd, sxxd = (
+        F.col(c).cast("double") for c in ("n", "sx", "sy", "sxy", "sxx")
+    )
+    slope = (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+    return m.select(
+        "returnflag",
+        "n",
+        F.round(slope, 6).alias("slope_cents"),
+        F.round((syd - slope * sxd) / nd, 6).alias("intercept_cents"),
+    )
