@@ -846,3 +846,60 @@ def q_priority_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sample_rank") <= PRIO_K)
         .withColumn("priority", F.round("priority", 4))
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding centroid pooling (per-label mean vector, exact integer units)
+# ---------------------------------------------------------------------------
+
+
+@gate(
+    "embedding_label_centroids",
+    oracle=f"""
+    WITH dims AS (
+      SELECT label, i.i AS dim,
+             CAST(round(CAST(embedding[i.i] AS DOUBLE) * 1000000) AS BIGINT)
+               AS v_micro
+      FROM embeddings, (SELECT unnest(range(1, 5)) AS i) i
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(dim AS BIGINT) AS dim,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(v_micro) AS BIGINT) AS sum_micro,
+           round(CAST(sum(v_micro) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                 / 1000000, 6) AS centroid
+    FROM dims
+    GROUP BY label, dim
+    """,
+)
+def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (mean pooling) — the prototype/
+    class-center computation behind IVF coarse quantizers, prototype
+    classifiers, and label-cluster diagnostics.  Each float component is
+    rounded to integer micro-units BEFORE the sum, so the per-dimension
+    accumulation is exact BIGINT (float vector sums are partition-order-
+    dependent; this is the determinism recipe the KMeans/PCA fits in
+    operators/cluster + linreg use).  posexplode keys the shuffle on
+    (label, dim) — #labels × dim cells regardless of row count.  Output
+    restricted to the first 4 dims to keep the gate relation small.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    # slice BEFORE posexplode so the generator only emits the kept dims
+    dims = e.select(
+        F.col("label").cast("long").alias("label"),
+        F.posexplode(F.slice(F.col("embedding"), 1, 4)).alias("dim0", "v"),
+    ).select(
+        "label",
+        (F.col("dim0") + 1).cast("long").alias("dim"),
+        F.round(F.col("v").cast("double") * F.lit(1000000.0)).cast("long").alias(
+            "v_micro"
+        ),
+    )
+    return dims.groupBy("label", "dim").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v_micro").cast("long").alias("sum_micro"),
+        F.round(
+            F.sum("v_micro").cast("double") / F.count("*").cast("double") / 1000000,
+            6,
+        ).alias("centroid"),
+    )
