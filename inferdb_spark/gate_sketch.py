@@ -167,8 +167,10 @@ def q_bm25_ranked_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
-    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # ONE tokenize pass: dl and dfreq both derive from the (much smaller)
+    # tf relation — dl = Σ tf per doc — and tf feeds scoring, so cache it
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).cache()
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count("*").cast("double").alias("n_docs"),
         F.sum("dl").cast("double").alias("total_len"),

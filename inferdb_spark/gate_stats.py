@@ -224,3 +224,71 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("mi_micro").cast("long").alias("mi_unats"),
         F.count("*").cast("long").alias("n_cells"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized robust mean (quantile-clip then exact integer aggregation)
+# ---------------------------------------------------------------------------
+
+
+@gate(
+    "winsorized_mean",
+    oracle="""
+    WITH cents AS (
+      SELECT l_returnflag AS returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+      FROM lineitem
+    ),
+    bounds AS (
+      SELECT returnflag,
+             percentile_cont(0.05) WITHIN GROUP (ORDER BY c) AS lo,
+             percentile_cont(0.95) WITHIN GROUP (ORDER BY c) AS hi
+      FROM cents GROUP BY returnflag
+    ),
+    clipped AS (
+      SELECT c.returnflag,
+             CAST(round(least(greatest(CAST(c.c AS DOUBLE), b.lo), b.hi))
+               AS BIGINT) AS w
+      FROM cents c JOIN bounds b ON c.returnflag = b.returnflag
+    )
+    SELECT returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(w) AS BIGINT) AS sum_wins_cents,
+           round(CAST(sum(w) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+             AS wins_mean_cents
+    FROM clipped GROUP BY returnflag
+    """,
+)
+def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per group: clip at the exact p05/p95 then average —
+    the robust-statistics cousin of P7's IQR outlier imputation (clip
+    instead of replace-by-regression).  Per-group bounds are a tiny
+    aggregate broadcast back onto the rows; clipped values are re-rounded
+    to integer cents per row so the final sum is exact BIGINT.  At 100 TB
+    the bounds come from percentile_approx or the histogram sketch
+    (operators/sketch.py) instead of the exact per-group sort.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = li.select(
+        F.col("l_returnflag").alias("returnflag"),
+        F.round(F.col("l_extendedprice") * F.lit(100.0)).cast("long").alias("c"),
+    )
+    bounds = cents.groupBy(F.col("returnflag").alias("bflag")).agg(
+        F.percentile(F.col("c"), F.lit(0.05)).alias("lo"),
+        F.percentile(F.col("c"), F.lit(0.95)).alias("hi"),
+    )
+    w = F.round(
+        F.least(F.greatest(F.col("c").cast("double"), F.col("lo")), F.col("hi"))
+    ).cast("long")
+    return (
+        cents.join(F.broadcast(bounds), F.col("returnflag") == F.col("bflag"))
+        .select("returnflag", w.alias("w"))
+        .groupBy("returnflag")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("w").cast("long").alias("sum_wins_cents"),
+            F.round(
+                F.sum("w").cast("double") / F.count("*").cast("double"), 4
+            ).alias("wins_mean_cents"),
+        )
+    )
