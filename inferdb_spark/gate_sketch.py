@@ -27,6 +27,8 @@ from inferdb_spark.gate import gate
 from inferdb_spark.gate_prep import _d_tokens, _d_word_gram_hashes
 from inferdb_spark.operators.sketch import (
     H52_SPACE,
+    bloom_build,
+    bloom_probe,
     hist_quantile_estimate,
     hist_quantile_merge,
     hist_quantile_sketch,
@@ -351,3 +353,86 @@ def q_hist_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist_quantile_estimate(
         merged, ["l_returnflag"], HQ_QS, HQ_LO, HQ_HI, HQ_BINS
     ).select(F.col("l_returnflag").alias("returnflag"), "q", "est")
+
+
+# ---------------------------------------------------------------------------
+# Portable Bloom-filter pre-join filter
+
+BLOOM_M = 4096  # bits
+BLOOM_K = 3     # hash functions
+
+
+def _d_bloom_pos(key_expr: str) -> str:
+    """DuckDB list of the BLOOM_K bit positions for a (varchar) key expr."""
+    terms = []
+    for i in range(BLOOM_K):
+        salted = "'b" + str(i) + ".' || " + key_expr
+        terms.append(f"({duckdb_h52(salted)} % {BLOOM_M})")
+    return "[" + ", ".join(terms) + "]"
+
+
+@gate(
+    "bloom_prejoin_filter",
+    oracle=f"""
+    WITH keys AS (
+      SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS k
+      FROM customer WHERE c_mktsegment = 'BUILDING'
+    ),
+    kp AS (SELECT unnest({_d_bloom_pos('k')}) AS p FROM keys),
+    words AS (
+      SELECT CAST(p // 32 AS BIGINT) AS word,
+             bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS bits
+      FROM kp GROUP BY 1
+    ),
+    pp AS (
+      SELECT o_orderkey, unnest({_d_bloom_pos('CAST(o_custkey AS VARCHAR)')}) AS p
+      FROM orders
+    ),
+    cand AS (
+      SELECT o_orderkey
+      FROM pp JOIN words ON CAST(p // 32 AS BIGINT) = words.word
+      WHERE (words.bits & (1::BIGINT << CAST(p % 32 AS INT))) <> 0
+      GROUP BY o_orderkey HAVING count(*) = {BLOOM_K}
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_probed,
+           (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+           (SELECT CAST(count(*) AS BIGINT) FROM orders o
+            WHERE EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey
+                            AND c.c_mktsegment = 'BUILDING')) AS n_true
+    """,
+)
+def q_bloom_prejoin_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom pre-join filter as a PORTABLE relation: build a (word, bits)
+    bloom over one segment's customer keys, probe every order, and report
+    probed/candidate/true counts (candidates ⊇ true — no false negatives,
+    the false-positive surplus is the m/n trade-off made visible).
+
+    Unlike Spark's injected runtime bloom (engine-internal, per-query),
+    this filter persists and ships: build once from the 300-key dim side,
+    broadcast ~m/32 BIGINT rows into any consumer — including a different
+    engine, as the oracle itself proves — and cut the 100 TB probe side
+    before the exact join (operators/sketch.bloom_build / bloom_probe).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    keys = (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").cast("string").alias("k"))
+        .distinct()
+    )
+    bloom = bloom_build(keys, F.col("k"), BLOOM_K, BLOOM_M)
+    cand = bloom_probe(
+        o, F.col("o_custkey").cast("string"), bloom, BLOOM_K, BLOOM_M
+    )
+    true_keys = keys.select(F.col("k").cast("long").alias("tk"))
+    n_true = o.join(
+        F.broadcast(true_keys), F.col("o_custkey") == F.col("tk"), "left_semi"
+    ).count()
+    return (
+        o.agg(F.count("*").cast("long").alias("n_probed"))
+        .crossJoin(
+            cand.agg(F.count("*").cast("long").alias("n_candidates"))
+        )
+        .withColumn("n_true", F.lit(n_true).cast("long"))
+    )

@@ -225,3 +225,74 @@ def hist_quantile_estimate(
     )
     est = F.lit(lo) + (F.col("bin").cast("double") + frac) * F.lit(w)
     return hit.select(*group_cols, "q", F.round(est, 6).alias("est"))
+
+
+# ---------------------------------------------------------------------------
+# Portable Bloom filter as a relation (semi-join pre-filter)
+
+BLOOM_WORD_BITS = 32  # bits per word, stored in BIGINT (mask stays positive)
+
+
+def _bloom_positions(key: Column, n_hashes: int, m_bits: int) -> list[Column]:
+    from inferdb_spark.functions.hashing import h52
+
+    return [
+        h52(F.concat(F.lit(f"b{i}."), key)) % F.lit(m_bits)
+        for i in range(n_hashes)
+    ]
+
+
+def bloom_build(
+    df: DataFrame, key: Column, n_hashes: int, m_bits: int
+) -> DataFrame:
+    """Bloom filter over a key column, materialized as a RELATION
+    `(word bigint, bits bigint)` — at most m_bits/32 rows.
+
+    Spark's runtime bloom pushdown (injected, engine-internal) cannot be
+    persisted or shipped; this one can: write the word relation to
+    parquet, broadcast it into any job — or any OTHER engine — and
+    pre-filter a 100 TB probe side before the exact join.  Positions are
+    h52-derived (portable); words hold 32 bits each so every mask is a
+    positive BIGINT on every engine; build is one explode + bit_or
+    aggregation over #keys × n_hashes rows.
+    """
+    pos = F.explode(F.array(*_bloom_positions(key, n_hashes, m_bits)))
+    p = df.select(pos.alias("p"))
+    return (
+        p.select(
+            (F.col("p") / BLOOM_WORD_BITS).cast("long").alias("word"),
+            F.expr(f"shiftleft(1L, CAST(p % {BLOOM_WORD_BITS} AS INT))").alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_probe(
+    df: DataFrame, key: Column, bloom: DataFrame, n_hashes: int, m_bits: int
+) -> DataFrame:
+    """Rows of `df` whose key MAY be in the bloom set (all n_hashes bits
+    set).  The bloom relation broadcasts; a probe row survives iff it
+    matches a set bit for every hash — counted via an inner join on word
+    + bit test, keeping rows with n_hashes hits.  False positives are
+    possible (bounded by the m/n choice), false negatives are not —
+    exactly the semi-join pre-filter contract.
+    """
+    marked = df.withColumn(
+        "_probe_id", F.monotonically_increasing_id()
+    )
+    pos = F.explode(F.array(*_bloom_positions(key, n_hashes, m_bits)))
+    probes = marked.select("_probe_id", pos.alias("p")).select(
+        "_probe_id",
+        (F.col("p") / BLOOM_WORD_BITS).cast("long").alias("word"),
+        F.expr(f"shiftleft(1L, CAST(p % {BLOOM_WORD_BITS} AS INT))").alias("mask"),
+    )
+    hits = (
+        probes.join(F.broadcast(bloom), "word")
+        .filter((F.col("bits").bitwiseAND(F.col("mask"))) != 0)
+        .groupBy("_probe_id")
+        .agg(F.count("*").alias("n_hits"))
+        .filter(F.col("n_hits") == n_hashes)
+        .select("_probe_id")
+    )
+    return marked.join(hits, "_probe_id", "left_semi").drop("_probe_id")

@@ -187,3 +187,20 @@ def test_kmv_incremental_merge_chain(docs, spark):
         state = kmv_merge(state.unionByName(part), ["lang"], K)
     direct = kmv_sketch(docs, ["lang"], F.col("text"), K)
     assert _rows(state) == _rows(direct)
+
+
+def test_bloom_no_false_negatives(spark):
+    from inferdb_spark.operators.sketch import bloom_build, bloom_probe
+
+    members = spark.range(0, 200).select(F.col("id").cast("string").alias("k"))
+    bloom = bloom_build(members, F.col("k"), 3, 2048)
+    probe = spark.range(0, 1000).select(F.col("id").alias("v"))
+    kept = {
+        r["v"]
+        for r in bloom_probe(
+            probe, F.col("v").cast("string"), bloom, 3, 2048
+        ).collect()
+    }
+    # every true member survives; false positives allowed but bounded
+    assert set(range(200)) <= kept
+    assert len(kept) < 450
