@@ -29,6 +29,8 @@ from inferdb_spark.operators.sketch import (
     H52_SPACE,
     bloom_build,
     bloom_probe,
+    cms_build,
+    cms_estimate,
     hist_quantile_estimate,
     hist_quantile_merge,
     hist_quantile_sketch,
@@ -436,3 +438,70 @@ def q_bloom_prejoin_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("n_true", F.lit(n_true).cast("long"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch frequency estimates
+
+CMS_D, CMS_W = 4, 1024
+CMS_PROBES = ("spark", "join", "window", "table", "nosuchtoken")
+
+
+def _d_cms_pos(val_expr: str) -> str:
+    terms = []
+    for i in range(CMS_D):
+        salted = "'r" + str(i) + ".' || " + val_expr
+        terms.append(f"({duckdb_h52(salted)} % {CMS_W})")
+    return "[" + ", ".join(terms) + "]"
+
+
+@gate(
+    "cms_term_frequency",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({_d_tokens('text')}) AS term FROM documents),
+    pos AS (
+      SELECT i - 1 AS row, p[i] AS col
+      FROM (SELECT {_d_cms_pos('term')} AS p FROM tok) t,
+           (SELECT unnest(range(1, {CMS_D + 1})) AS i) ii
+    ),
+    cms AS (
+      SELECT row, col, CAST(count(*) AS BIGINT) AS cnt
+      FROM pos GROUP BY row, col
+    ),
+    probes AS (SELECT unnest({list(CMS_PROBES)}) AS probe),
+    ppos AS (
+      SELECT probe, i - 1 AS row, p[i] AS col
+      FROM (SELECT probe, {_d_cms_pos('probe')} AS p FROM probes) t,
+           (SELECT unnest(range(1, {CMS_D + 1})) AS i) ii
+    ),
+    est AS (
+      SELECT probe, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est
+      FROM ppos LEFT JOIN cms USING (row, col)
+      GROUP BY probe
+    ),
+    truth AS (
+      SELECT probe, CAST(count(term) AS BIGINT) AS true_cnt
+      FROM probes LEFT JOIN tok ON term = probe GROUP BY probe
+    )
+    SELECT probe, est, true_cnt FROM est JOIN truth USING (probe)
+    """,
+)
+def q_cms_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch term frequencies vs exact counts for five probe
+    terms (one absent).  The CMS is a (row, col, cnt) relation — 4×1024
+    exact integer counters, additively mergeable, probed here in BOTH
+    engines bit-for-bit (Spark's count_min_sketch blob cannot be).
+    est ≥ true always; the absent term estimates 0 unless all four of its
+    counters collide.  Build is one posexplode + map-side-combined count.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(tokens(F.col("text"))).alias("term"))
+    cms = cms_build(tok, F.col("term"), CMS_D, CMS_W)
+    probes = spark.createDataFrame([(t,) for t in CMS_PROBES], "probe string")
+    est = cms_estimate(cms, probes, F.col("probe"), CMS_D, CMS_W)
+    truth = (
+        probes.join(tok, F.col("term") == F.col("probe"), "left")
+        .groupBy("probe")
+        .agg(F.count("term").cast("long").alias("true_cnt"))
+    )
+    return est.join(truth, "probe").select("probe", "est", "true_cnt")

@@ -296,3 +296,59 @@ def bloom_probe(
         .select("_probe_id")
     )
     return marked.join(hits, "_probe_id", "left_semi").drop("_probe_id")
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (mergeable frequency estimation)
+
+
+def cms_positions(value: Column, depth: int, width: int) -> list[Column]:
+    from inferdb_spark.functions.hashing import h52
+
+    return [
+        h52(F.concat(F.lit(f"r{i}."), value)) % F.lit(width) for i in range(depth)
+    ]
+
+
+def cms_build(df: DataFrame, value: Column, depth: int, width: int) -> DataFrame:
+    """Count-min sketch over a value column as a relation
+    `(row bigint, col bigint, cnt bigint)` — at most depth×width rows.
+
+    Fully deterministic (h52 rows, exact integer counters) and additively
+    mergeable (groupBy sum of partials), unlike Spark's
+    `count_min_sketch` whose binary blob is engine-internal.  Build = one
+    explode to depth rows per input row, one map-side-combined shuffle on
+    (row, col).  Completes the relation-sketch suite: KMV (distinct),
+    histogram (quantiles), bloom (membership), CMS (frequency).
+    """
+    pos = F.posexplode(F.array(*cms_positions(value, depth, width)))
+    return (
+        df.select(pos.alias("row", "col"))
+        .groupBy(F.col("row").cast("long").alias("row"), F.col("col").cast("long").alias("col"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_merge(sketches: DataFrame) -> DataFrame:
+    """Additive merge of partial CMS relations (same depth/width)."""
+    return sketches.groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    cms: DataFrame, probes: DataFrame, value: Column, depth: int, width: int
+) -> DataFrame:
+    """Point-frequency estimates for probe values: min over the depth
+    counters at the value's positions.  A probe position whose counter
+    row is absent means count 0 — coalesced, so estimates never miss
+    low.  est >= true count always (collisions only inflate).
+    """
+    pos = F.posexplode(F.array(*cms_positions(value, depth, width)))
+    pp = probes.select(value.alias("probe"), pos.alias("row", "col")).select(
+        "probe", F.col("row").cast("long").alias("row"), F.col("col").cast("long").alias("col")
+    )
+    return (
+        pp.join(F.broadcast(cms), ["row", "col"], "left")
+        .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
+        .groupBy("probe")
+        .agg(F.min("cnt").cast("long").alias("est"))
+    )

@@ -204,3 +204,33 @@ def test_bloom_no_false_negatives(spark):
     # every true member survives; false positives allowed but bounded
     assert set(range(200)) <= kept
     assert len(kept) < 450
+
+
+def test_cms_overestimates_only_and_merges(docs, spark):
+    from inferdb_spark.functions.text import tokens as _tokens
+    from inferdb_spark.operators.sketch import cms_build, cms_estimate, cms_merge
+
+    d, w = 4, 512
+    tok = docs.select(F.explode(_tokens(F.col("text"))).alias("t")).cache()
+    cms = cms_build(tok, F.col("t"), d, w)
+    probes = tok.select(F.col("t").alias("probe")).distinct()
+    est = {
+        r["probe"]: r["est"]
+        for r in cms_estimate(cms, probes, F.col("probe"), d, w).collect()
+    }
+    true = {
+        r["t"]: r["cnt"]
+        for r in tok.groupBy("t").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert est.keys() == true.keys()
+    for k, t in true.items():
+        assert est[k] >= t  # CMS never undercounts
+
+    # additive merge of two disjoint halves == direct build
+    h1 = cms_build(tok.limit(0).unionByName(tok).filter(F.length("t") <= 4), F.col("t"), d, w)
+    h2 = cms_build(tok.filter(F.length("t") > 4), F.col("t"), d, w)
+    merged = {
+        (r["row"], r["col"]): r["cnt"] for r in cms_merge(h1.unionByName(h2)).collect()
+    }
+    direct = {(r["row"], r["col"]): r["cnt"] for r in cms.collect()}
+    assert merged == direct
