@@ -1,14 +1,18 @@
-"""Gate queries: mergeable-sketch distinct counting and ranked retrieval.
+"""Gate queries: the relation-sketch suite and ranked retrieval.
 
 The reference's exact COUNT(DISTINCT) accounting (`src/optimizer.py:225-231`,
-index filling degree) and its corpus statistics get scale-path twins here:
+index filling degree) and its corpus statistics get scale-path twins here —
+every sketch is a PLAIN RELATION with an engine-portable estimator (see
+operators/sketch.py), which is what lets DuckDB recompute each one
+bit-for-bit:
 
-- KMV distinct sketches (operators/sketch.py) — the oracle-checkable stand-in
-  for HLL: partial sketches per source merged to per-language rollups without
-  re-reading the base table;
+- KMV (distinct counting + merge rollup + pairwise set algebra);
+- equi-width histograms (mergeable quantiles);
+- Bloom filter (shippable pre-join membership);
+- count-min sketch (frequency estimation);
 - BM25 ranked retrieval — the IR-standard upgrade of gate:tfidf_top_terms,
-  scoring a fixed conjunctive query against the documents corpus through an
-  inverted-index-shaped relational plan.
+  scoring a fixed conjunctive query through an inverted-index-shaped
+  relational plan.
 
 Determinism: every ranking key is integer (micro-nat scores, BIGINT hashes);
 floats appear only as rounded output columns.
