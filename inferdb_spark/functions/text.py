@@ -135,3 +135,23 @@ def text_stats(col: Column) -> Column:
         return F.element_at(F.transform(F.array(toks), with_tokens), 1)
 
     return bind_once(normalize(col), with_norm)
+
+
+# GPT-2-style pre-tokenizer pattern, restricted to a lookahead-free subset
+# so the SAME pattern runs on Java regex (Spark) and RE2 (DuckDB): English
+# contractions, space-prefixed letter runs, digit runs, punctuation runs,
+# whitespace runs.  Both engines use leftmost-first alternation.
+BPE_SPLIT_RE = "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9'\\s]+|\\s+"
+
+
+def bpe_tokens(col: Column) -> Column:
+    """array<string> of BPE-style pre-tokens over the lowercased text —
+    the subword-tokenizer-shaped counting basis (a real BPE merges these
+    further; pre-token count is the standard cheap proxy)."""
+    return F.regexp_extract_all(F.lower(col), F.lit(BPE_SPLIT_RE), 0)
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Count of BPE-style pre-tokens, excluding pure-whitespace matches."""
+    toks = bpe_tokens(col)
+    return F.size(F.filter(toks, lambda t: F.trim(t) != ""))

@@ -903,3 +903,48 @@ def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("centroid"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE-style pre-tokenizer counting (whitespace + regex token bases)
+# ---------------------------------------------------------------------------
+
+from inferdb_spark.functions.text import BPE_SPLIT_RE as _BPE_RE
+
+
+@gate(
+    "bpe_token_count",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_extract_all(lower(text), '{_BPE_RE.replace("'", "''")}'),
+                         x -> trim(x) <> '') AS bt,
+             {_d_tokens('text')} AS wt
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(wt) AS BIGINT) AS ws_tokens,
+           CAST(length(bt) AS BIGINT) AS bpe_tokens,
+           CAST(length(list_distinct(bt)) AS BIGINT) AS bpe_distinct
+    FROM t
+    """,
+)
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting on both bases the curation pipelines use: whitespace
+    tokens (functions/text.tokens) and BPE-style pre-tokens — the GPT-2
+    pre-tokenizer pattern restricted to a lookahead-free subset so the
+    IDENTICAL regex executes on Java regex and RE2 (the gate proves the
+    match lists agree).  Pre-token count is the standard cheap proxy for
+    subword token cost when budgeting a training mixture; pure projection,
+    fused into the scan.
+    """
+    from inferdb_spark.functions.text import bpe_token_count, bpe_tokens, token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    bt = F.filter(bpe_tokens(F.col("text")), lambda t: F.trim(t) != "")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("ws_tokens"),
+        F.size(bt).cast("long").alias("bpe_tokens"),
+        F.size(F.array_distinct(bt)).cast("long").alias("bpe_distinct"),
+    )
