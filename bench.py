@@ -229,6 +229,10 @@ def main() -> None:
         "bm25_ranked_retrieval",
         "eval_decontamination",
         "kmv_distinct_sketch",
+        "hist_quantile_sketch",
+        "bloom_prejoin_filter",
+        "cms_term_frequency",
+        "bpe_token_count",
     ]:
         if name in gq:
             fn = gq[name]
