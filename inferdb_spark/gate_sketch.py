@@ -509,3 +509,76 @@ def q_cms_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("term").cast("long").alias("true_cnt"))
     )
     return est.join(truth, "probe").select("probe", "est", "true_cnt")
+
+
+# ---------------------------------------------------------------------------
+# Integer PageRank over the supplier↔part shipment graph
+
+PR_ITERS = 4
+PR_DAMP = 850000
+PR_TOPN = 20
+
+
+def _pr_oracle() -> str:
+    base = 1000000 - PR_DAMP
+    parts = [
+        """
+    edges AS (
+      SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+             CAST(l_partkey + 1000000 AS BIGINT) AS dst FROM lineitem
+      UNION ALL
+      SELECT DISTINCT CAST(l_partkey + 1000000 AS BIGINT),
+             CAST(l_suppkey AS BIGINT) FROM lineitem
+    ),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS out_deg FROM edges GROUP BY src),
+    nodes AS (
+      SELECT DISTINCT src AS node FROM edges
+      UNION SELECT DISTINCT dst FROM edges
+    ),
+    r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_micro FROM nodes)"""
+    ]
+    for i in range(1, PR_ITERS + 1):
+        parts.append(f"""
+    c{i} AS (
+      SELECT dst, CAST(sum(rank_micro // out_deg) AS BIGINT) AS contrib
+      FROM edges e JOIN deg USING (src) JOIN r{i - 1} r ON r.node = e.src
+      GROUP BY dst
+    ),
+    r{i} AS (
+      SELECT node,
+             CAST({base} + ({PR_DAMP} * coalesce(contrib, 0)) // 1000000
+               AS BIGINT) AS rank_micro
+      FROM nodes LEFT JOIN c{i} ON node = dst
+    )""")
+    return (
+        "WITH " + ",".join(parts)
+        + f"""
+    SELECT node, rank_micro FROM r{PR_ITERS}
+    ORDER BY rank_micro DESC, node ASC LIMIT {PR_TOPN}"""
+    )
+
+
+@gate("pagerank_supplier_part", oracle=_pr_oracle())
+def q_pagerank_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer PageRank (4 iterations, d=0.85) over the bidirectional
+    supplier↔part shipment graph; top-20 nodes.
+
+    Iterative relational fixpoints beyond connected components: the Spark
+    side runs a driver loop over cached edge+degree relations
+    (operators/graph.pagerank_integer, localCheckpoint per round); the
+    oracle executes the SAME recurrence as 4 unrolled CTE layers.  All
+    arithmetic is integer micro-units with floor division, which is what
+    makes an ITERATIVE float-free algorithm bit-reproducible across
+    engines — classic float PageRank never is (partition-order rounding).
+    """
+    from inferdb_spark.operators.graph import pagerank_integer
+
+    li = load_table(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.col("l_suppkey").cast("long").alias("src"),
+        (F.col("l_partkey") + 1000000).cast("long").alias("dst"),
+    ).distinct()
+    rev = fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    edges = fwd.unionByName(rev)
+    ranks = pagerank_integer(edges, PR_ITERS, PR_DAMP)
+    return ranks.orderBy(F.desc("rank_micro"), F.asc("node")).limit(PR_TOPN)

@@ -114,3 +114,70 @@ def dedup_clusters(
             F.coalesce("component", all_ids[id_col]).alias("cluster"),
         )
     )
+
+
+def pagerank_integer(
+    edges: DataFrame,
+    n_iters: int,
+    damping_micro: int = 850000,
+) -> DataFrame:
+    """PageRank over a directed edge relation (src, dst), computed ENTIRELY
+    in integer micro-units so every iteration is bit-reproducible across
+    engines, partition schedules, and retries.
+
+    Per iteration (the driver only orchestrates; all work is relational):
+
+        contrib(dst)  = Σ_{src→dst} rank_micro(src) // out_deg(src)
+        rank_micro(v) = (1_000_000 - damping_micro)
+                        + damping_micro * contrib(v) // 1_000_000
+
+    Floor division loses < 1 micro-unit per edge — the classic float
+    formulation instead accumulates partition-order-dependent rounding,
+    which is why float PageRank never reproduces exactly.  Nodes with no
+    in-edges keep the teleport mass; dangling-node mass is dropped (ranks
+    are relative scores here, not a strict probability distribution —
+    acceptable for the ranking use and keeps the recurrence integral).
+
+    Scale: state is one (node, rank_micro) row per node; each iteration
+    joins the cached edge+degree relation (re-used partitioning) and
+    re-aggregates by dst.  localCheckpoint truncates lineage per round,
+    exactly as connected_components does.
+    """
+    deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    ed = edges.join(deg, "src").select("src", "dst", "out_deg").cache()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .cache()
+    )
+    base = F.lit(1000000 - damping_micro).cast("long")
+    ranks = nodes.withColumn("rank_micro", F.lit(1000000).cast("long"))
+    for _ in range(n_iters):
+        contrib = (
+            ed.join(ranks, F.col("src") == F.col("node"))
+            .select(
+                "dst",
+                F.floor(F.col("rank_micro") / F.col("out_deg"))
+                .cast("long")
+                .alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contrib, F.col("node") == F.col("dst"), "left")
+            .select(
+                "node",
+                (
+                    base
+                    + F.floor(
+                        F.lit(damping_micro)
+                        * F.coalesce(F.col("contrib"), F.lit(0))
+                        / F.lit(1000000)
+                    ).cast("long")
+                ).alias("rank_micro"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

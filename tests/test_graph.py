@@ -66,3 +66,19 @@ def test_dedup_clusters_assigns_singletons(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
     reps = [d for d, c in got.items() if d == c]
     assert sorted(reps) == [1, 10, 99]
+
+
+def test_pagerank_integer_properties(spark):
+    # star graph: hub receives all mass; ranks deterministic across runs
+    from inferdb_spark.operators.graph import pagerank_integer
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, 9)] + [(0, i) for i in range(1, 9)],
+        "src long, dst long",
+    )
+    r1 = {r["node"]: r["rank_micro"] for r in pagerank_integer(edges, 4).collect()}
+    r2 = {r["node"]: r["rank_micro"] for r in pagerank_integer(edges, 4).collect()}
+    assert r1 == r2  # bit-reproducible
+    assert r1[0] > r1[1]  # hub dominates
+    assert len({r1[i] for i in range(1, 9)}) == 1  # leaves symmetric
