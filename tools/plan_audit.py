@@ -150,6 +150,12 @@ def main() -> int:
         ("EXISTS/NOT EXISTS are semi+anti hash joins, no nested loop",
          lambda p: "LeftSemi" in p and "LeftAnti" in p and "NestedLoop" not in p),
     ])
+    audit("pagerank_supplier_part", [
+        ("lineage truncated: final plan is checkpointed-state scan + top-k, "
+         "not k nested iteration joins",
+         lambda p: "Scan ExistingRDD" in p and "TakeOrderedAndProject" in p
+         and "Join" not in p),
+    ])
     audit("eval_decontamination", [
         ("eval postings broadcast onto the corpus scan (no fact-fact SMJ)",
          lambda p: "BroadcastHashJoin" in p and "SortMergeJoin" not in p),
