@@ -948,3 +948,71 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(bt).cast("long").alias("bpe_tokens"),
         F.size(F.array_distinct(bt)).cast("long").alias("bpe_distinct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtering set-similarity join (exact, no-false-negative dedup)
+# ---------------------------------------------------------------------------
+
+PF_T = 0.8
+
+
+@gate(
+    "prefix_filter_jaccard_join",
+    oracle=f"""
+    WITH {_D_CORPUS},
+    pf_corpus AS (SELECT * FROM corpus WHERE doc_id % 2000000 < 600),
+    sets_l AS (SELECT doc_id, {_d_char_shingles('text', MH_SHINGLE)} AS sh FROM pf_corpus),
+    sets AS (SELECT doc_id, unnest(sh) AS s FROM sets_l),
+    dfreq AS (SELECT s, CAST(count(*) AS BIGINT) AS df FROM sets GROUP BY s),
+    sized AS (
+      SELECT doc_id, s, df, count(*) OVER (PARTITION BY doc_id) AS sz
+      FROM sets JOIN dfreq USING (s)
+    ),
+    prefix AS (
+      SELECT doc_id, s FROM (
+        SELECT doc_id, s,
+               row_number() OVER (PARTITION BY doc_id ORDER BY df, s) AS rn,
+               sz - CAST(ceil({PF_T} * sz) AS BIGINT) + 1 AS plen
+        FROM sized
+      ) WHERE rn <= plen
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM prefix a JOIN prefix b ON a.s = b.s AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(round(CAST(length(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                / length(list_distinct(list_concat(x.sh, y.sh))), 6) AS DOUBLE)
+             AS jaccard
+    FROM cand c JOIN sets_l x ON c.id_a = x.doc_id
+                JOIN sets_l y ON c.id_b = y.doc_id
+    WHERE CAST(length(list_intersect(x.sh, y.sh)) AS DOUBLE)
+          / length(list_distinct(list_concat(x.sh, y.sh))) >= {PF_T}
+    """,
+)
+def q_prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity self-join at Jaccard ≥ 0.8 via PREFIX FILTERING
+    — the guaranteed-complete alternative to MinHash LSH
+    (gate:ngram_jaccard_verify): any qualifying pair must share one of the
+    rarest ⌈(1−t)·|d|⌉+1 shingles, so candidates are few and recall is
+    exactly 1 (pigeonhole, not probability).  Same injected near-dup
+    corpus, same exact-Jaccard verify stage (operators/dedup.
+    prefix_filter_pairs + ngram_jaccard).
+    """
+    # bounded slice (same filter in the oracle): the synthetic corpus has
+    # a tiny shingle vocabulary, so "rare"-prefix posting lists stop being
+    # rare as the corpus grows and the candidate join degenerates — the
+    # gate pins algorithm correctness on a fixed-cardinality subset.  On a
+    # real web corpus (heavy-tailed shingle df) the full-corpus join is
+    # the production path.
+    corpus = _spark_corpus(spark, sf_dir).filter(
+        F.col("doc_id") % 2000000 < 600
+    )
+    cand = DD.prefix_filter_pairs(
+        corpus, "doc_id", "text", threshold=PF_T, shingle_n=MH_SHINGLE
+    )
+    j = DD.ngram_jaccard(corpus, cand, "doc_id", "text", ngram_n=MH_SHINGLE, mode="char")
+    return j.filter(F.col("jaccard") >= PF_T).select(
+        "id_a", "id_b", F.round("jaccard", 6).cast("double").alias("jaccard")
+    )

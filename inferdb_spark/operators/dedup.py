@@ -373,3 +373,55 @@ def simhash_near_pairs(
     return cand.select(
         "id_a", "id_b", hamming_distance(F.col("fp_a"), F.col("fp_b")).alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    shingle_n: int = 4,
+) -> DataFrame:
+    """EXACT set-similarity join candidates by prefix filtering
+    (PPJoin-family): pairs that can possibly reach Jaccard ≥ threshold.
+
+    The LSH alternative with a guarantee instead of a probability: order
+    each doc's distinct shingles by global rarity (document frequency asc,
+    shingle asc — a deterministic total order), keep only the first
+    |d| − ⌈t·|d|⌉ + 1 as the doc's PREFIX, and join docs sharing a prefix
+    shingle.  Any pair with J ≥ t MUST share a prefix element (pigeonhole
+    over the rarity order), so there are NO false negatives; rare-first
+    ordering keeps posting lists short, so the candidate join stays small
+    where a full inverted-index join would explode on common shingles.
+    Downstream: verify candidates with ngram_jaccard, exactly like the
+    LSH path.
+
+    Scale: df table is vocabulary-sized (broadcasts); prefix postings are
+    ~(1−t)·|d| rows per doc; the candidate join shuffles only (shingle,
+    id) pairs.
+    """
+    from pyspark.sql.window import Window
+
+    sh = (
+        char_ngrams(F.col(text_col), shingle_n)
+        if shingle_n > 0
+        else tokens(F.col(text_col))
+    )
+    sets = df.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("s"))
+    dfreq = sets.groupBy("s").agg(F.count("*").alias("df"))
+    sized = sets.join(F.broadcast(dfreq), "s").withColumn(
+        "sz", F.count("*").over(Window.partitionBy(id_col))
+    )
+    w = Window.partitionBy(id_col).orderBy("df", "s")
+    prefix_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    prefix = sized.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= prefix_len
+    )
+    a = prefix.select(F.col(id_col).alias("id_a"), "s")
+    b = prefix.select(F.col(id_col).alias("id_b"), "s")
+    return (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
