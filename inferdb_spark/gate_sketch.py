@@ -310,7 +310,8 @@ _HQ_ORACLE = f"""
       FROM h
     ),
     j AS (
-      SELECT c.*, q, CAST(ceil(q * CAST(total AS DOUBLE)) AS BIGINT) AS r
+      SELECT c.*, q,
+             greatest(CAST(ceil(q * CAST(total AS DOUBLE)) AS BIGINT), 1) AS r
       FROM c CROSS JOIN (SELECT unnest([{", ".join(str(q) for q in HQ_QS)}]) AS q)
     )
     SELECT returnflag, q,

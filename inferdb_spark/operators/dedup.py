@@ -396,9 +396,13 @@ def prefix_filter_pairs(
     Downstream: verify candidates with ngram_jaccard, exactly like the
     LSH path.
 
-    Scale: df table is vocabulary-sized (broadcasts); prefix postings are
-    ~(1−t)·|d| rows per doc; the candidate join shuffles only (shingle,
-    id) pairs.
+    Scale: the doc-frequency relation is vocabulary-sized — bounded for
+    char n-grams but UNBOUNDED for word shingles, so it carries no
+    broadcast hint: AQE broadcasts it when its runtime size is under the
+    threshold and falls back to a shuffled join otherwise (forcing the
+    broadcast was a driver-OOM ceiling on large word vocabularies).
+    Prefix postings are ~(1−t)·|d| rows per doc; the candidate join
+    shuffles only (shingle, id) pairs.
     """
     from pyspark.sql.window import Window
 
@@ -409,7 +413,7 @@ def prefix_filter_pairs(
     )
     sets = df.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("s"))
     dfreq = sets.groupBy("s").agg(F.count("*").alias("df"))
-    sized = sets.join(F.broadcast(dfreq), "s").withColumn(
+    sized = sets.join(dfreq, "s").withColumn(
         "sz", F.count("*").over(Window.partitionBy(id_col))
     )
     w = Window.partitionBy(id_col).orderBy("df", "s")

@@ -154,29 +154,34 @@ def pagerank_integer(
     base = F.lit(1000000 - damping_micro).cast("long")
     ranks = nodes.withColumn("rank_micro", F.lit(1000000).cast("long"))
     for _ in range(n_iters):
+        # `div` is Spark's *integral* division — exact BIGINT floor-quotient
+        # semantics matching the oracle's `//`.  The earlier floor(a / b)
+        # form went through IEEE double division, which diverges from true
+        # integer division once intermediates exceed 2^53 (hub nodes at
+        # scale); `div` never leaves the integer domain.
         contrib = (
             ed.join(ranks, F.col("src") == F.col("node"))
             .select(
                 "dst",
-                F.floor(F.col("rank_micro") / F.col("out_deg"))
-                .cast("long")
-                .alias("c"),
+                F.expr("rank_micro div out_deg").cast("long").alias("c"),
             )
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
+        )
+        # Widen the damping product through DECIMAL(38,0) so
+        # damping_micro * contrib cannot silently wrap a BIGINT (contrib can
+        # approach 2^63/850000 on extreme hubs); the quotient is floored in
+        # the decimal domain then narrowed back to long — still exact
+        # integer arithmetic end to end.
+        damp_expr = (
+            f"cast(floor(cast({int(damping_micro)} as decimal(38,0)) "
+            f"* coalesce(contrib, 0L) / 1000000) as long)"
         )
         ranks = (
             nodes.join(contrib, F.col("node") == F.col("dst"), "left")
             .select(
                 "node",
-                (
-                    base
-                    + F.floor(
-                        F.lit(damping_micro)
-                        * F.coalesce(F.col("contrib"), F.lit(0))
-                        / F.lit(1000000)
-                    ).cast("long")
-                ).alias("rank_micro"),
+                (base + F.expr(damp_expr)).alias("rank_micro"),
             )
             .localCheckpoint(eager=True)
         )

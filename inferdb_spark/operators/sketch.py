@@ -218,7 +218,12 @@ def hist_quantile_estimate(
     )
     qdf = cum.sparkSession.createDataFrame([(float(q),) for q in qs], "q double")
     j = cum.crossJoin(F.broadcast(qdf))
-    r = F.ceil(F.col("q") * F.col("total").cast("double")).cast("long")
+    # clamp the target rank to >=1 so q=0.0 returns the minimum-bin
+    # estimate instead of an empty result (ceil(0*n)=0 matches no bin)
+    r = F.greatest(
+        F.ceil(F.col("q") * F.col("total").cast("double")).cast("long"),
+        F.lit(1).cast("long"),
+    )
     hit = j.filter((F.col("cum") >= r) & ((F.col("cum") - F.col("cnt")) < r))
     frac = (r - (F.col("cum") - F.col("cnt"))).cast("double") / F.col("cnt").cast(
         "double"
@@ -277,25 +282,33 @@ def bloom_probe(
     + bit test, keeping rows with n_hashes hits.  False positives are
     possible (bounded by the m/n choice), false negatives are not —
     exactly the semi-join pre-filter contract.
+
+    Membership depends only on the key, so the probe runs over DISTINCT
+    keys and the surviving key set is semi-joined back to `df`.  (The
+    earlier form tagged rows with monotonically_increasing_id and
+    referenced the tagged frame in two plan branches — ids can differ
+    between the branches' evaluations under AQE / task retry, silently
+    keeping or dropping the wrong rows.  A key-derived probe is
+    deterministic by construction.)
     """
-    marked = df.withColumn(
-        "_probe_id", F.monotonically_increasing_id()
+    keys = df.select(key.alias("_probe_key")).distinct()
+    pos = F.explode(
+        F.array(*_bloom_positions(F.col("_probe_key"), n_hashes, m_bits))
     )
-    pos = F.explode(F.array(*_bloom_positions(key, n_hashes, m_bits)))
-    probes = marked.select("_probe_id", pos.alias("p")).select(
-        "_probe_id",
+    probes = keys.select("_probe_key", pos.alias("p")).select(
+        "_probe_key",
         (F.col("p") / BLOOM_WORD_BITS).cast("long").alias("word"),
         F.expr(f"shiftleft(1L, CAST(p % {BLOOM_WORD_BITS} AS INT))").alias("mask"),
     )
     hits = (
         probes.join(F.broadcast(bloom), "word")
         .filter((F.col("bits").bitwiseAND(F.col("mask"))) != 0)
-        .groupBy("_probe_id")
+        .groupBy("_probe_key")
         .agg(F.count("*").alias("n_hits"))
         .filter(F.col("n_hits") == n_hashes)
-        .select("_probe_id")
+        .select("_probe_key")
     )
-    return marked.join(hits, "_probe_id", "left_semi").drop("_probe_id")
+    return df.join(hits, key == F.col("_probe_key"), "left_semi")
 
 
 # ---------------------------------------------------------------------------
