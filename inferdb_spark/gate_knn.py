@@ -28,6 +28,7 @@ _KNN_BASE_SQL = """
              CAST(round(l_quantity*100) AS BIGINT)  AS fq,
              CAST(round(l_discount*10000) AS BIGINT) AS fd,
              CAST(round(l_tax*10000) AS BIGINT)      AS ft,
+             CAST(round(l_extendedprice*100) AS BIGINT) AS pc,
              l_returnflag AS label,
              l_orderkey AS ok
       FROM lineitem
@@ -44,6 +45,7 @@ def _knn_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
         F.round(F.col("l_quantity") * 100).cast("long").alias("fq"),
         F.round(F.col("l_discount") * 10000).cast("long").alias("fd"),
         F.round(F.col("l_tax") * 10000).cast("long").alias("ft"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("pc"),
         F.col("l_returnflag").alias("label"),
         F.col("l_orderkey").alias("ok"),
     )
@@ -86,6 +88,41 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     test, train = _knn_frames(spark, sf_dir)
     return KNN.knn_classify(
         test, train, ["fq", "fd", "ft"], "label", K_NEIGHBORS,
+        test_key="row_id", train_key="row_id",
+    )
+
+
+@gate(
+    "knn_regress",
+    oracle=f"""
+    WITH {_KNN_BASE_SQL},
+    cand AS (
+      SELECT t.row_id AS tk, r.pc,
+             row_number() OVER (
+               PARTITION BY t.row_id
+               ORDER BY (t.fq - r.fq) * (t.fq - r.fq)
+                      + (t.fd - r.fd) * (t.fd - r.fd)
+                      + (t.ft - r.ft) * (t.ft - r.ft) ASC,
+                        r.row_id ASC
+             ) AS rn
+      FROM test t CROSS JOIN train r
+    )
+    SELECT CAST(tk AS BIGINT) AS row_id,
+           round(CAST(sum(pc) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS predicted
+    FROM cand WHERE rn <= {K_NEIGHBORS}
+    GROUP BY tk
+    """,
+)
+def q_knn_regress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KNN REGRESSION (operators/knn.knn_regress): same deterministic
+    neighbor search as gate:knn_classify (exact BIGINT distances, unique
+    train-row_id tie-break), prediction = mean of the k neighbors'
+    extended-price cents (MADlib knn with a response column, reference
+    src/transpiler.py:2599-2633).  The cents sum is exact on both engines;
+    the one division is rounded to 6dp per the determinism rules."""
+    test, train = _knn_frames(spark, sf_dir)
+    return KNN.knn_regress(
+        test, train, ["fq", "fd", "ft"], "pc", K_NEIGHBORS,
         test_key="row_id", train_key="row_id",
     )
 

@@ -84,19 +84,31 @@ def majority_vote(neighbors: DataFrame, key: str, label_col: str) -> DataFrame:
     )
 
 
-def knn_classify(
+def mean_of_neighbors(neighbors: DataFrame, key: str, value_col: str) -> DataFrame:
+    """Mean neighbor target per key — the regression counterpart of
+    `majority_vote` (MADlib's knn regression averages the k neighbor
+    responses, reference src/transpiler.py:2599-2633).  Callers pass
+    integer-scaled targets so the sum is exact; the single division is
+    rounded to 6dp, matching the cross-engine determinism rules."""
+    return neighbors.groupBy(key).agg(
+        F.round(
+            F.sum(F.col(value_col)).cast("double") / F.count("*").cast("double"), 6
+        ).alias("predicted")
+    )
+
+
+def _knn_neighbors(
     test: DataFrame,
     train: DataFrame,
     feature_cols: list[str],
-    label_col: str,
+    value_col: str,
     k: int,
     test_key: str,
     train_key: str,
 ) -> DataFrame:
-    """Brute-force relational KNN: broadcast the probe side, exact integer
-    distances, two-stage top-k, majority vote.  Feature columns must be
-    integer-scaled (cast-exact) on both relations.  Returns
-    (test_key, predicted)."""
+    """Shared brute-force neighbor search: broadcast the probe side, exact
+    integer distances, two-stage salted top-k.  Returns one row per
+    (test key, neighbor) with the neighbor's `value_col` as `_lbl`."""
     t = F.broadcast(
         test.select(
             F.col(test_key).alias("_tk"),
@@ -105,7 +117,7 @@ def knn_classify(
     )
     r = train.select(
         F.col(train_key).alias("_rk"),
-        F.col(label_col).alias("_lbl"),
+        F.col(value_col).alias("_lbl"),
         *[F.col(c).cast("long").alias(f"_r_{c}") for c in feature_cols],
     )
     dist = sq_dist(
@@ -119,8 +131,48 @@ def knn_classify(
         ).alias("_o"),
     )
     top = topk_per_key(cand, "_tk", F.col("_o"), k, salt_col=F.col("_o._rk"))
-    neighbors = top.select("_tk", F.col("_nn._lbl").alias("_lbl"))
+    return top.select("_tk", F.col("_nn._lbl").alias("_lbl"))
+
+
+def knn_classify(
+    test: DataFrame,
+    train: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    k: int,
+    test_key: str,
+    train_key: str,
+) -> DataFrame:
+    """Brute-force relational KNN: broadcast the probe side, exact integer
+    distances, two-stage top-k, majority vote.  Feature columns must be
+    integer-scaled (cast-exact) on both relations.  Returns
+    (test_key, predicted)."""
+    neighbors = _knn_neighbors(
+        test, train, feature_cols, label_col, k, test_key, train_key
+    )
     return majority_vote(neighbors, "_tk", "_lbl").withColumnRenamed("_tk", test_key)
+
+
+def knn_regress(
+    test: DataFrame,
+    train: DataFrame,
+    feature_cols: list[str],
+    target_col: str,
+    k: int,
+    test_key: str,
+    train_key: str,
+) -> DataFrame:
+    """Brute-force relational KNN REGRESSION: identical neighbor search to
+    `knn_classify`, but the prediction is the mean of the k neighbors'
+    integer-scaled targets (MADlib `madlib.knn` with a response column,
+    reference src/transpiler.py:2599-2633) instead of a majority vote.
+    Returns (test_key, predicted) with predicted rounded to 6dp."""
+    neighbors = _knn_neighbors(
+        test, train, feature_cols, target_col, k, test_key, train_key
+    )
+    return mean_of_neighbors(neighbors, "_tk", "_lbl").withColumnRenamed(
+        "_tk", test_key
+    )
 
 
 def knn_classify_ivf(

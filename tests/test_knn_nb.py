@@ -36,6 +36,21 @@ def test_knn_majority_tie_breaks_low_label(spark):
     assert out.collect()[0]["predicted"] == "a"
 
 
+def test_knn_regress_tiny(spark):
+    # neighbors of x=12 at k=3 are x in {10, 20, 0} -> targets 100, 200, 0
+    # neighbors of x=78 at k=3 are x in {80, 70, 90} -> targets 800, 700, 900
+    train = spark.createDataFrame(
+        [(i, i * 10, i * 100) for i in range(10)],
+        "tid long, x long, y long",
+    )
+    test = spark.createDataFrame([(100, 12), (101, 78)], "qid long, x long")
+    out = KNN.knn_regress(
+        test, train, ["x"], "y", k=3, test_key="qid", train_key="tid"
+    )
+    got = {r["qid"]: r["predicted"] for r in out.collect()}
+    assert got == {100: 100.0, 101: 800.0}
+
+
 def test_topk_per_key_matches_global_sort(spark):
     rows = [(k, (k * 37 + i * 13) % 101, i) for k in range(4) for i in range(50)]
     df = spark.createDataFrame(rows, "key int, d long, rid long")
