@@ -109,9 +109,7 @@ def q_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@gate(
-    "connected_components",
-    oracle="""
+_CC_ORACLE = """
     WITH RECURSIVE sel AS (
       SELECT l.l_orderkey AS ok, CAST(l.l_partkey AS BIGINT) AS pk
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -133,19 +131,13 @@ def q_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(node AS BIGINT) AS node, CAST(min(lbl) AS BIGINT) AS component
     FROM labels GROUP BY node
-    """,
-)
-def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate-cluster assignment as distributed connected components
-    (operators/graph.py): the graph is parts co-purchased in the same
-    1995 order (sampled 1-in-10 by partkey to bound the oracle's
-    recursive-CTE blowup); component = min partkey.  The oracle computes
-    the same fixpoint by recursive label propagation; Spark computes it
-    by iterative min-label propagation with path halving.  The reference
-    has no graph operator (SURVEY §2.7) — this closes the LSH-pairs →
-    duplicate-groups step of the dedup pipeline."""
-    from inferdb_spark.operators.graph import connected_components
+"""
 
+
+def _cc_edge_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared co-purchase pair graph for the two CC gates: parts bought in
+    the same 1995 order (partkey sampled 1-in-10 to bound the oracle's
+    recursive-CTE blowup), with self-loops for isolated nodes."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     sel = (
@@ -165,7 +157,39 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # isolated nodes enter as self-loops so every node gets a component
     nodes = sel.select(F.col("pk").alias("src"), F.col("pk").alias("dst")).distinct()
-    cc = connected_components(pairs.union(nodes), "src", "dst")
+    return pairs.union(nodes)
+
+
+@gate("connected_components", oracle=_CC_ORACLE)
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment as distributed connected components
+    (operators/graph.py): the graph is parts co-purchased in the same
+    1995 order (sampled 1-in-10 by partkey to bound the oracle's
+    recursive-CTE blowup); component = min partkey.  The oracle computes
+    the same fixpoint by recursive label propagation; Spark computes it
+    by iterative min-label propagation with path halving.  The reference
+    has no graph operator (SURVEY §2.7) — this closes the LSH-pairs →
+    duplicate-groups step of the dedup pipeline."""
+    from inferdb_spark.operators.graph import connected_components
+
+    cc = connected_components(_cc_edge_relation(spark, sf_dir), "src", "dst")
+    return cc.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
+@gate("connected_components_star", oracle=_CC_ORACLE)
+def q_connected_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same component fixpoint as gate:connected_components, computed by
+    the alternating large-star/small-star algorithm (Kiveris et al.,
+    SoCC'14; operators/graph.connected_components_star) — the variant
+    whose per-round shuffle volume SHRINKS with the edge set, preferred
+    when the edge list dwarfs the node set (see DESIGN_SCALE.md).  Both
+    algorithms must agree with the recursive-CTE oracle exactly."""
+    from inferdb_spark.operators.graph import connected_components_star
+
+    cc = connected_components_star(_cc_edge_relation(spark, sf_dir), "src", "dst")
     return cc.select(
         F.col("node").cast("long").alias("node"),
         F.col("component").cast("long").alias("component"),

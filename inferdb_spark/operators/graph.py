@@ -91,6 +91,98 @@ def connected_components(
     return labels.select(F.col("node"), F.col("lbl").alias("component"))
 
 
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Alternating large-star / small-star connected components (Kiveris
+    et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+    the EDGE-dominated alternative to `connected_components`.
+
+    Where min-label propagation keeps per-round state of one row per
+    node but re-joins the FULL edge list every round, the star algorithm
+    rewrites the edge list itself each round:
+
+      large-star(x): connect every neighbor y > x to m = min(x ∪ N(x))
+      small-star(u): connect u and every smaller neighbor to min(u ∪ N(u))
+
+    Both steps preserve connectivity; their alternation contracts every
+    component into a star centered at its minimum node in O(log^2 n)
+    rounds, and the edge set SHRINKS monotonically toward one (child,
+    root) edge per non-root node — so per-round shuffle volume decays,
+    which is exactly what you want when the edge list dwarfs the node
+    set (dense co-occurrence graphs, web graphs).  For sparse shallow
+    dedup-pair graphs, label propagation's constant factors win; see
+    DESIGN_SCALE.md for the pick-by-shape rule.
+
+    Same contract as `connected_components`: undirected edge list,
+    self-loops introduce isolated nodes, returns (node, component) with
+    component = min reachable node id.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # canonical orientation u > v; self-loops drop (isolated nodes rejoin
+    # at the end via the node universe)
+    e = (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("u"),
+            F.least(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_chk = None
+    for _ in range(max_iters):
+        # large-star: per node x, attach every LARGER neighbor to the
+        # 1-hop minimum m = min(x, N(x)); v = m <= x < y so orientation
+        # u > v is preserved for free
+        nb = e.select(F.col("u").alias("x"), F.col("v").alias("y")).unionByName(
+            e.select(F.col("v").alias("x"), F.col("u").alias("y"))
+        )
+        m1 = nb.groupBy("x").agg(F.least(F.first("x"), F.min("y")).alias("m"))
+        e = (
+            nb.join(m1, "x")
+            .filter(F.col("y") > F.col("x"))
+            .select(F.col("y").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star: per node u (the larger endpoint), attach u and all
+        # its smaller neighbors to m = min(N(u)); both v and u are > m
+        # except v == m itself (skipped as a self-loop)
+        m2 = e.groupBy("u").agg(F.min("v").alias("m"))
+        j = e.join(m2, "u")
+        e = (
+            j.filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(j.select(F.col("u"), F.col("m").alias("v")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # fixpoint when the edge set stops changing: count + an
+        # order-independent XOR fingerprint (overflow-free), one scalar
+        # aggregate over the already-distinct edge relation
+        row = e.agg(
+            F.count("*").alias("n"), F.bit_xor(F.xxhash64("u", "v")).alias("h")
+        ).collect()[0]
+        chk = (row["n"], row["h"])
+        if chk == prev_chk:
+            break
+        prev_chk = chk
+    # converged edges are (child, root) stars; roots + isolated nodes
+    # label themselves
+    labels = e.groupBy(F.col("u").alias("node")).agg(F.min("v").alias("component"))
+    return nodes.join(labels, "node", "left").select(
+        "node", F.coalesce("component", F.col("node")).alias("component")
+    )
+
+
 def dedup_clusters(
     pairs: DataFrame,
     all_ids: DataFrame,

@@ -82,3 +82,37 @@ def test_pagerank_integer_properties(spark):
     assert r1 == r2  # bit-reproducible
     assert r1[0] > r1[1]  # hub dominates
     assert len({r1[i] for i in range(1, 9)}) == 1  # leaves symmetric
+
+
+def test_star_cc_matches_label_propagation_random_graphs(spark):
+    # property: large-star/small-star and min-label propagation compute the
+    # same (node, component) relation on arbitrary graphs
+    from inferdb_spark.operators.graph import connected_components_star
+
+    for seed, n_nodes, n_edges in [(3, 60, 30), (11, 80, 120), (23, 50, 200)]:
+        rng = random.Random(seed)
+        edges = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes))
+            for _ in range(n_edges)
+        ]
+        rows = edges + [(n, n) for n in range(n_nodes)]
+        edf = spark.createDataFrame(rows, "src int, dst int")
+        lp = {
+            r["node"]: r["component"]
+            for r in connected_components(edf, "src", "dst").collect()
+        }
+        star = {
+            r["node"]: r["component"]
+            for r in connected_components_star(edf, "src", "dst").collect()
+        }
+        assert star == lp, f"seed={seed}"
+
+
+def test_star_cc_long_chain(spark):
+    from inferdb_spark.operators.graph import connected_components_star
+
+    edges = [(i, i + 1) for i in range(63)]
+    edf = spark.createDataFrame(edges, "src int, dst int")
+    got = connected_components_star(edf, "src", "dst").collect()
+    assert len(got) == 64
+    assert {r["component"] for r in got} == {0}
