@@ -1,0 +1,239 @@
+"""Real (pure-python/numpy) media codecs for the multimodal operators.
+
+The container ships no PIL/opencv/ffmpeg, so compressed formats (PNG/JPEG,
+MP3/AAC, H.264) stay behind optional import-try fallbacks — but plenty of
+real pipeline media is UNCOMPRESSED, and those formats decode fine with
+numpy + the stdlib:
+
+- **BMP** (Windows bitmap, 24-bit BI_RGB uncompressed) — decode + encode.
+- **PPM** (Netpbm P6 binary RGB) — decode + encode.
+- **WAV** (RIFF PCM, 8/16-bit) — decode + encode via the stdlib ``wave``
+  module.
+- **RAWV** — a minimal frame-concatenated raw-RGB video container
+  (16-byte header ``b"RAWV" + u16 w + u16 h + u16 fps + u16 n_frames +
+  4 pad`` followed by n_frames * h * w * 3 RGB bytes).  Raw frame dumps
+  are a standard interchange format for training pipelines; this gives
+  the frame-sampling operator a genuinely decodable input.
+
+PIL, when importable, extends image decode to whatever it supports; the
+dispatcher sniffs magic bytes, so callers never name a format.
+
+All decoders return numpy arrays; all encoders are deterministic
+byte-for-byte, so test fixtures and DuckDB oracles can recompute expected
+statistics from the generator formula alone.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+
+import numpy as np
+
+try:  # optional: compressed image formats
+    from PIL import Image as _PILImage  # type: ignore
+except Exception:  # pragma: no cover - container has no PIL
+    _PILImage = None
+
+
+# ---------------------------------------------------------------------------
+# BMP (24-bit uncompressed BI_RGB)
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Encode an HxWx3 uint8 RGB array as a 24-bit uncompressed BMP."""
+    img = np.asarray(img, dtype=np.uint8)
+    h, w, c = img.shape
+    if c != 3:
+        raise ValueError("encode_bmp expects HxWx3 RGB")
+    row_size = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+    pixel_bytes = row_size * h
+    # BMP stores BGR, bottom-up
+    bgr = img[::-1, :, ::-1]
+    rows = bytearray()
+    pad = bytes(row_size - w * 3)
+    for r in range(h):
+        rows += bgr[r].tobytes() + pad
+    header = struct.pack("<2sIHHI", b"BM", 54 + pixel_bytes, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, pixel_bytes, 2835, 2835, 0, 0)
+    return header + info + bytes(rows)
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Decode a 24-bit uncompressed BMP into an HxWx3 uint8 RGB array."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (offset,) = struct.unpack_from("<I", data, 10)
+    hdr_size, w, h = struct.unpack_from("<Iii", data, 14)
+    planes, bpp = struct.unpack_from("<HH", data, 26)
+    (compression,) = struct.unpack_from("<I", data, 30)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    bottom_up = h > 0
+    h = abs(h)
+    row_size = (w * 3 + 3) & ~3
+    arr = np.frombuffer(data, dtype=np.uint8, count=row_size * h, offset=offset)
+    arr = arr.reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        arr = arr[::-1]
+    return arr[:, :, ::-1].copy()  # BGR -> RGB
+
+
+# ---------------------------------------------------------------------------
+# PPM (P6 binary)
+# ---------------------------------------------------------------------------
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    img = np.asarray(img, dtype=np.uint8)
+    h, w, c = img.shape
+    if c != 3:
+        raise ValueError("encode_ppm expects HxWx3 RGB")
+    return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    if data[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    # parse up to 3 whitespace-separated header tokens, skipping comments
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(data[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    arr = np.frombuffer(data, dtype=np.uint8, count=h * w * 3, offset=pos)
+    return arr.reshape(h, w, 3).copy()
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF PCM) via stdlib wave
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Encode int16 mono/stereo PCM samples ((n,) or (n, ch)) as WAV."""
+    samples = np.asarray(samples, dtype=np.int16)
+    ch = 1 if samples.ndim == 1 else samples.shape[1]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(ch)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode PCM WAV -> (float64 samples in [-1, 1] shaped (n, ch), rate)."""
+    with wave.open(io.BytesIO(data), "rb") as wf:
+        ch, width, rate, n = (
+            wf.getnchannels(),
+            wf.getsampwidth(),
+            wf.getframerate(),
+            wf.getnframes(),
+        )
+        raw = wf.readframes(n)
+    if width == 2:
+        arr = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:
+        arr = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported sample width {width}")
+    return arr.reshape(-1, ch), rate
+
+
+# ---------------------------------------------------------------------------
+# RAWV (concatenated raw RGB frames)
+# ---------------------------------------------------------------------------
+
+_RAWV_MAGIC = b"RAWV"
+
+
+def encode_rawv(frames: np.ndarray, fps: int = 10) -> bytes:
+    """Encode an (n, h, w, 3) uint8 array as a RAWV container."""
+    frames = np.asarray(frames, dtype=np.uint8)
+    n, h, w, c = frames.shape
+    if c != 3:
+        raise ValueError("encode_rawv expects (n, h, w, 3)")
+    header = _RAWV_MAGIC + struct.pack("<HHHH4x", w, h, fps, n)
+    return header + frames.tobytes()
+
+
+def decode_rawv(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode RAWV -> ((n, h, w, 3) uint8 frames, fps)."""
+    if data[:4] != _RAWV_MAGIC:
+        raise ValueError("not a RAWV container")
+    w, h, fps, n = struct.unpack_from("<HHHH", data, 4)
+    arr = np.frombuffer(data, dtype=np.uint8, count=n * h * w * 3, offset=16)
+    return arr.reshape(n, h, w, 3).copy(), fps
+
+
+# ---------------------------------------------------------------------------
+# sniffing dispatcher
+# ---------------------------------------------------------------------------
+
+
+def sniff_media_format(data: bytes) -> str:
+    """Identify a payload by magic bytes: bmp|ppm|wav|rawv|png|jpeg|unknown."""
+    if data is None or len(data) < 4:
+        return "unknown"
+    if data[:2] == b"BM":
+        return "bmp"
+    if data[:2] == b"P6":
+        return "ppm"
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return "wav"
+    if data[:4] == _RAWV_MAGIC:
+        return "rawv"
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if data[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    return "unknown"
+
+
+def decode_image_any(data: bytes) -> np.ndarray:
+    """Decode any supported image payload to HxWx3 uint8 RGB.
+
+    BMP/PPM decode natively (numpy); PNG/JPEG require PIL and raise
+    NotImplementedError when it is absent (the container default).
+    """
+    fmt = sniff_media_format(data)
+    if fmt == "bmp":
+        return decode_bmp(data)
+    if fmt == "ppm":
+        return decode_ppm(data)
+    if fmt in ("png", "jpeg"):
+        if _PILImage is None:
+            raise NotImplementedError(
+                f"{fmt} decode requires PIL (not installed); "
+                "use BMP/PPM payloads or install pillow"
+            )
+        img = _PILImage.open(io.BytesIO(data)).convert("RGB")
+        return np.asarray(img, dtype=np.uint8)
+    raise ValueError(f"unsupported image payload (sniffed {fmt!r})")
+
+
+def pil_available() -> bool:
+    return _PILImage is not None
+
+
+def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Deterministic nearest-neighbor resize (pure numpy index math)."""
+    h, w = img.shape[:2]
+    rows = (np.arange(height) * h) // height
+    cols = (np.arange(width) * w) // width
+    return img[rows][:, cols]

@@ -62,6 +62,7 @@ def _ensure_registered() -> None:
         "inferdb_spark.gate_dss2",
         "inferdb_spark.gate_sketch",
         "inferdb_spark.gate_stats",
+        "inferdb_spark.gate_media",
     ):
         try:
             importlib.import_module(mod)
@@ -69,14 +70,27 @@ def _ensure_registered() -> None:
             pass
 
 
+# Names listed here are emitted FIRST by queries()/oracle_sql().  The driver
+# hash-checks only the first 50 declared queries per round, so each round's
+# newest / least-previously-driver-checked gates go here (the full registry is
+# still verified locally by tools/verify_local.py).
+_PRIORITY: list[str] = []
+
+
+def _reordered(d: dict) -> dict:
+    head = {k: d[k] for k in _PRIORITY if k in d}
+    head.update((k, v) for k, v in d.items() if k not in head)
+    return head
+
+
 def queries() -> dict[str, QueryFn]:
     _ensure_registered()
-    return dict(_QUERIES)
+    return _reordered(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
     _ensure_registered()
-    return dict(_ORACLES)
+    return _reordered(_ORACLES)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -1,0 +1,279 @@
+"""Optimal supervised binning — the optbinning-grade path (SURVEY.md §7.2).
+
+The reference fits `optbinning.OptimalBinning` / `ContinuousOptimalBinning`
+per feature (/root/reference/src/encoder.py:35-97): CART-style pre-binning,
+then an optimal merge under a monotonic-trend constraint (classification
+maximizes IV, regression minimizes within-bin variance).  Round 1 shipped
+a greedy adjacent-merge stand-in (binning.py:fit_supervised_bins); this
+module closes the quality gap with an EXACT segmentation:
+
+- *fit* stays fully distributed: quantile pre-binning (Spark exact
+  percentile) + ONE groupBy producing <= pre_bins rows of sufficient
+  statistics (n, sum_y, sum_y2, n_pos) — table size never touches the
+  driver;
+- the driver then solves the optimal contiguous-partition problem exactly
+  by dynamic programming over those aggregates: O(P^2 * K) states/
+  transitions with interval costs from prefix sums (P = pre_bins <= 64,
+  K = max_bins <= 16 — microseconds);
+- objective: regression = minimal total within-bin SSE (what
+  ContinuousOptimalBinning's variance criterion targets); classification =
+  maximal Information Value (OptimalBinning's default);
+- constraints mirrored from optbinning: minimum bin support
+  (`min_frac`), and a monotonic bin-mean / event-rate trend with
+  'auto' direction chosen by the support-weighted sign of the
+  prebin-level trend (optbinning's monotonic_trend='auto_heuristic').
+
+Exactness: for the chosen K and the given pre-bins, no partition has
+lower SSE / higher IV (property-tested against brute-force enumeration in
+tests/test_binning_quality.py).  tests also measure end-model quality
+(index RMSLE / accuracy) greedy vs optimal on the creditcard-like and
+pm25-like fixtures; deltas recorded in BINNING_QUALITY.md.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from inferdb_spark.operators.binning import BinSpec, fit_quantile_bins
+
+
+@dataclass
+class _PrebinStats:
+    """Sufficient statistics per observed pre-bin, ordered by bin id."""
+
+    ids: list[int]
+    n: list[int]
+    sum_y: list[float]
+    sum_y2: list[float]
+    n_pos: list[int]
+
+
+def _collect_prebin_stats(
+    df: DataFrame, pre: BinSpec, target: str
+) -> _PrebinStats:
+    rows = (
+        df.select(pre.expr().alias("b"), F.col(target).cast("double").alias("y"))
+        .groupBy("b")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("y") * F.col("y")).alias("sy2"),
+            F.sum(F.when(F.col("y") > 0, 1).otherwise(0)).alias("np"),
+        )
+        .orderBy("b")
+        .collect()
+    )
+    return _PrebinStats(
+        ids=[r.b for r in rows],
+        n=[r.n for r in rows],
+        sum_y=[float(r.sy) for r in rows],
+        sum_y2=[float(r.sy2) for r in rows],
+        n_pos=[int(r.np) for r in rows],
+    )
+
+
+def _auto_trend(stats: _PrebinStats, task: str) -> int:
+    """+1 ascending, -1 descending: support-weighted slope sign of the
+    prebin means (auto_heuristic analog)."""
+    means = []
+    for i in range(len(stats.ids)):
+        if task == "classification":
+            means.append(stats.n_pos[i] / stats.n[i] if stats.n[i] else 0.0)
+        else:
+            means.append(stats.sum_y[i] / stats.n[i] if stats.n[i] else 0.0)
+    w = stats.n
+    tot = sum(w) or 1
+    xbar = sum(i * w[i] for i in range(len(w))) / tot
+    ybar = sum(means[i] * w[i] for i in range(len(w))) / tot
+    slope = sum(w[i] * (i - xbar) * (means[i] - ybar) for i in range(len(w)))
+    return 1 if slope >= 0 else -1
+
+
+def _segment_cost_sse(stats: _PrebinStats):
+    """cost(i, j) = within-segment SSE of prebins i..j via prefix sums."""
+    import itertools
+
+    P = len(stats.ids)
+    cn = [0] + list(itertools.accumulate(stats.n))
+    cy = [0.0] + list(itertools.accumulate(stats.sum_y))
+    cy2 = [0.0] + list(itertools.accumulate(stats.sum_y2))
+
+    def cost(i: int, j: int) -> float:
+        n = cn[j + 1] - cn[i]
+        if n == 0:
+            return 0.0
+        sy = cy[j + 1] - cy[i]
+        sy2 = cy2[j + 1] - cy2[i]
+        return max(0.0, sy2 - sy * sy / n)
+
+    def mean(i: int, j: int) -> float:
+        n = cn[j + 1] - cn[i]
+        return (cy[j + 1] - cy[i]) / n if n else 0.0
+
+    def support(i: int, j: int) -> int:
+        return cn[j + 1] - cn[i]
+
+    return P, cost, mean, support
+
+
+def _segment_gain_iv(stats: _PrebinStats):
+    """gain(i, j) = IV contribution of a bin spanning prebins i..j.
+
+    IV_bin = (p - q) * ln(p/q), p = pos share, q = neg share, with 0.5
+    Laplace smoothing on empty cells (optbinning's convention)."""
+    import itertools
+
+    P = len(stats.ids)
+    cn = [0] + list(itertools.accumulate(stats.n))
+    cp = [0] + list(itertools.accumulate(stats.n_pos))
+    tot_pos = cp[-1]
+    tot_neg = cn[-1] - tot_pos
+
+    def gain(i: int, j: int) -> float:
+        n = cn[j + 1] - cn[i]
+        pos = cp[j + 1] - cp[i]
+        neg = n - pos
+        p = (pos if pos > 0 else 0.5) / max(tot_pos, 1)
+        q = (neg if neg > 0 else 0.5) / max(tot_neg, 1)
+        return (p - q) * math.log(p / q)
+
+    def mean(i: int, j: int) -> float:
+        n = cn[j + 1] - cn[i]
+        return (cp[j + 1] - cp[i]) / n if n else 0.0
+
+    def support(i: int, j: int) -> int:
+        return cn[j + 1] - cn[i]
+
+    return P, gain, mean, support
+
+
+def _solve_partition(
+    P: int,
+    k: int,
+    value,
+    mean,
+    support,
+    minimize: bool,
+    min_support: int,
+    trend: int | None,
+) -> tuple[float, list[int]] | None:
+    """Exact DP over contiguous partitions of prebins 0..P-1 into <= k
+    segments.  State dp[j][i] = best objective for prebins 0..j with the
+    LAST segment being i..j (the segment identity is the state, so the
+    monotonic-mean constraint between consecutive segments is checkable
+    exactly).  Returns (objective, segment-end indices) or None if no
+    partition satisfies the constraints.
+    """
+    sign = 1.0 if minimize else -1.0
+
+    # dp[j] maps state (last_start, n_segments) -> (cost, parent_state);
+    # segment count is part of the state so a cheaper-but-longer partition
+    # can never shadow a feasible shorter one under the <=k cap
+    dp: list[dict[tuple[int, int], tuple[float, tuple[int, int] | None]]] = [
+        dict() for _ in range(P)
+    ]
+    for j in range(P):
+        for i in range(j + 1):
+            if support(i, j) < min_support:
+                continue
+            v = sign * value(i, j)
+            if i == 0:
+                st = (0, 1)
+                if st not in dp[j] or v < dp[j][st][0]:
+                    dp[j][st] = (v, None)
+                continue
+            m = mean(i, j)
+            for (pstart, pk), (pc, _pp) in dp[i - 1].items():
+                if pk + 1 > k:
+                    continue
+                if trend is not None:
+                    pm = mean(pstart, i - 1)
+                    if trend > 0 and m < pm:
+                        continue
+                    if trend < 0 and m > pm:
+                        continue
+                st = (i, pk + 1)
+                cand = pc + v
+                if st not in dp[j] or cand < dp[j][st][0]:
+                    dp[j][st] = (cand, (pstart, pk))
+    if not dp[P - 1]:
+        return None
+    # best terminal state over any segment count <= k
+    st, (c, _parent) = min(dp[P - 1].items(), key=lambda kv: kv[1][0])
+    # backtrack segment boundaries
+    ends = []
+    j = P - 1
+    while True:
+        ends.append(j)
+        cost_entry = dp[j][st]
+        if cost_entry[1] is None:
+            break
+        j, st = st[0] - 1, cost_entry[1]
+    ends.reverse()
+    return sign * c, ends
+
+
+def fit_optimal_bins(
+    df: DataFrame,
+    column: str,
+    target: str,
+    task: str = "regression",
+    max_bins: int = 8,
+    pre_bins: int = 64,
+    min_frac: float = 0.01,
+    monotonic: str | int | None = "auto",
+) -> BinSpec:
+    """Fit optbinning-semantics optimal bins, fully scalable.
+
+    task='regression' minimizes within-bin SSE (ContinuousOptimalBinning);
+    task='classification' maximizes IV (OptimalBinning).  monotonic:
+    'auto' picks the trend direction heuristically, +1/-1 force it, None
+    drops the constraint.  Falls back to the unconstrained optimum if the
+    monotone problem is infeasible under the support constraint (again
+    matching optbinning, which relaxes before failing).
+    """
+    pre = fit_quantile_bins(df, column, pre_bins)
+    if not pre.splits:
+        return pre
+    stats = _collect_prebin_stats(df, pre, target)
+    if len(stats.ids) <= 1:
+        return BinSpec(column=column, kind="numeric", splits=[])
+
+    if task == "classification":
+        P, value, mean, support = _segment_gain_iv(stats)
+        minimize = False
+    else:
+        P, value, mean, support = _segment_cost_sse(stats)
+        minimize = True
+
+    trend: int | None
+    if monotonic == "auto":
+        trend = _auto_trend(stats, task)
+    elif monotonic in (1, -1):
+        trend = int(monotonic)
+    else:
+        trend = None
+
+    total = sum(stats.n)
+    min_support = max(1, int(math.ceil(min_frac * total)))
+
+    sol = _solve_partition(P, max_bins, value, mean, support, minimize, min_support, trend)
+    if sol is None and trend is not None:  # relax monotonicity
+        sol = _solve_partition(P, max_bins, value, mean, support, minimize, min_support, None)
+    if sol is None:  # relax support
+        sol = _solve_partition(P, max_bins, value, mean, support, minimize, 1, None)
+    assert sol is not None  # k>=1 single segment is always feasible
+    _, ends = sol
+    # segment end t (observed-prebin position) -> boundary after prebin id
+    # stats.ids[t]; pre.splits index == that prebin id (bin i upper edge is
+    # splits[i]) — identical mapping to fit_supervised_bins
+    splits = [
+        pre.splits[stats.ids[t]]
+        for t in ends[:-1]
+        if stats.ids[t] < len(pre.splits)
+    ]
+    return BinSpec(column=column, kind="numeric", splits=sorted(set(splits)))

@@ -95,13 +95,107 @@ def test_multimodal_feature_extraction_fake(spark):
     )
 
 
-def test_multimodal_decode_stub_raises_without_fake(spark):
+def test_multimodal_undecodable_payload_raises(spark):
     import pytest
 
+    # synthesize_media_table payloads are raw bytes, not a decodable format
     media = MM.synthesize_media_table(spark, 4)
     with pytest.raises(Exception) as ei:
         MM.extract_image_features(media, fake=False).collect()
-    assert "NotImplementedError" in str(ei.value) or "real image decode" in str(ei.value)
+    assert "unsupported image payload" in str(ei.value)
+
+
+def test_multimodal_compressed_needs_optional_dep(spark):
+    """PNG payloads decode via PIL when importable; otherwise the
+    NotImplementedError fallback names the missing dependency."""
+    from inferdb_spark.functions import media_codecs as MC
+
+    png_stub = b"\x89PNG\r\n\x1a\n" + bytes(64)
+    if MC.pil_available():  # real PIL would fail on the stub body, skip
+        return
+    import pytest
+
+    media = spark.createDataFrame(
+        [(0, "image", png_stub, (1, 1, None, None, "png"))], MM.MEDIA_SCHEMA
+    )
+    with pytest.raises(Exception) as ei:
+        MM.extract_image_features(media, fake=False).collect()
+    assert "requires PIL" in str(ei.value)
+
+
+def test_multimodal_real_image_decode(spark):
+    """BMP/PPM payloads decode for REAL: stats match local numpy decode."""
+    import numpy as np
+    from inferdb_spark.functions import media_codecs as MC
+    from inferdb_spark.operators.multimodal import _formula_dims, _formula_image
+
+    ids = spark.range(24).withColumnRenamed("id", "content_id")
+    for kind in ("bmp", "ppm"):
+        media = MM.synthesize_real_media(spark, ids, kind=kind)
+        rows = {r.content_id: r for r in MM.image_stats(media).collect()}
+        assert len(rows) == 24
+        for cid in range(24):
+            w, h = _formula_dims(cid)
+            img = _formula_image(cid, w, h)
+            r = rows[cid]
+            assert (r.width, r.height, r.fmt) == (w, h, kind)
+            np.testing.assert_allclose(
+                [r.mean_r, r.mean_g, r.mean_b],
+                img.reshape(-1, 3).mean(axis=0),
+                rtol=1e-12,
+            )
+
+
+def test_multimodal_real_audio_decode(spark):
+    ids = spark.range(16).withColumnRenamed("id", "content_id")
+    media = MM.synthesize_real_media(spark, ids, kind="wav")
+    rows = {r.content_id: r for r in MM.audio_stats(media).collect()}
+    for cid in range(16):
+        r = rows[cid]
+        assert r.sample_rate == 16000 and r.n_channels == 1
+        assert r.n_samples == 800 + (cid % 5) * 160
+        assert r.duration_ms == r.n_samples * 1000 // 16000
+        assert r.rms > 0 and r.zero_crossings > 0
+
+
+def test_multimodal_real_video_frames(spark):
+    import pyspark.sql.functions as F
+
+    ids = spark.range(12).withColumnRenamed("id", "content_id")
+    media = MM.synthesize_real_media(spark, ids, kind="rawv").withColumn(
+        "meta",
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(0).cast("long").alias("duration_ms"),
+            F.lit("rawv").alias("codec"),
+        ),
+    )
+    frames = MM.sample_video_frames(media, every_ms=100).collect()  # stride 1
+    per = {}
+    for r in frames:
+        per.setdefault(r.content_id, []).append(r)
+    for cid in range(12):
+        n_frames = 4 + cid % 5
+        assert len(per[cid]) == n_frames  # every frame sampled at stride 1
+        assert sorted(r.frame_idx for r in per[cid]) == list(range(n_frames))
+        assert all(r.frame_px_sum > 0 for r in per[cid])
+
+
+def test_multimodal_real_resize_roundtrip(spark):
+    import numpy as np
+    from inferdb_spark.functions import media_codecs as MC
+    from inferdb_spark.operators.multimodal import _formula_dims, _formula_image
+
+    ids = spark.range(10).withColumnRenamed("id", "content_id")
+    media = MM.synthesize_real_media(spark, ids, kind="bmp")
+    out = {r.content_id: r for r in MM.resize_images(media, 8, 6).collect()}
+    for cid in range(10):
+        w, h = _formula_dims(cid)
+        expect = MC.resize_nearest(_formula_image(cid, w, h), 8, 6)
+        got = MC.decode_bmp(bytes(out[cid].payload))
+        assert np.array_equal(got, expect)
 
 
 def test_multimodal_frame_sampling(spark):
