@@ -63,6 +63,7 @@ def _ensure_registered() -> None:
         "inferdb_spark.gate_sketch",
         "inferdb_spark.gate_stats",
         "inferdb_spark.gate_media",
+        "inferdb_spark.gate_quality",
     ):
         try:
             importlib.import_module(mod)

@@ -170,10 +170,32 @@ def _solve_partition(
     """
     sign = 1.0 if minimize else -1.0
 
-    # dp[j] maps state (last_start, n_segments) -> (cost, parent_state);
+    def _phase_step(tr, phase: int, pm: float, m: float) -> int | None:
+        """Next phase given previous/current segment means, or None if the
+        transition violates the trend.  Monotone trends are single-phase;
+        'peak' = non-decreasing then non-increasing, 'valley' = mirror
+        (optbinning auto_heuristic's unimodal shapes)."""
+        if tr is None:
+            return 0
+        if tr == 1:
+            return 0 if m >= pm else None
+        if tr == -1:
+            return 0 if m <= pm else None
+        if tr == "peak":
+            if phase == 0:
+                return 0 if m >= pm else 1
+            return 1 if m <= pm else None
+        if tr == "valley":
+            if phase == 0:
+                return 0 if m <= pm else 1
+            return 1 if m >= pm else None
+        raise ValueError(tr)
+
+    # dp[j] maps state (last_start, n_segments, phase) -> (cost, parent);
     # segment count is part of the state so a cheaper-but-longer partition
-    # can never shadow a feasible shorter one under the <=k cap
-    dp: list[dict[tuple[int, int], tuple[float, tuple[int, int] | None]]] = [
+    # can never shadow a feasible shorter one under the <=k cap; phase
+    # tracks which leg of a unimodal trend the partition is on
+    dp: list[dict[tuple[int, int, int], tuple[float, tuple[int, int, int] | None]]] = [
         dict() for _ in range(P)
     ]
     for j in range(P):
@@ -182,27 +204,24 @@ def _solve_partition(
                 continue
             v = sign * value(i, j)
             if i == 0:
-                st = (0, 1)
+                st = (0, 1, 0)
                 if st not in dp[j] or v < dp[j][st][0]:
                     dp[j][st] = (v, None)
                 continue
             m = mean(i, j)
-            for (pstart, pk), (pc, _pp) in dp[i - 1].items():
+            for (pstart, pk, pph), (pc, _pp) in dp[i - 1].items():
                 if pk + 1 > k:
                     continue
-                if trend is not None:
-                    pm = mean(pstart, i - 1)
-                    if trend > 0 and m < pm:
-                        continue
-                    if trend < 0 and m > pm:
-                        continue
-                st = (i, pk + 1)
+                ph = _phase_step(trend, pph, mean(pstart, i - 1), m)
+                if ph is None:
+                    continue
+                st = (i, pk + 1, ph)
                 cand = pc + v
                 if st not in dp[j] or cand < dp[j][st][0]:
-                    dp[j][st] = (cand, (pstart, pk))
+                    dp[j][st] = (cand, (pstart, pk, pph))
     if not dp[P - 1]:
         return None
-    # best terminal state over any segment count <= k
+    # best terminal state over any segment count <= k / either phase
     st, (c, _parent) = min(dp[P - 1].items(), key=lambda kv: kv[1][0])
     # backtrack segment boundaries
     ends = []
@@ -250,19 +269,27 @@ def fit_optimal_bins(
         P, value, mean, support = _segment_cost_sse(stats)
         minimize = True
 
-    trend: int | None
-    if monotonic == "auto":
-        trend = _auto_trend(stats, task)
-    elif monotonic in (1, -1):
-        trend = int(monotonic)
-    else:
-        trend = None
-
     total = sum(stats.n)
     min_support = max(1, int(math.ceil(min_frac * total)))
 
-    sol = _solve_partition(P, max_bins, value, mean, support, minimize, min_support, trend)
-    if sol is None and trend is not None:  # relax monotonicity
+    if monotonic == "auto":
+        # auto_heuristic: best feasible unimodal shape by objective.  Peak
+        # subsumes ascending (empty falling leg) and valley subsumes
+        # descending, so {peak, valley} covers all four monotone shapes.
+        candidates: list = ["peak", "valley"]
+    elif monotonic in (1, -1):
+        candidates = [int(monotonic)]
+    else:
+        candidates = [None]
+
+    sols = [
+        s
+        for t in candidates
+        if (s := _solve_partition(P, max_bins, value, mean, support, minimize, min_support, t))
+        is not None
+    ]
+    sol = (min if minimize else max)(sols, key=lambda s: s[0]) if sols else None
+    if sol is None and candidates != [None]:  # relax monotonicity
         sol = _solve_partition(P, max_bins, value, mean, support, minimize, min_support, None)
     if sol is None:  # relax support
         sol = _solve_partition(P, max_bins, value, mean, support, minimize, 1, None)

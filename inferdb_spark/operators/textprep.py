@@ -138,6 +138,53 @@ def rolling_fingerprint(text_col: Column, base: int = 257, p: int = 1000000007) 
     )
 
 
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD'03)
+    over character k-grams.
+
+    Semantics (fixed, engine-portable): hash every k-gram of the
+    normalized text (52-bit md5-prefix hash); a position is SELECTED iff
+    its hash equals the minimum over the trailing window of w consecutive
+    k-gram hashes ending at that position; emit DISTINCT (id, hash) over
+    selected positions.  Every w-window contributes at least one selected
+    hash (the guarantee that makes winnowing a valid local sketch), and
+    selection depends only on values — shuffle-order independent.
+
+    Plan shape: posexplode (narrow) -> window min per document (one
+    shuffle on id) -> distinct.  At 100 TB the state per task is one
+    document's k-gram stream; no cross-document data movement until the
+    final distinct on (id, hash) — constant-width keys.
+    """
+    from pyspark.sql.window import Window
+
+    from inferdb_spark.functions.hashing import h52
+    from inferdb_spark.functions.text import normalize
+
+    norm = normalize(F.col(text_col))
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length({'_norm'}) - {k - 1}, 0)),"
+        f" i -> substring({'_norm'}, i, {k}))"
+    )
+    exploded = (
+        df.select(F.col(id_col).alias("id"), norm.alias("_norm"))
+        .filter(F.length("_norm") >= k)
+        .select("id", F.posexplode(grams).alias("pos", "gram"))
+        .select("id", "pos", h52(F.col("gram")).alias("h"))
+    )
+    trail = Window.partitionBy("id").orderBy("pos").rowsBetween(-(w - 1), 0)
+    sel = exploded.withColumn("wmin", F.min("h").over(trail)).filter(
+        F.col("h") == F.col("wmin")
+    )
+    return sel.select(F.col("id").alias(id_col), F.col("h").alias("fingerprint")).distinct()
+
+
 def build_vocab(
     df: DataFrame, text_col: str = "text", min_count: int = 1
 ) -> DataFrame:
