@@ -74,8 +74,33 @@ def _ensure_registered() -> None:
 # Names listed here are emitted FIRST by queries()/oracle_sql().  The driver
 # hash-checks only the first 50 declared queries per round, so each round's
 # newest / least-previously-driver-checked gates go here (the full registry is
-# still verified locally by tools/verify_local.py).
-_PRIORITY: list[str] = []
+# still verified locally by tools/verify_local.py).  Round 2: the 9 new gates
+# (media decode, quality/stats), the two round-1-tail gates (knn_regress,
+# connected_components_star), then a rotation of gates the round-1 driver
+# window never hash-checked (it covered gate.py + gate_prep + 4 gate_ml).
+_PRIORITY: list[str] = [
+    # round-2 new
+    "media_image_decode", "media_resize_roundtrip", "media_audio_decode",
+    "media_video_frames", "isotonic_calibration", "winnowing_fingerprints",
+    "weighted_median", "ks_statistic", "regression_metrics",
+    # round-1 tail (never driver-checked)
+    "knn_regress", "connected_components_star",
+    # rotation: pass-V-only families from round 1
+    "route_agg_join", "pca_projection", "outlier_impute",
+    "index_score_classification", "query_integration_lr", "featurizer_chain",
+    "window_rownumber", "rolling_window_avg", "union_distinct",
+    "query_integration", "auc_rank_sum", "benford_first_digit",
+    "calibration_bins", "target_encode_loo", "grouped_ols_slope",
+    "exact_quantiles", "cooccurrence_pmi", "embedding_near_pairs",
+    "regexp_extract_parse", "not_in_null_semantics", "lead_lag_deltas",
+    "asof_join_rates", "interval_join_counts", "sessionize_events",
+    "funnel_stages", "cohort_retention", "resample_daily_ffill",
+    "stream_windowed_agg", "session_window_batch",
+    "connected_components", "decimal_exact_money", "triangle_count",
+    "hof_battery", "kmv_distinct_sketch", "bloom_prejoin_filter",
+    "cms_term_frequency", "pagerank_supplier_part",
+    "spearman_rank_corr", "mutual_information",
+]
 
 
 def _reordered(d: dict) -> dict:
