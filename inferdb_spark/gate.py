@@ -80,6 +80,7 @@ def _ensure_registered() -> None:
 # window never hash-checked (it covered gate.py + gate_prep + 4 gate_ml).
 _PRIORITY: list[str] = [
     # round-2 new
+    "gbt_grad_histogram", "gbt_train_predict",
     "media_image_decode", "media_resize_roundtrip", "media_audio_decode",
     "media_video_frames", "isotonic_calibration", "winnowing_fingerprints",
     "weighted_median", "ks_statistic", "regression_metrics",

@@ -15,6 +15,7 @@ from inferdb_spark.catalog import load_table
 from inferdb_spark.gate import gate
 from inferdb_spark.operators import cluster as CL
 from inferdb_spark.operators import linreg as LR
+from inferdb_spark.operators import gbt_train as GT
 from inferdb_spark.operators import trees as T
 
 # dyadic thresholds and leaf values: comparisons and leaves are exact in
@@ -169,3 +170,70 @@ def q_covariance_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     fit_pca_exact; eigendecomposition is driver-side (pytest vs numpy)."""
     li = load_table(spark, sf_dir, "lineitem")
     return LR.moments_relation(li, PCA_COLS, 100)
+
+
+# ---------------------------------------------------------------------------
+# native histogram-GBT training (operators/gbt_train.py) — the in-database
+# boosted-tree TRAINER the reference gets from XGBoost-in-PG
+# (src/transpiler.py:2500-2753)
+
+GBT_FEATS = ["l_quantity", "l_discount", "l_tax"]
+# fixed dyadic-ish edges: exact in both engines, so the histogram gate
+# needs no quantile agreement between Spark and DuckDB
+GBT_EDGES = {
+    "l_quantity": [10.0, 20.0, 30.0, 40.0],
+    "l_discount": [0.02, 0.04, 0.06, 0.08],
+    "l_tax": [0.02, 0.04, 0.06],
+}
+GBT_BASE_SCORE = 500.0
+
+
+@gate(
+    "gbt_grad_histogram",
+    oracle=GT.gradient_histogram_sql(
+        GBT_FEATS, "l_extendedprice", GBT_EDGES, GBT_BASE_SCORE
+    ),
+)
+def q_gbt_grad_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One tree level of distributed GBT training: per-(feature, bin)
+    integer-quantized gradient/hessian sums (operators/gbt_train.
+    gradient_histogram).  This IS the aggregation fit_hist_gbt ships
+    through the shuffle each level — features x bins output rows whatever
+    the input size, map-side combined, bit-deterministic (BIGINT sums).
+    The XGBoost `hist` inner loop as a relation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return GT.gradient_histogram(
+        li, GBT_FEATS, "l_extendedprice", GBT_EDGES, GBT_BASE_SCORE
+    ).select(
+        "feature",
+        F.col("bin").cast("int").alias("bin"),
+        F.col("grad_sum_q").cast("long").alias("grad_sum_q"),
+        F.col("hess_sum_q").cast("long").alias("hess_sum_q"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+    )
+
+
+@gate("gbt_train_predict")  # training is not SQL-expressible: rows-only gate;
+# bit-exact algorithm parity is pinned by tests/test_gbt_train.py (Spark fit
+# == numpy twin, partitioning-invariant)
+def q_gbt_train_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end native GBT training (operators/gbt_train.fit_hist_gbt):
+    3 rounds x depth 2 on lineitem, then the fitted ensemble burned into
+    a CASE WHEN projection (operators/trees.gbt_expression) — train AND
+    score without a row ever leaving the cluster."""
+    li = load_table(spark, sf_dir, "lineitem")
+    model = GT.fit_hist_gbt(
+        li,
+        GBT_FEATS,
+        "l_extendedprice",
+        objective="squared",
+        n_trees=3,
+        max_depth=2,
+        edges=GBT_EDGES,
+        base_score=GBT_BASE_SCORE,
+        learning_rate=0.5,
+    )
+    return li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("row_id"),
+        F.round(model.expression(), 6).cast("double").alias("prediction"),
+    )
