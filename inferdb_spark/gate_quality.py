@@ -336,3 +336,115 @@ def q_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction + CCNet-style paragraph dedup (operators/textprep.py).
+# The synthetic documents table carries no PII and no paragraph breaks, so
+# each gate deterministically injects structure IN-QUERY — the identical
+# injection expression on both engines (shared-literal rule); the operator
+# under test is the regex/dedup machinery, not the injection.
+# ---------------------------------------------------------------------------
+
+from inferdb_spark.operators import textprep as TP
+
+# doc_id-derived fake PII: email, phone (555-xxx-xxxx), and an IPv4
+_PII_SPARK = F.concat(
+    F.col("text"),
+    F.lit(" Contact user"), F.col("doc_id").cast("string"),
+    F.lit("@mail.example.com or 555-"),
+    F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+    F.lit("-"),
+    F.lpad(((F.col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+    F.lit(" from 10."), (F.col("doc_id") % 256).cast("string"), F.lit(".0.1"),
+)
+_PII_SQL = (
+    "text || ' Contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail.example.com or 555-'"
+    " || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')"
+    " || '-'"
+    " || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')"
+    " || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'"
+)
+
+_pii_oracle_cols = TP.pii_redact_sql("t")
+
+
+@gate(
+    "pii_redaction",
+    oracle=f"""
+    WITH src AS (SELECT doc_id, {_PII_SQL} AS t FROM documents)
+    SELECT doc_id,
+           {_pii_oracle_cols['n_email']} AS n_email,
+           {_pii_oracle_cols['n_phone']} AS n_phone,
+           {_pii_oracle_cols['n_ipv4']} AS n_ipv4,
+           md5({_pii_oracle_cols['redacted']}) AS redacted_md5
+    FROM src
+    """,
+)
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan+mask over the corpus (operators/textprep.pii_redact):
+    pure regexp expressions, map-only, zero shuffle — the Dolma/CCNet
+    curation step at crawl scale.  Counts per kind + md5 of the redacted
+    text (exact redaction equality without shipping full text)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = TP.pii_redact(
+        docs.select("doc_id", _PII_SPARK.alias("text")), "text"
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_email"), F.col("n_phone"), F.col("n_ipv4"),
+        F.md5(F.col("redacted")).alias("redacted_md5"),
+    )
+
+
+# boilerplate header/footer shared by every document, delimited paragraphs
+_PARA_SPARK = F.concat(
+    F.lit("site nav menu home login ### "),
+    F.col("text"),
+    F.lit(" ### copyright footer all rights reserved"),
+)
+_PARA_SQL = (
+    "'site nav menu home login ### ' || text ||"
+    " ' ### copyright footer all rights reserved'"
+)
+
+
+@gate(
+    "paragraph_dedup_corpus",
+    oracle=f"""
+    WITH src AS (SELECT doc_id, {_PARA_SQL} AS t FROM documents),
+    split AS (SELECT doc_id, string_split(t, ' ### ') AS sp FROM src),
+    paras AS (
+        SELECT doc_id, unnest(sp) AS para,
+               unnest(range(len(sp))) AS pos
+        FROM split
+    ),
+    paras_ne AS (SELECT * FROM paras WHERE length(para) > 0),
+    ranked AS (
+        SELECT doc_id, para, pos,
+               row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rk
+        FROM paras_ne
+    )
+    SELECT doc_id,
+           md5(string_agg(para, ' ' ORDER BY pos)) AS cleaned_md5,
+           CAST(count(*) AS BIGINT) AS n_kept
+    FROM ranked WHERE rk = 1 GROUP BY doc_id
+    """,
+)
+def q_paragraph_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-wide paragraph dedup (operators/textprep.
+    paragraph_dedup): every doc shares injected header/footer boilerplate;
+    dedup keeps each distinct paragraph's first (doc_id, pos) instance
+    only, so exactly one doc retains the header and one the footer, and
+    every unique body survives.  Shuffle keys: paragraph (rank), doc_id
+    (reassemble) — the standard boilerplate-strip for a 100 TB crawl."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = TP.paragraph_dedup(
+        docs.select("doc_id", _PARA_SPARK.alias("text")), "doc_id", "text"
+    )
+    return out.select(
+        "doc_id",
+        F.md5(F.col("cleaned")).alias("cleaned_md5"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+    )

@@ -487,3 +487,105 @@ def decontaminate(
         corpus_id=corpus_id, text_col=text_col,
     ).select(corpus_id).distinct()
     return corpus.join(hits, corpus_id, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction (training-data hygiene; no reference analog —
+# the reference has no text pipeline at all, this extends the engine the
+# way CCNet/Dolma-style curation pipelines do)
+
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    # (kind, regex — identical semantics in Java regex and DuckDB RE2 —
+    #  replacement token)
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Count and mask emails / phone numbers / IPv4 addresses.
+
+    Pure regexp expressions (whole-stage codegen, no Python): one
+    `regexp_extract_all` per kind for the counts, then sequential
+    `regexp_replace` in a fixed order (email first — its domain part
+    would otherwise be re-matchable by the IP pattern).  Map-only: scales
+    to any corpus size with zero shuffle.
+    """
+    out = df
+    red = F.col(text_col)
+    for kind, pat, _tok in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{kind}",
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))).cast("int"),
+        )
+    for kind, pat, tok in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, tok)
+    return out.withColumn("redacted", red)
+
+
+def pii_redact_sql(text_expr: str) -> dict[str, str]:
+    """DuckDB twins: {n_<kind>: expr, redacted: expr} over `text_expr`
+    (shared-literal rule: same PII_PATTERNS drive both dialects)."""
+    out = {}
+    red = text_expr
+    for kind, pat, _tok in PII_PATTERNS:
+        out[f"n_{kind}"] = (
+            f"CAST(length(regexp_extract_all({text_expr}, '{pat}')) AS INT)"
+        )
+    for kind, pat, tok in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{tok}', 'g')"
+    out["redacted"] = red
+    return out
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level corpus dedup (CCNet-style: drop any paragraph already
+# seen elsewhere in the corpus, keeping the first occurrence)
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = " ### ",
+) -> DataFrame:
+    """Corpus-wide paragraph dedup, first occurrence wins.
+
+    CCNet (arXiv:1911.00359) dedups at paragraph granularity: hash every
+    paragraph, keep one copy corpus-wide.  Relationally: explode
+    paragraphs with position, rank instances of each distinct paragraph
+    by (id, pos), keep rank 1 *or* paragraphs unique to the doc, then
+    reassemble the surviving text in order.
+
+    Scale: the only shuffle keys are (paragraph) for the rank and (id)
+    for the reassembly — paragraph strings can be pre-hashed (h52) to
+    bound key width; the window is per-paragraph (tiny groups, no skew
+    beyond true boilerplate, which is exactly what AQE skew-split
+    handles).  This is how header/footer boilerplate is stripped from a
+    100 TB crawl.
+    """
+    from pyspark.sql.window import Window
+
+    paras = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_para"),
+    ).where(F.length("_para") > 0)
+    w = Window.partitionBy("_para").orderBy("_id", "_pos")
+    kept = paras.withColumn("_rk", F.row_number().over(w)).where(F.col("_rk") == 1)
+    return (
+        kept.groupBy("_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_pos", "_para"))
+                    ),
+                    lambda x: x["_para"],
+                ),
+                " ",
+            ).alias("cleaned"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+        .withColumnRenamed("_id", id_col)
+    )
