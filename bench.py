@@ -242,6 +242,12 @@ def main() -> None:
         "bloom_prejoin_filter",
         "cms_term_frequency",
         "bpe_token_count",
+        # round-2 additions: native GBT training (the distributed hist
+        # inner loop + a full 3-tree fit) and the curation ops
+        "gbt_grad_histogram",
+        "gbt_train_predict",
+        "pii_redaction",
+        "paragraph_dedup_corpus",
     ]:
         if name in gq:
             fn = gq[name]

@@ -179,6 +179,26 @@ def main() -> int:
          and p.count("Exchange hashpartitioning") == 2 and "Join" not in p),
     ])
 
+    audit("gbt_grad_histogram", [
+        ("two-phase aggregation (map-side partial histogram before the "
+         "shuffle: the property that bounds shuffle at O(nodes*F*bins))",
+         lambda p: p.count("HashAggregate") >= 2
+         and "Exchange hashpartitioning" in p),
+        ("no Python on executors (bin fold + quantize are codegen exprs)",
+         lambda p: "Python" not in p and "BatchEvalPython" not in p),
+    ])
+    audit("pii_redaction", [
+        ("map-only: regex scan+mask never shuffles",
+         lambda p: "Exchange" not in p and "Join" not in p),
+        ("no Python nodes", lambda p: "Python" not in p),
+    ])
+    audit("paragraph_dedup_corpus", [
+        ("exactly two shuffles: paragraph rank + doc reassembly",
+         lambda p: p.count("Exchange hashpartitioning") == 2),
+        ("first-occurrence via window rank, not a self-join",
+         lambda p: "Window" in p and "Join" not in p),
+    ])
+
     print("\n" + ("ALL PLAN CHECKS PASS" if failures == 0 else f"{failures} PLAN CHECKS FAILED"))
     return 1 if failures else 0
 
