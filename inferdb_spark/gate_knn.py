@@ -22,6 +22,10 @@ K_NEIGHBORS = 5
 # shared relational prep: integer-scaled features + label, train/test split.
 # probe side is tiny (l_orderkey % 2500 = 1) so the brute-force cross join
 # broadcasts it — the MADlib usage shape (small batch vs big train relation).
+# Train is 1% of orders: the gate proves exact neighbor semantics, and the
+# pair count stays scale-proportionate (sf1 = 2.4k probes x 60k train); the
+# brute-force operator is documented for the small-probe regime only — the
+# 100 TB path is knn_classify_ivf (partition-pruned shortlist).
 _KNN_BASE_SQL = """
     base AS (
       SELECT l_orderkey*10 + l_linenumber AS row_id,
@@ -34,7 +38,7 @@ _KNN_BASE_SQL = """
       FROM lineitem
     ),
     test  AS (SELECT * FROM base WHERE ok % 2500 = 1),
-    train AS (SELECT * FROM base WHERE ok % 5 = 0)
+    train AS (SELECT * FROM base WHERE ok % 100 = 0)
 """
 
 
@@ -50,7 +54,7 @@ def _knn_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
         F.col("l_orderkey").alias("ok"),
     )
     test = base.filter(F.col("ok") % 2500 == 1)
-    train = base.filter(F.col("ok") % 5 == 0)
+    train = base.filter(F.col("ok") % 100 == 0)
     return test, train
 
 
