@@ -335,11 +335,20 @@ def q_group_exact_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem")
     c = _cents("l_extendedprice")
-    return li.groupBy(F.col("l_returnflag").alias("rflag")).agg(
-        F.percentile(c, F.lit(0.25)).alias("p25"),
-        F.percentile(c, F.lit(0.5)).alias("p50"),
-        F.percentile(c, F.lit(0.75)).alias("p75"),
-        F.count("*").cast("long").alias("n"),
+    # ONE percentile agg with an array of fractions: a single sort buffer
+    # per group instead of three (3x less agg memory + sort work; was the
+    # heaviest non-iterative bench query before this)
+    qs = F.percentile(c, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return (
+        li.groupBy(F.col("l_returnflag").alias("rflag"))
+        .agg(qs.alias("_q"), F.count("*").cast("long").alias("n"))
+        .select(
+            "rflag",
+            F.col("_q")[0].alias("p25"),
+            F.col("_q")[1].alias("p50"),
+            F.col("_q")[2].alias("p75"),
+            "n",
+        )
     )
 
 

@@ -153,11 +153,17 @@ def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     share (n-1)*p linear interpolation; 6dp rounding absorbs FP noise."""
     li = load_table(spark, sf_dir, "lineitem")
     q = F.col("l_quantity").cast("double")
-    return li.groupBy(F.col("l_returnflag").alias("flag")).agg(
-        F.round(F.percentile(q, F.lit(0.25)), 6).alias("q25"),
-        F.round(F.percentile(q, F.lit(0.50)), 6).alias("q50"),
-        F.round(F.percentile(q, F.lit(0.75)), 6).alias("q75"),
-        F.count("*").alias("n"),
+    qs = F.percentile(q, F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75)))
+    return (
+        li.groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(qs.alias("_q"), F.count("*").alias("n"))
+        .select(
+            "flag",
+            F.round(F.col("_q")[0], 6).alias("q25"),
+            F.round(F.col("_q")[1], 6).alias("q50"),
+            F.round(F.col("_q")[2], 6).alias("q75"),
+            "n",
+        )
     )
 
 

@@ -274,8 +274,11 @@ def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_extendedprice") * F.lit(100.0)).cast("long").alias("c"),
     )
     bounds = cents.groupBy(F.col("returnflag").alias("bflag")).agg(
-        F.percentile(F.col("c"), F.lit(0.05)).alias("lo"),
-        F.percentile(F.col("c"), F.lit(0.95)).alias("hi"),
+        F.percentile(
+            F.col("c"), F.array(F.lit(0.05), F.lit(0.95))
+        ).alias("_b")
+    ).select(
+        "bflag", F.col("_b")[0].alias("lo"), F.col("_b")[1].alias("hi")
     )
     w = F.round(
         F.least(F.greatest(F.col("c").cast("double"), F.col("lo")), F.col("hi"))
