@@ -89,11 +89,19 @@ def scale_table(con, src_dir: str, out_dir: str, table: str, factor: int) -> Non
                        AS n_chars
             FROM '{src}', {copies}"""
     elif table == "embeddings":
+        # rotate the vector by copy_i positions: preserves the base copy's
+        # internal near-dup structure (so near-dup/ANN outputs scale
+        # LINEARLY with factor) while cross-copy cosines stay ~random.
+        # A "+eps*copy_i" perturbation instead would give every vector
+        # 9 near-identical twins (cosine ~ 1.0) — a pathological all-pairs
+        # density no real corpus has, which OOM'd the bucket self-join.
         sql = f"""
             SELECT vec_id + copy_i*{SHIFT} AS vec_id,
-                   CAST(list_transform(embedding,
-                        x -> x + CAST(copy_i AS FLOAT)*CAST(0.001 AS FLOAT))
-                        AS FLOAT[]) AS embedding,
+                   CAST(CASE WHEN copy_i = 0 THEN embedding ELSE
+                        list_concat(
+                            embedding[copy_i + 1 :],
+                            embedding[1 : copy_i]
+                        ) END AS FLOAT[]) AS embedding,
                    label
             FROM '{src}', {copies}"""
     else:

@@ -23,6 +23,12 @@ sys.path.insert(0, "/root/repo")
 
 def duck_run(sql: str, sf_dir: str) -> pd.DataFrame:
     con = duckdb.connect()
+    # bound the oracle's footprint: the Spark driver JVM shares this box,
+    # and an unbounded DuckDB join spill-to-RAM at sf1 can push the machine
+    # into the kernel OOM killer (observed on the embeddings self-join)
+    con.execute("SET memory_limit='16GB'")
+    con.execute("SET threads=8")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in [
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",
