@@ -348,16 +348,20 @@ def q_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from inferdb_spark.operators import textprep as TP
 
-# doc_id-derived fake PII: email, phone (555-xxx-xxxx), and an IPv4
-_PII_SPARK = F.concat(
-    F.col("text"),
-    F.lit(" Contact user"), F.col("doc_id").cast("string"),
-    F.lit("@mail.example.com or 555-"),
-    F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
-    F.lit("-"),
-    F.lpad(((F.col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
-    F.lit(" from 10."), (F.col("doc_id") % 256).cast("string"), F.lit(".0.1"),
-)
+# doc_id-derived fake PII: email, phone (555-xxx-xxxx), and an IPv4.
+# Built lazily: classic-mode Column construction needs an active
+# SparkContext, and the gate registry must import session-free (the
+# driver may call oracle_sql() before it builds a SparkSession).
+def _pii_spark():
+    return F.concat(
+        F.col("text"),
+        F.lit(" Contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad(((F.col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."), (F.col("doc_id") % 256).cast("string"), F.lit(".0.1"),
+    )
 _PII_SQL = (
     "text || ' Contact user' || CAST(doc_id AS VARCHAR)"
     " || '@mail.example.com or 555-'"
@@ -389,7 +393,7 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     text (exact redaction equality without shipping full text)."""
     docs = load_table(spark, sf_dir, "documents")
     out = TP.pii_redact(
-        docs.select("doc_id", _PII_SPARK.alias("text")), "text"
+        docs.select("doc_id", _pii_spark().alias("text")), "text"
     )
     return out.select(
         "doc_id",
@@ -399,11 +403,12 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # boilerplate header/footer shared by every document, delimited paragraphs
-_PARA_SPARK = F.concat(
-    F.lit("site nav menu home login ### "),
-    F.col("text"),
-    F.lit(" ### copyright footer all rights reserved"),
-)
+def _para_spark():
+    return F.concat(
+        F.lit("site nav menu home login ### "),
+        F.col("text"),
+        F.lit(" ### copyright footer all rights reserved"),
+    )
 _PARA_SQL = (
     "'site nav menu home login ### ' || text ||"
     " ' ### copyright footer all rights reserved'"
@@ -441,7 +446,7 @@ def q_paragraph_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     (reassemble) — the standard boilerplate-strip for a 100 TB crawl."""
     docs = load_table(spark, sf_dir, "documents")
     out = TP.paragraph_dedup(
-        docs.select("doc_id", _PARA_SPARK.alias("text")), "doc_id", "text"
+        docs.select("doc_id", _para_spark().alias("text")), "doc_id", "text"
     )
     return out.select(
         "doc_id",
