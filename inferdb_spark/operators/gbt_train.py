@@ -113,6 +113,7 @@ class HistGBTModel:
     edges: dict[str, list[float]]
     learning_rate: float
     train_rounds: list[dict[str, float]] = field(default_factory=list)
+    split_stats: list[tuple[str, float, float]] = field(default_factory=list)
 
     def expression(self) -> Column:
         from inferdb_spark.operators import trees as T
@@ -121,6 +122,16 @@ class HistGBTModel:
         return T.gbt_expression(
             self.trees, None, base=self.base_score, link=link
         )
+
+    def importance(self, kind: str = "gain") -> dict[str, float]:
+        """Per-feature importance from the executed splits: 'gain'
+        (total loss reduction), 'cover' (total hessian mass routed), or
+        'weight' (split count) — the XGBoost get_score() triple."""
+        out: dict[str, float] = {}
+        for feat, gain, cover in self.split_stats:
+            v = {"gain": gain, "cover": cover, "weight": 1.0}[kind]
+            out[feat] = out.get(feat, 0.0) + v
+        return out
 
     def sql(self) -> str:
         from inferdb_spark.operators import trees as T
@@ -141,14 +152,15 @@ def _best_splits(
     reg_lambda: float,
     gamma: float,
     min_child_weight: float,
-) -> dict[int, tuple[int, int] | None]:
+) -> dict[int, tuple[int, int, float, float] | None]:
     """Exact greedy split per open node from integer histograms.
 
     hist maps (node, feature, bin) -> (sum_g_q, sum_h_q, count) in
-    micro-units.  Returns node -> (feature_idx, split_bin) or None (leaf).
+    micro-units.  Returns node -> (feature_idx, split_bin, gain, cover)
+    or None (leaf); cover is the node's hessian mass (XGBoost's cover).
     Pure integer/driver-float math — deterministic on any engine.
     """
-    out: dict[int, tuple[int, int] | None] = {}
+    out: dict[int, tuple[int, int, float, float] | None] = {}
     lam_q = reg_lambda * QUANT
     for nid in open_nodes:
         # totals
@@ -177,7 +189,11 @@ def _best_splits(
                 ) / QUANT - gamma
                 if gain > 1e-12 and (best is None or gain > best[0] + 1e-15):
                     best = (gain, f, sb)
-        out[nid] = None if best is None else (best[1], best[2])
+        out[nid] = (
+            None
+            if best is None
+            else (best[1], best[2], best[0], th / QUANT)
+        )
     return out
 
 
@@ -319,6 +335,7 @@ def fit_hist_gbt(
 
     trees: list[Node] = []
     rounds_log: list[dict[str, float]] = []
+    split_stats: list[tuple[str, float, float]] = []
     for t in range(n_trees):
         g, h = _grad_hess(F.col("_m"), F.col("_y"), objective)
         cur = work.withColumn("_gq", _quantize_expr(g)).withColumn(
@@ -372,8 +389,9 @@ def fit_hist_gbt(
                 d = decided[nid]
                 if d is None:
                     continue
-                splits_by_node[nid] = d
-                f_idx, sb = d
+                f_idx, sb, gain, cover = d
+                splits_by_node[nid] = (f_idx, sb)
+                split_stats.append((feature_cols[f_idx], gain, cover))
                 is_n = F.col("_nid") == nid
                 goes_left = is_n & (F.col(f"_b{f_idx}") <= F.lit(sb))
                 for cond, tgt in (
@@ -445,6 +463,7 @@ def fit_hist_gbt(
         edges=edges,
         learning_rate=learning_rate,
         train_rounds=rounds_log,
+        split_stats=split_stats,
     )
 
 
@@ -541,8 +560,8 @@ def fit_hist_gbt_numpy(
                 d = decided[node]
                 if d is None:
                     continue
-                splits_by_node[node] = d
-                f_idx, sb = d
+                f_idx, sb, _gain, _cover = d
+                splits_by_node[node] = (f_idx, sb)
                 rows = nid == node
                 goes_left = rows & (B[:, f_idx] <= sb)
                 nid[goes_left] = 2 * node + 1

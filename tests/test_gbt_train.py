@@ -186,3 +186,18 @@ def test_sql_twin_scores_identically(synth):
         .to_numpy()
     )
     assert np.allclose(sorted(got), sorted(want), atol=1e-9)
+
+
+def test_feature_importance(synth):
+    """Gain importance must rank the dominant synthetic signal (f1, 3.0
+    coefficient) first, and the three kinds must cover executed splits."""
+    df, X, y, _ = synth
+    m = G.fit_hist_gbt(
+        df, FEATS, "y", n_trees=5, max_depth=3, edges=EDGES, base_score=0.0
+    )
+    gain = m.importance("gain")
+    assert max(gain, key=gain.get) == "f1"
+    w = m.importance("weight")
+    assert sum(w.values()) == len(m.split_stats)
+    cover = m.importance("cover")
+    assert all(v > 0 for v in cover.values())
