@@ -309,9 +309,18 @@ def fit_hist_gbt(
     base_score: float | None = None,
     edges: dict[str, list[float]] | None = None,
     checkpoint_every: int = 5,
+    valid_df: DataFrame | None = None,
+    early_stopping_rounds: int | None = None,
+    tol: float = 1e-7,
 ) -> HistGBTModel:
     """Distributed histogram-GBT fit.  See module docstring for the
-    scale/determinism contract."""
+    scale/determinism contract.
+
+    With `valid_df` + `early_stopping_rounds`, a held-out loss is
+    evaluated each round (the fitted tree's real-valued expression scores
+    the validation relation — one extra map-only pass); training stops
+    after that many rounds without improvement and the model is truncated
+    to the best iteration, XGBoost semantics."""
     if edges is None:
         edges = quantile_edges(df, feature_cols, n_bins)
     nb = [len(edges[c]) for c in feature_cols]
@@ -333,10 +342,20 @@ def fit_hist_gbt(
         F.lit(float(base_score)).alias("_m"),
     ).localCheckpoint()
 
+    vwork = None
+    if valid_df is not None:
+        vwork = valid_df.select(
+            *feature_cols,
+            F.col(label_col).cast("double").alias("_y"),
+            F.lit(float(base_score)).alias("_m"),
+        ).localCheckpoint()
+
     trees: list[Node] = []
     rounds_log: list[dict[str, float]] = []
-    split_stats: list[tuple[str, float, float]] = []
+    stats_per_tree: list[list[tuple[str, float, float]]] = []
+    best_iter, best_vloss, stall = -1, float("inf"), 0
     for t in range(n_trees):
+        split_stats: list[tuple[str, float, float]] = []
         g, h = _grad_hess(F.col("_m"), F.col("_y"), objective)
         cur = work.withColumn("_gq", _quantize_expr(g)).withColumn(
             "_hq", _quantize_expr(h)
@@ -428,6 +447,7 @@ def fit_hist_gbt(
             0, splits_by_node, leaf_w, feature_cols, edges
         )
         trees.append(tree)
+        stats_per_tree.append(split_stats)
 
         # margin update: nid -> leaf weight (flat when-chain, no join)
         upd = None
@@ -454,7 +474,43 @@ def fit_hist_gbt(
             loss = work.select(
                 F.avg((F.col("_m") - F.col("_y")) ** 2)
             ).collect()[0][0]
-        rounds_log.append({"round": t, "train_loss": float(loss)})
+        entry = {"round": t, "train_loss": float(loss)}
+
+        if vwork is not None:
+            from inferdb_spark.operators import trees as T
+
+            vwork = vwork.withColumn(
+                "_m", F.col("_m") + T.tree_to_expression(tree)
+            )
+            if (t + 1) % checkpoint_every == 0:
+                vwork = vwork.localCheckpoint()
+            if objective == "logistic":
+                vloss = vwork.select(
+                    F.avg(
+                        F.ln(F.lit(1.0) + F.exp(-F.col("_m")))
+                        + (F.lit(1.0) - F.col("_y")) * F.col("_m")
+                    )
+                ).collect()[0][0]
+            else:
+                vloss = vwork.select(
+                    F.avg((F.col("_m") - F.col("_y")) ** 2)
+                ).collect()[0][0]
+            vloss = float(vloss)
+            entry["valid_loss"] = vloss
+            if vloss < best_vloss - tol:
+                best_vloss, best_iter, stall = vloss, t, 0
+            else:
+                stall += 1
+            rounds_log.append(entry)
+            if (
+                early_stopping_rounds is not None
+                and stall >= early_stopping_rounds
+            ):
+                trees = trees[: best_iter + 1]
+                stats_per_tree = stats_per_tree[: best_iter + 1]
+                break
+        else:
+            rounds_log.append(entry)
 
     return HistGBTModel(
         trees=trees,
@@ -463,7 +519,7 @@ def fit_hist_gbt(
         edges=edges,
         learning_rate=learning_rate,
         train_rounds=rounds_log,
-        split_stats=split_stats,
+        split_stats=[st for per_tree in stats_per_tree for st in per_tree],
     )
 
 

@@ -201,3 +201,30 @@ def test_feature_importance(synth):
     assert sum(w.values()) == len(m.split_stats)
     cover = m.importance("cover")
     assert all(v > 0 for v in cover.values())
+
+
+def test_early_stopping(synth, spark):
+    """Pure-noise target + held-out split: valid loss cannot keep
+    improving, so training truncates to the best iteration well before
+    n_trees (XGBoost early_stopping_rounds semantics)."""
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    pdf = pd.DataFrame({
+        "f1": rng.uniform(0, 50, n),
+        "f2": rng.uniform(0, 0.1, n),
+        "f3": rng.uniform(0, 0.08, n),
+        "y": rng.normal(0, 1.0, n),  # no signal at all
+    })
+    train = spark.createDataFrame(pdf.iloc[:2000]).localCheckpoint()
+    valid = spark.createDataFrame(pdf.iloc[2000:]).localCheckpoint()
+    m = G.fit_hist_gbt(
+        train, FEATS, "y", n_trees=20, max_depth=3, edges=EDGES,
+        learning_rate=0.5, valid_df=valid, early_stopping_rounds=3,
+    )
+    assert len(m.trees) < 20
+    assert all("valid_loss" in r for r in m.train_rounds)
+    # truncated model == best valid iteration
+    vlosses = [r["valid_loss"] for r in m.train_rounds]
+    assert len(m.trees) == vlosses.index(min(vlosses)) + 1
