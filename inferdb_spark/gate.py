@@ -81,7 +81,7 @@ def _ensure_registered() -> None:
 _PRIORITY: list[str] = [
     # round-2 new
     "gbt_grad_histogram", "gbt_train_predict",
-    "pii_redaction", "paragraph_dedup_corpus",
+    "pii_redaction", "paragraph_dedup_corpus", "token_budget_per_source",
     "media_image_decode", "media_resize_roundtrip", "media_audio_decode",
     "media_video_frames", "isotonic_calibration", "winnowing_fingerprints",
     "weighted_median", "ks_statistic", "regression_metrics",

@@ -453,3 +453,34 @@ def q_paragraph_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("cleaned")).alias("cleaned_md5"),
         F.col("n_kept").cast("long").alias("n_kept"),
     )
+
+
+@gate(
+    "token_budget_per_source",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, source,
+               CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, source, n_tokens,
+               sum(n_tokens) OVER (
+                   PARTITION BY source
+                   ORDER BY n_tokens DESC, doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_tokens
+        FROM t
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens
+    FROM r WHERE cum_tokens <= 1500
+    """,
+)
+def q_token_budget_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token budgeting (operators/textprep.
+    token_budget_per_source): cap every source at 1500 tokens, keeping
+    its longest documents first — the mixing/budget step of a
+    pretraining data recipe as one windowed relation (single shuffle on
+    the source key)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TP.token_budget_per_source(docs, 1500)

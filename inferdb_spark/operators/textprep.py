@@ -589,3 +589,48 @@ def paragraph_dedup(
         )
         .withColumnRenamed("_id", id_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# per-source token budgeting (the mixing/budget step of a pretraining data
+# recipe: cap each source's contribution at N tokens, keeping its
+# highest-value documents first)
+
+
+def token_budget_per_source(
+    df: DataFrame,
+    budget_tokens: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy per-source token cap: rank docs within each source by token
+    count desc (doc_id asc tie-break), keep while the running token total
+    stays within `budget_tokens`.
+
+    One window over the source key (single shuffle; sources are the
+    partition — skew equals true source imbalance, which AQE splits).
+    Deterministic: whitespace token counts are integers, the running sum
+    is a BIGINT, ordering is total.  At 100 TB this is how a data recipe
+    enforces "no more than X tokens from source S" without a driver-side
+    pass.
+    """
+    from pyspark.sql.window import Window
+
+    toks = F.size(F.split(F.col(text_col), " ")).cast("long")
+    w = Window.partitionBy(source_col).orderBy(
+        F.col("_tok").desc(), F.col(id_col).asc()
+    )
+    return (
+        df.select(
+            F.col(id_col), F.col(source_col), toks.alias("_tok")
+        )
+        .withColumn("cum_tokens", F.sum("_tok").over(w))
+        .where(F.col("cum_tokens") <= F.lit(int(budget_tokens)))
+        .select(
+            id_col,
+            source_col,
+            F.col("_tok").alias("n_tokens"),
+            F.col("cum_tokens"),
+        )
+    )
