@@ -465,11 +465,11 @@ def q_paragraph_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     r AS (
         SELECT doc_id, source, n_tokens,
-               sum(n_tokens) OVER (
+               CAST(sum(n_tokens) OVER (
                    PARTITION BY source
                    ORDER BY n_tokens DESC, doc_id ASC
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS cum_tokens
+               ) AS BIGINT) AS cum_tokens
         FROM t
     )
     SELECT doc_id, source, n_tokens, cum_tokens

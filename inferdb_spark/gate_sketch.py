@@ -314,7 +314,7 @@ _HQ_ORACLE = f"""
              greatest(CAST(ceil(q * CAST(total AS DOUBLE)) AS BIGINT), 1) AS r
       FROM c CROSS JOIN (SELECT unnest([{", ".join(str(q) for q in HQ_QS)}]) AS q)
     )
-    SELECT returnflag, q,
+    SELECT returnflag, CAST(q AS DOUBLE) AS q,
            round({HQ_LO} + (CAST(bin AS DOUBLE)
                  + CAST(r - (cum - cnt) AS DOUBLE) / CAST(cnt AS DOUBLE))
                  * {HQ_W}, 6) AS est

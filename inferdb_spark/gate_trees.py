@@ -213,14 +213,31 @@ def q_gbt_grad_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@gate("gbt_train_predict")  # training is not SQL-expressible: rows-only gate;
-# bit-exact algorithm parity is pinned by tests/test_gbt_train.py (Spark fit
-# == numpy twin, partitioning-invariant)
+@gate(
+    "gbt_train_predict",
+    # the WHOLE training loop replayed in DuckDB: 3 trees x depth 2 of
+    # histogram -> prefix-sum -> gain-argmax -> route CTE stages generated
+    # from the same edge literals; integer micro-unit sums + identical
+    # IEEE parenthesization make trees and predictions bit-equal
+    oracle=GT.fit_predict_hist_gbt_sql(
+        GBT_FEATS,
+        "l_extendedprice",
+        GBT_EDGES,
+        row_id_sql="l_orderkey * 10 + l_linenumber",
+        n_trees=3,
+        max_depth=2,
+        base_score=GBT_BASE_SCORE,
+        learning_rate=0.5,
+    ),
+)
 def q_gbt_train_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end native GBT training (operators/gbt_train.fit_hist_gbt):
     3 rounds x depth 2 on lineitem, then the fitted ensemble burned into
     a CASE WHEN projection (operators/trees.gbt_expression) — train AND
-    score without a row ever leaving the cluster."""
+    score without a row ever leaving the cluster.  The oracle
+    (fit_predict_hist_gbt_sql) unrolls the identical training into a
+    DuckDB CTE chain, so the driver hash checks the TRAINER, not just the
+    scorer."""
     li = load_table(spark, sf_dir, "lineitem")
     model = GT.fit_hist_gbt(
         li,
@@ -234,6 +251,8 @@ def q_gbt_train_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         learning_rate=0.5,
     )
     return li.select(
-        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("row_id"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+        .cast("long")
+        .alias("row_id"),
         F.round(model.expression(), 6).cast("double").alias("prediction"),
     )

@@ -91,6 +91,7 @@ def fit_supervised_bins(
     max_bins: int = 8,
     pre_bins: int = 64,
     min_frac: float = 0.01,
+    outlier_detector: str | None = None,
 ) -> BinSpec:
     """Target-aware binning — the optbinning stand-in (SURVEY.md §7 item 2).
 
@@ -101,8 +102,14 @@ def fit_supervised_bins(
        support merge first.
 
     Only step 3 runs on the driver, over <= pre_bins rows of aggregates, so
-    the fit is insensitive to table size.
+    the fit is insensitive to table size.  outlier_detector='range'
+    excludes IQR-range outliers from the fit (the reference passes it on
+    every optbinning call, src/encoder.py:38-44).
     """
+    if outlier_detector == "range":
+        from inferdb_spark.operators.optimal_binning import iqr_range_filter
+
+        df = iqr_range_filter(df, column)
     pre = fit_quantile_bins(df, column, pre_bins)
     if not pre.splits:
         return pre

@@ -88,17 +88,22 @@ def quantile_edges(
 
 
 def _bin_expr(col: str, edges: list[float]) -> Column:
-    """bin(x) = #{edge : x >= edge}; NULL -> bin 0 (routes left, matching
-    the NULL-left convention of operators/trees.py).  A fold over a
-    literal array stays in codegen for any edge count."""
+    """bin(x) = #{edge : x >= edge}; NULL and NaN -> bin 0 (route left,
+    matching the NULL-left convention of operators/trees.py and the numpy
+    twin's NaN mask — Spark SQL orders NaN above every value, so without
+    the guard `x >= e` would route NaN to the TOP bin and break parity).
+    A fold over a literal array stays in codegen for any edge count."""
+    c = F.col(col).cast("double")
     arr = F.array(*[F.lit(float(e)) for e in edges])
 
     def _step(acc: Column, e: Column) -> Column:
-        return acc + F.when(F.col(col) >= e, F.lit(1)).otherwise(F.lit(0))
+        return acc + F.when(c >= e, F.lit(1)).otherwise(F.lit(0))
 
-    return F.coalesce(
-        F.aggregate(arr, F.lit(0), _step), F.lit(0)
-    ).cast("int")
+    return (
+        F.when(c.isNull() | F.isnan(c), F.lit(0))
+        .otherwise(F.aggregate(arr, F.lit(0), _step))
+        .cast("int")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -163,13 +168,17 @@ def _best_splits(
     out: dict[int, tuple[int, int, float, float] | None] = {}
     lam_q = reg_lambda * QUANT
     for nid in open_nodes:
-        # totals
+        # Node totals from ONE feature's bin slice: every node row lands in
+        # exactly one bin of feature 0, so summing feature 0's bins counts
+        # each row once.  (Summing over all features would overcount
+        # n_features-fold — each row appears once per feature in hist —
+        # distorting gr/hr, gamma pruning, min_child_weight on the right
+        # child, and gain/cover importances.)
         tg = th = 0
-        for f in range(n_features):
-            for b in range(n_bins_per_feature[f] + 1):
-                g, h, _ = hist.get((nid, f, b), (0, 0, 0))
-                tg += g
-                th += h
+        for b in range(n_bins_per_feature[0] + 1):
+            g, h, _ = hist.get((nid, 0, b), (0, 0, 0))
+            tg += g
+            th += h
         parent = (tg * tg) / (th + lam_q) if (th + lam_q) > 0 else 0.0
         best: tuple[float, int, int] | None = None
         for f in range(n_features):
@@ -187,7 +196,11 @@ def _best_splits(
                     + (gr * gr) / (hr + lam_q)
                     - parent
                 ) / QUANT - gamma
-                if gain > 1e-12 and (best is None or gain > best[0] + 1e-15):
+                # strict first-max: identical to SQL's
+                # `ORDER BY gain DESC, f ASC, sb ASC LIMIT 1` over
+                # candidates with gain > 1e-12 — keeps the split search
+                # replayable as a relational query (fit_predict_hist_gbt_sql)
+                if gain > 1e-12 and (best is None or gain > best[0]):
                     best = (gain, f, sb)
         out[nid] = (
             None
@@ -275,7 +288,8 @@ def gradient_histogram_sql(
         )
         parts.append(
             f"SELECT '{c}' AS feature, "
-            f"CAST(CASE WHEN {c} IS NULL THEN 0 ELSE {bin_expr} END AS INT) AS bin, "
+            f"CAST(CASE WHEN {c} IS NULL OR isnan(CAST({c} AS DOUBLE)) "
+            f"THEN 0 ELSE {bin_expr} END AS INT) AS bin, "
             f"CAST(floor(({base_score!r} - {label_col}) * 1000000.0 + 0.5) AS BIGINT) AS gq "
             f"FROM {table}"
         )
@@ -287,6 +301,138 @@ def gradient_histogram_sql(
         "CAST(COUNT(*) AS BIGINT) * 1000000 AS hess_sum_q, "
         "CAST(COUNT(*) AS BIGINT) AS n_rows "
         f"FROM ({union}) GROUP BY feature, bin"
+    )
+
+
+def fit_predict_hist_gbt_sql(
+    feature_cols: list[str],
+    label_col: str,
+    edges: dict[str, list[float]],
+    row_id_sql: str,
+    n_trees: int = 3,
+    max_depth: int = 2,
+    base_score: float = 0.0,
+    learning_rate: float = 0.3,
+    reg_lambda: float = 1.0,
+    gamma: float = 0.0,
+    min_child_weight: float = 1.0,
+    table: str = "lineitem",
+) -> str:
+    """Full DuckDB oracle for `fit_hist_gbt` + ensemble scoring — the whole
+    training loop unrolled into one CTE chain (squared objective, fixed
+    literal edges).  Each tree level is exactly the histogram → prefix-sum
+    → gain-argmax → route sequence the Spark fit runs, in the same IEEE
+    double arithmetic with the same parenthesization, over the same exact
+    integer micro-unit sums — so trees, leaf weights, and predictions are
+    bit-identical.  Split candidates enumerate only bins PRESENT in the
+    histogram; a split at an absent bin has the same (gl, hl) as the last
+    present bin below it, so under strict first-max tie-breaking it can
+    never be chosen — equivalent to _best_splits' full range scan.
+    Reference anchor: XGBoost-in-PG /root/reference/src/transpiler.py:2500-2753."""
+    nf = len(feature_cols)
+    lam_q = reg_lambda * QUANT
+    mcw_q = min_child_weight * QUANT
+    bnames = [f"b{i}" for i in range(nf)]
+    bcols = ", ".join(bnames)
+
+    bin_sqls = []
+    for c in feature_cols:
+        be = " + ".join(
+            f"CASE WHEN {c} >= {float(e)!r} THEN 1 ELSE 0 END"
+            for e in edges[c]
+        )
+        bin_sqls.append(
+            f"CAST(CASE WHEN {c} IS NULL OR isnan(CAST({c} AS DOUBLE)) "
+            f"THEN 0 ELSE {be} END AS INT)"
+        )
+    nb_case = " ".join(
+        f"WHEN {i} THEN {len(edges[c])}" for i, c in enumerate(feature_cols)
+    )
+    feat_case = " ".join(f"WHEN {i} THEN n.b{i}" for i in range(nf))
+
+    ctes = [
+        "b AS MATERIALIZED (SELECT "
+        + f"CAST({row_id_sql} AS BIGINT) AS row_id, "
+        + ", ".join(f"{bs} AS b{i}" for i, bs in enumerate(bin_sqls))
+        + f", CAST({label_col} AS DOUBLE) AS y FROM {table})",
+        f"g0 AS MATERIALIZED (SELECT row_id, {bcols}, y, "
+        f"CAST({float(base_score)!r} AS DOUBLE) AS m FROM b)",
+    ]
+    for t in range(n_trees):
+        ctes.append(
+            f"t{t}n0 AS MATERIALIZED (SELECT row_id, {bcols}, y, m, "
+            f"CAST(floor((m - y) * 1000000.0 + 0.5) AS BIGINT) AS gq, "
+            f"CAST(1000000 AS BIGINT) AS hq, 0 AS nid FROM g{t})"
+        )
+        for d in range(max_depth):
+            min_nid = 2**d - 1
+            unpivot = " UNION ALL ".join(
+                f"SELECT nid, {i} AS f, b{i} AS b, gq, hq "
+                f"FROM t{t}n{d} WHERE nid >= {min_nid}"
+                for i in range(nf)
+            )
+            ctes.append(
+                f"t{t}h{d} AS MATERIALIZED (SELECT nid, f, b, SUM(gq) AS g, "
+                f"SUM(hq) AS h FROM ({unpivot}) GROUP BY nid, f, b)"
+            )
+            ctes.append(
+                f"t{t}t{d} AS MATERIALIZED (SELECT nid, SUM(g) AS tg, SUM(h) AS th "
+                f"FROM t{t}h{d} WHERE f = 0 GROUP BY nid)"
+            )
+            ctes.append(
+                f"t{t}c{d} AS MATERIALIZED (SELECT h.nid, h.f, h.b AS sb, "
+                f"SUM(h.g) OVER (PARTITION BY h.nid, h.f ORDER BY h.b) AS gl, "
+                f"SUM(h.h) OVER (PARTITION BY h.nid, h.f ORDER BY h.b) AS hl, "
+                f"t.tg, t.th "
+                f"FROM t{t}h{d} h JOIN t{t}t{d} t ON h.nid = t.nid "
+                f"WHERE h.b < CASE h.f {nb_case} END)"
+            )
+            # gain with the IDENTICAL parenthesization as _best_splits:
+            # ((0.5 * (A + B - parent)) / QUANT) - gamma
+            gain = (
+                f"0.5 * (CAST(gl * gl AS DOUBLE) / "
+                f"(CAST(hl AS DOUBLE) + {lam_q!r}) "
+                f"+ CAST((tg - gl) * (tg - gl) AS DOUBLE) / "
+                f"(CAST(th - hl AS DOUBLE) + {lam_q!r}) "
+                f"- CAST(tg * tg AS DOUBLE) / "
+                f"(CAST(th AS DOUBLE) + {lam_q!r})) / 1000000.0 "
+                f"- {float(gamma)!r}"
+            )
+            ctes.append(
+                f"t{t}s{d} AS MATERIALIZED (SELECT nid, f, sb FROM ("
+                f"SELECT nid, f, sb, row_number() OVER ("
+                f"PARTITION BY nid ORDER BY gain DESC, f ASC, sb ASC) AS rk "
+                f"FROM (SELECT nid, f, sb, {gain} AS gain FROM t{t}c{d} "
+                f"WHERE CAST(hl AS DOUBLE) >= {mcw_q!r} "
+                f"AND CAST(th - hl AS DOUBLE) >= {mcw_q!r}) "
+                f"WHERE gain > 1e-12) WHERE rk = 1)"
+            )
+            ctes.append(
+                f"t{t}n{d + 1} AS MATERIALIZED (SELECT n.row_id, "
+                + ", ".join(f"n.b{i}" for i in range(nf))
+                + ", n.y, n.m, n.gq, n.hq, "
+                f"CASE WHEN s.nid IS NULL THEN n.nid "
+                f"WHEN (CASE s.f {feat_case} END) <= s.sb "
+                f"THEN 2 * n.nid + 1 ELSE 2 * n.nid + 2 END AS nid "
+                f"FROM t{t}n{d} n LEFT JOIN t{t}s{d} s ON n.nid = s.nid)"
+            )
+        # leaf weights: Python is ((-gq) / (hq + lam_q)) * lr
+        ctes.append(
+            f"t{t}lw AS MATERIALIZED (SELECT nid, "
+            f"(((- CAST(SUM(gq) AS DOUBLE)) / "
+            f"(CAST(SUM(hq) AS DOUBLE) + {lam_q!r})) * "
+            f"{float(learning_rate)!r}) AS w "
+            f"FROM t{t}n{max_depth} GROUP BY nid)"
+        )
+        ctes.append(
+            f"g{t + 1} AS MATERIALIZED (SELECT n.row_id, "
+            + ", ".join(f"n.b{i}" for i in range(nf))
+            + ", n.y, n.m + l.w AS m "
+            f"FROM t{t}n{max_depth} n JOIN t{t}lw l ON n.nid = l.nid)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT row_id, round(m, 6) AS prediction FROM g{n_trees}"
     )
 
 

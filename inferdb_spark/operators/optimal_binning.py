@@ -236,6 +236,96 @@ def _solve_partition(
     return sign * c, ends
 
 
+def iqr_range_filter(
+    df: DataFrame, column: str, k: float = 1.5
+) -> DataFrame:
+    """optbinning's `outlier_detector='range'` pre-filter: drop fit rows
+    outside [Q1 - k*IQR, Q3 + k*IQR] (interquartile-range method).  Only
+    the FIT sees the filtered relation; transform still routes outliers
+    into the edge bins.  Every reference optbinning call passes this
+    (/root/reference/src/encoder.py:38-44).  One exact-quantile aggregate;
+    the filter is a pushed-down predicate on the scan."""
+    q1, q3 = df.approxQuantile(column, [0.25, 0.75], 0.0)
+    lo, hi = q1 - k * (q3 - q1), q3 + k * (q3 - q1)
+    return df.where(
+        (F.col(column) >= F.lit(float(lo))) & (F.col(column) <= F.lit(float(hi)))
+    )
+
+
+class _MulticlassStats:
+    """Per-prebin per-class counts, ordered by bin id."""
+
+    def __init__(self, ids: list[int], n: list[int], cls: list[dict], classes: list):
+        self.ids, self.n, self.cls, self.classes = ids, n, cls, classes
+
+
+def _collect_prebin_multiclass_stats(
+    df: DataFrame, pre: BinSpec, target: str
+) -> _MulticlassStats:
+    """ONE groupBy(prebin, class) -> counts; <= pre_bins x n_classes rows
+    reach the driver — scale-independent like the binary collector."""
+    rows = (
+        df.select(pre.expr().alias("b"), F.col(target).cast("string").alias("y"))
+        .groupBy("b", "y")
+        .agg(F.count("*").alias("n"))
+        .orderBy("b", "y")
+        .collect()
+    )
+    classes = sorted({r.y for r in rows})
+    by_bin: dict[int, dict] = {}
+    for r in rows:
+        by_bin.setdefault(r.b, {})[r.y] = int(r.n)
+    ids = sorted(by_bin)
+    return _MulticlassStats(
+        ids=ids,
+        n=[sum(by_bin[b].values()) for b in ids],
+        cls=[by_bin[b] for b in ids],
+        classes=classes,
+    )
+
+
+def _segment_gain_iv_multiclass(stats: _MulticlassStats):
+    """gain(i, j) = Σ_c one-vs-rest IV contribution of a bin spanning
+    prebins i..j — the event-rate decomposition MulticlassOptimalBinning
+    optimizes (reference fit: /root/reference/src/encoder.py:49-55).  Same
+    0.5 Laplace smoothing as the binary objective."""
+    import itertools
+
+    P = len(stats.ids)
+    cn = [0] + list(itertools.accumulate(stats.n))
+    cum_c = {c: [0] for c in stats.classes}
+    for i in range(P):
+        for c in stats.classes:
+            cum_c[c].append(cum_c[c][-1] + stats.cls[i].get(c, 0))
+    tot = cn[-1]
+    tot_c = {c: cum_c[c][-1] for c in stats.classes}
+
+    def gain(i: int, j: int) -> float:
+        n = cn[j + 1] - cn[i]
+        v = 0.0
+        for c in stats.classes:
+            pos = cum_c[c][j + 1] - cum_c[c][i]
+            neg = n - pos
+            tp, tn_ = tot_c[c], tot - tot_c[c]
+            p = (pos if pos > 0 else 0.5) / max(tp, 1)
+            q = (neg if neg > 0 else 0.5) / max(tn_, 1)
+            v += (p - q) * math.log(p / q)
+        return v
+
+    def mean(i: int, j: int) -> float:
+        # majority-class share drives the (optional) trend constraint
+        n = cn[j + 1] - cn[i]
+        if not n:
+            return 0.0
+        c0 = stats.classes[0]
+        return (cum_c[c0][j + 1] - cum_c[c0][i]) / n
+
+    def support(i: int, j: int) -> int:
+        return cn[j + 1] - cn[i]
+
+    return P, gain, mean, support
+
+
 def fit_optimal_bins(
     df: DataFrame,
     column: str,
@@ -245,19 +335,58 @@ def fit_optimal_bins(
     pre_bins: int = 64,
     min_frac: float = 0.01,
     monotonic: str | int | None = "auto",
+    outlier_detector: str | None = None,
 ) -> BinSpec:
     """Fit optbinning-semantics optimal bins, fully scalable.
 
     task='regression' minimizes within-bin SSE (ContinuousOptimalBinning);
-    task='classification' maximizes IV (OptimalBinning).  monotonic:
+    task='classification' maximizes IV (OptimalBinning);
+    task='multiclass' maximizes Σ one-vs-rest IV (MulticlassOptimalBinning,
+    reference /root/reference/src/encoder.py:49-55 — there the trend
+    constraint is per-class, here it is unconstrained by default:
+    documented divergence, the split *objective* matches).  monotonic:
     'auto' picks the trend direction heuristically, +1/-1 force it, None
-    drops the constraint.  Falls back to the unconstrained optimum if the
-    monotone problem is infeasible under the support constraint (again
-    matching optbinning, which relaxes before failing).
+    drops the constraint.  outlier_detector='range' excludes IQR-range
+    outliers from the fit (src/encoder.py:38-44).  Falls back to the
+    unconstrained optimum if the monotone problem is infeasible under the
+    support constraint (again matching optbinning, which relaxes before
+    failing).
     """
+    if outlier_detector == "range":
+        df = iqr_range_filter(df, column)
     pre = fit_quantile_bins(df, column, pre_bins)
     if not pre.splits:
         return pre
+    if task == "multiclass":
+        mstats = _collect_prebin_multiclass_stats(df, pre, target)
+        if len(mstats.ids) <= 1:
+            return BinSpec(column=column, kind="numeric", splits=[])
+        P, value, mean, support = _segment_gain_iv_multiclass(mstats)
+        total = sum(mstats.n)
+        min_support = max(1, int(math.ceil(min_frac * total)))
+        # multiclass 'auto' = no trend (per-class monotonicity is not a
+        # single-sequence constraint); forced +1/-1 applies to the
+        # majority-class share
+        trends: list = (
+            [None] if monotonic in ("auto", None) else [int(monotonic)]
+        )
+        sol = None
+        for t in trends:
+            sol = _solve_partition(
+                P, max_bins, value, mean, support, False, min_support, t
+            )
+            if sol is not None:
+                break
+        if sol is None:
+            sol = _solve_partition(P, max_bins, value, mean, support, False, 1, None)
+        assert sol is not None
+        _, ends = sol
+        splits = [
+            pre.splits[mstats.ids[t]]
+            for t in ends[:-1]
+            if mstats.ids[t] < len(pre.splits)
+        ]
+        return BinSpec(column=column, kind="numeric", splits=sorted(set(splits)))
     stats = _collect_prebin_stats(df, pre, target)
     if len(stats.ids) <= 1:
         return BinSpec(column=column, kind="numeric", splits=[])
@@ -304,3 +433,99 @@ def fit_optimal_bins(
         if stats.ids[t] < len(pre.splits)
     ]
     return BinSpec(column=column, kind="numeric", splits=sorted(set(splits)))
+
+
+def fit_optimal_categorical_bins(
+    df: DataFrame,
+    column: str,
+    target: str,
+    task: str = "classification",
+    max_bins: int = 8,
+    min_frac: float = 0.01,
+    cat_cutoff: float = 0.05,
+) -> BinSpec:
+    """Optimal CATEGORICAL binning — optbinning's dtype='categorical'
+    strategy (reference fit /root/reference/src/encoder.py:58-97 with
+    cat_cutoff=0.05): categories with support share < cat_cutoff pool into
+    one 'others' pseudo-category; the rest are ORDERED BY target mean and
+    the numeric DP runs over that ordering (optimal contiguous grouping is
+    optimal over any mean-ordered sequence for these objectives).
+
+    Distributed part: ONE groupBy(category) -> (n, sum_y, sum_y2, n_pos);
+    the driver sees <= |distinct| rows — for high-cardinality columns
+    pre-aggregate or cap with approx_count_distinct upstream.  Returns a
+    BinSpec(kind='categorical') whose group lists hold the raw category
+    values (unseen values at transform -> extra bin, matching
+    src/encoder.py:123-126).
+    """
+    rows = (
+        df.groupBy(F.col(column).cast("string").alias("v"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col(target).cast("double")).alias("sy"),
+            F.sum(F.col(target).cast("double") * F.col(target).cast("double")).alias("sy2"),
+            F.sum(
+                F.when(F.col(target).cast("double") > 0, 1).otherwise(0)
+            ).alias("np"),
+        )
+        .orderBy("v")
+        .collect()
+    )
+    if len(rows) <= 1:
+        return BinSpec(
+            column=column, kind="categorical", groups=[[r.v for r in rows]] if rows else []
+        )
+    total = sum(r.n for r in rows)
+    frequent = [r for r in rows if r.n / total >= cat_cutoff]
+    rare = [r for r in rows if r.n / total < cat_cutoff]
+    cats: list[tuple[list[str], int, float, float, int]] = [
+        ([r.v], int(r.n), float(r.sy), float(r.sy2), int(r.np)) for r in frequent
+    ]
+    if rare:
+        cats.append((
+            sorted(r.v for r in rare),
+            sum(int(r.n) for r in rare),
+            sum(float(r.sy) for r in rare),
+            sum(float(r.sy2) for r in rare),
+            sum(int(r.np) for r in rare),
+        ))
+    # order by target mean (event rate for classification), ties by first
+    # member value for determinism
+    def _mean(c):
+        if task == "classification":
+            return c[4] / c[1] if c[1] else 0.0
+        return c[2] / c[1] if c[1] else 0.0
+
+    cats.sort(key=lambda c: (_mean(c), c[0][0]))
+    stats = _PrebinStats(
+        ids=list(range(len(cats))),
+        n=[c[1] for c in cats],
+        sum_y=[c[2] for c in cats],
+        sum_y2=[c[3] for c in cats],
+        n_pos=[c[4] for c in cats],
+    )
+    if task == "classification":
+        P, value, mean, support = _segment_gain_iv(stats)
+        minimize = False
+    else:
+        P, value, mean, support = _segment_cost_sse(stats)
+        minimize = True
+    min_support = max(1, int(math.ceil(min_frac * total)))
+    # mean-ordered sequence => the trend is ascending by construction;
+    # no extra constraint needed
+    sol = _solve_partition(
+        P, max_bins, value, mean, support, minimize, min_support, None
+    )
+    if sol is None:
+        sol = _solve_partition(P, max_bins, value, mean, support, minimize, 1, None)
+    assert sol is not None
+    _, ends = sol
+    groups: list[list[str]] = []
+    start = 0
+    for e in ends:
+        members: list[str] = []
+        for c in cats[start : e + 1]:
+            members.extend(c[0])
+        groups.append(members)
+        start = e + 1
+    return BinSpec(column=column, kind="categorical", groups=groups)

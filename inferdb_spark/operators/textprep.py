@@ -4,6 +4,8 @@ document fingerprinting — all JVM-side expressions over the documents table.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -567,9 +569,13 @@ def paragraph_dedup(
     """
     from pyspark.sql.window import Window
 
+    # F.split takes a Java regex; the separator is a LITERAL (the DuckDB
+    # oracle twin uses string_split), so quote any metacharacters.
     paras = df.select(
         F.col(id_col).alias("_id"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_para"),
+        F.posexplode(
+            F.split(F.col(text_col), re.escape(sep))
+        ).alias("_pos", "_para"),
     ).where(F.length("_para") > 0)
     w = Window.partitionBy("_para").orderBy("_id", "_pos")
     kept = paras.withColumn("_rk", F.row_number().over(w)).where(F.col("_rk") == 1)

@@ -191,3 +191,139 @@ def test_fit_optimal_bins_end_to_end(spark):
     assert spec.kind == "numeric"
     assert 1 <= len(spec.splits) <= 4
     assert spec.splits == sorted(spec.splits)
+
+
+def _rand_mc_stats(rng, P, K=3):
+    from inferdb_spark.operators.optimal_binning import _MulticlassStats
+
+    classes = [f"c{j}" for j in range(K)]
+    cls = []
+    n = []
+    for _ in range(P):
+        d = {c: int(rng.randint(0, 30)) for c in classes}
+        if sum(d.values()) == 0:
+            d[classes[0]] = 1
+        cls.append(d)
+        n.append(sum(d.values()))
+    return _MulticlassStats(ids=list(range(P)), n=n, cls=cls, classes=classes)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_multiclass_dp_matches_brute_force(seed):
+    """Σ one-vs-rest IV objective: DP optimum == brute-force enumeration
+    (the MulticlassOptimalBinning parity claim, reference
+    src/encoder.py:49-55)."""
+    import numpy as np
+
+    from inferdb_spark.operators.optimal_binning import (
+        _segment_gain_iv_multiclass,
+    )
+
+    rng = np.random.RandomState(seed)
+    P = int(rng.randint(4, 8))
+    k = int(rng.randint(2, 5))
+    stats = _rand_mc_stats(rng, P)
+    P_, value, mean, support = _segment_gain_iv_multiclass(stats)
+    for min_support in (1, 20):
+        expect = _brute_force(P_, k, value, mean, support, False, min_support, None)
+        got = _solve_partition(P_, k, value, mean, support, False, min_support, None)
+        if expect is None:
+            assert got is None
+        else:
+            assert got is not None
+            assert math.isclose(got[0], expect, rel_tol=1e-12, abs_tol=1e-12)
+
+
+def test_fit_optimal_bins_multiclass_end_to_end(spark):
+    """3-class mnist-like signal: class identity flips at x=10 and x=20;
+    the multiclass fit must place splits near both flips (binary
+    one-vs-rest on a single class would miss one)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(3)
+    n = 6000
+    x = rng.uniform(0, 30, n)
+    y = np.where(x < 10, "a", np.where(x < 20, "b", "c"))
+    # 5% label noise so no prebin is pure
+    noise = rng.rand(n) < 0.05
+    y = np.where(noise, rng.choice(["a", "b", "c"], n), y)
+    df = spark.createDataFrame(pd.DataFrame({"x": x, "y": y})).localCheckpoint()
+    spec = fit_optimal_bins(
+        df, "x", "y", task="multiclass", max_bins=4, pre_bins=32
+    )
+    assert spec.splits, "multiclass fit produced no splits"
+    assert any(abs(s - 10) < 1.5 for s in spec.splits), spec.splits
+    assert any(abs(s - 20) < 1.5 for s in spec.splits), spec.splits
+
+
+def test_fit_optimal_categorical_bins(spark):
+    """hits-like categorical: 6 frequent categories with 3 distinct event
+    rates + a tail of rare ones.  The fit must (a) pool the rare tail via
+    cat_cutoff, (b) group same-rate categories together, (c) separate the
+    three rate levels."""
+    import numpy as np
+    import pandas as pd
+
+    from inferdb_spark.operators.optimal_binning import (
+        fit_optimal_categorical_bins,
+    )
+
+    rng = np.random.RandomState(4)
+    n = 9000
+    # frequent cats: low rate {A,B}, mid {C,D}, high {E,F}; rare r0..r9
+    freq_cats = ["A", "B", "C", "D", "E", "F"]
+    rates = {"A": 0.05, "B": 0.06, "C": 0.45, "D": 0.46, "E": 0.9, "F": 0.91}
+    v = rng.choice(freq_cats, n).astype(object)
+    rare_rows = rng.rand(n) < 0.03
+    v[rare_rows] = rng.choice([f"r{i}" for i in range(10)], int(rare_rows.sum()))
+    y = np.array([
+        float(rng.rand() < rates.get(c, 0.5)) for c in v
+    ])
+    df = spark.createDataFrame(pd.DataFrame({"c": v, "y": y})).localCheckpoint()
+    # max_bins=3 forces the DP to spend its two cuts on the BIG rate gaps
+    # (0.06->0.45 and 0.5->0.9), grouping same-rate pairs
+    spec = fit_optimal_categorical_bins(
+        df, "c", "y", task="classification", max_bins=3, cat_cutoff=0.05
+    )
+    assert spec.kind == "categorical"
+    by_cat = {c: i for i, g in enumerate(spec.groups) for c in g}
+    # same-rate pairs grouped
+    assert by_cat["A"] == by_cat["B"]
+    assert by_cat["C"] == by_cat["D"]
+    assert by_cat["E"] == by_cat["F"]
+    # distinct rates separated
+    assert len({by_cat["A"], by_cat["C"], by_cat["E"]}) == 3
+    # rare categories all pooled into one group (the ~0.5-rate pool lands
+    # with the mid-rate pair)
+    rare_groups = {by_cat[f"r{i}"] for i in range(10) if f"r{i}" in by_cat}
+    assert len(rare_groups) == 1
+    assert rare_groups == {by_cat["C"]}
+
+
+def test_outlier_range_filter_parity(spark):
+    """Injected extreme outliers must not shift the fitted splits when
+    outlier_detector='range' is on: splits equal those fitted on the clean
+    relation (the reference's default, src/encoder.py:38-44) — and differ
+    without the filter (quantile prebins absorb the outlier mass)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(5)
+    n = 5000
+    x = rng.uniform(0, 10, n)
+    y = (x > 5).astype(float) * 3 + rng.normal(0, 0.1, n)
+    clean = pd.DataFrame({"x": x, "y": y})
+    out_x = np.concatenate([x, np.full(150, 1e6), np.full(150, -1e6)])
+    out_y = np.concatenate([y, np.zeros(300)])
+    dirty = pd.DataFrame({"x": out_x, "y": out_y})
+    df_clean = spark.createDataFrame(clean).localCheckpoint()
+    df_dirty = spark.createDataFrame(dirty).localCheckpoint()
+    kw = dict(task="regression", max_bins=4, pre_bins=16)
+    s_clean = fit_optimal_bins(df_clean, "x", "y", **kw)
+    s_filtered = fit_optimal_bins(
+        df_dirty, "x", "y", outlier_detector="range", **kw
+    )
+    s_unfiltered = fit_optimal_bins(df_dirty, "x", "y", **kw)
+    assert s_filtered.splits == s_clean.splits
+    assert s_unfiltered.splits != s_clean.splits

@@ -228,3 +228,139 @@ def test_early_stopping(synth, spark):
     # truncated model == best valid iteration
     vlosses = [r["valid_loss"] for r in m.train_rounds]
     assert len(m.trees) == vlosses.index(min(vlosses)) + 1
+
+
+def _exact_greedy_one_tree(
+    X, y, feats, edges, max_depth, reg_lambda=1.0, gamma=0.0,
+    min_child_weight=1.0, base_score=0.0, lr=0.3,
+):
+    """Known-correct exact greedy depth-wise fit of ONE squared-loss tree
+    over the binned data — brute force, no histogram reuse, node totals
+    recomputed from raw rows.  Cross-checks _best_splits (which computes
+    node totals from feature 0's bin slice)."""
+    Q = G.QUANT
+    n, nf = X.shape
+    B = np.zeros((n, nf), dtype=np.int64)
+    for j, c in enumerate(feats):
+        for e in edges[c]:
+            B[:, j] += (X[:, j] >= e).astype(np.int64)
+    gq = np.floor((base_score - y) * Q + 0.5).astype(np.int64)
+    hq = np.full(n, Q, dtype=np.int64)
+    nid = np.zeros(n, dtype=np.int64)
+    splits = {}
+    open_nodes = [0]
+    lam_q = reg_lambda * Q
+    for _ in range(max_depth):
+        nxt = []
+        for node in open_nodes:
+            rows = nid == node
+            tg, th = int(gq[rows].sum()), int(hq[rows].sum())
+            parent = (tg * tg) / (th + lam_q)
+            best = None
+            for f in range(nf):
+                for sb in range(len(edges[feats[f]])):
+                    left = rows & (B[:, f] <= sb)
+                    gl, hl = int(gq[left].sum()), int(hq[left].sum())
+                    gr, hr = tg - gl, th - hl
+                    if hl < min_child_weight * Q or hr < min_child_weight * Q:
+                        continue
+                    gain = 0.5 * (
+                        (gl * gl) / (hl + lam_q)
+                        + (gr * gr) / (hr + lam_q)
+                        - parent
+                    ) / Q - gamma
+                    if gain > 1e-12 and (best is None or gain > best[0]):
+                        best = (gain, f, sb)
+            if best is None:
+                continue
+            _, f, sb = best
+            splits[node] = (f, sb)
+            left = rows & (B[:, f] <= sb)
+            nid[left] = 2 * node + 1
+            nid[rows & ~left] = 2 * node + 2
+            nxt += [2 * node + 1, 2 * node + 2]
+        open_nodes = nxt
+        if not open_nodes:
+            break
+    leaf_w = {
+        int(v): G._leaf_weight(
+            int(gq[nid == v].sum()), int(hq[nid == v].sum()), reg_lambda, lr
+        )
+        for v in np.unique(nid)
+    }
+    return G._assemble_tree(0, splits, leaf_w, feats, edges)
+
+
+def test_one_tree_matches_exact_greedy(synth):
+    """Histogram trainer == brute-force exact greedy on one tree.  Guards
+    the node-totals bug class: totals summed over ALL features' histogram
+    slices would overcount n_features-fold and re-rank splits."""
+    _, X, y, _ = synth
+    m = G.fit_hist_gbt_numpy(
+        X, y, FEATS, EDGES, objective="squared", n_trees=1, max_depth=3,
+        base_score=0.0,
+    )
+    want = _exact_greedy_one_tree(X, y, FEATS, EDGES, max_depth=3)
+    assert m.trees[0] == want
+
+
+def test_nan_routes_to_bin_zero(spark):
+    """NaN features route to bin 0 (left) in the Spark fit exactly as the
+    numpy twin's NaN mask does — parity must survive NaN inputs."""
+    import pandas as pd
+
+    rng = np.random.default_rng(5)
+    n = 1000
+    x1 = rng.uniform(0, 50, n)
+    x2 = rng.uniform(0, 0.1, n)
+    x3 = rng.uniform(0, 0.08, n)
+    x1[::7] = np.nan  # every 7th row NaN in the dominant feature
+    y = 3.0 * np.nan_to_num(x1 > 24) - 2.0 * (x2 > 0.05) + rng.normal(0, 0.1, n)
+    X = np.column_stack([x1, x2, x3])
+    df = spark.createDataFrame(
+        pd.DataFrame({"f1": x1, "f2": x2, "f3": x3, "y": y})
+    ).repartition(4).localCheckpoint()
+    m_spark = G.fit_hist_gbt(
+        df, FEATS, "y", n_trees=3, max_depth=3, edges=EDGES, base_score=0.0
+    )
+    m_np = G.fit_hist_gbt_numpy(
+        X, y, FEATS, EDGES, n_trees=3, max_depth=3, base_score=0.0
+    )
+    assert m_spark.trees == m_np.trees
+
+
+def test_training_oracle_sql_matches_spark_fit(synth, spark):
+    """fit_predict_hist_gbt_sql replays the ENTIRE training loop in DuckDB;
+    its predictions must equal the Spark fit + expression() scoring to the
+    rounded 6dp — the driver-gate contract, pinned here on synthetic data
+    (the gate pins it on lineitem)."""
+    import duckdb
+    import pandas as pd
+
+    df, X, y, _ = synth
+    pdf = df.select(
+        F.monotonically_increasing_id().alias("rid"), "f1", "f2", "f3", "y"
+    ).toPandas()
+    m = G.fit_hist_gbt(
+        df, FEATS, "y", n_trees=3, max_depth=2, edges=EDGES,
+        base_score=0.0, learning_rate=0.4,
+    )
+    sql = G.fit_predict_hist_gbt_sql(
+        FEATS, "y", EDGES, row_id_sql="rid", n_trees=3, max_depth=2,
+        base_score=0.0, learning_rate=0.4, table="t_synth",
+    )
+    con = duckdb.connect()
+    con.register("t_synth", pdf)
+    want = con.sql(sql).df().sort_values("row_id")["prediction"].to_numpy()
+    con.close()
+    # score the SAME pandas rows with the fitted expression
+    sdf = spark.createDataFrame(pdf)
+    got = (
+        sdf.select(
+            F.col("rid"), F.round(m.expression(), 6).alias("p")
+        )
+        .toPandas()
+        .sort_values("rid")["p"]
+        .to_numpy()
+    )
+    assert np.array_equal(got, want)

@@ -54,8 +54,12 @@ def main() -> int:
             flagged += 1
         print(f"{name:32s} {b:8.2f} {n:8.2f} {r:7.2f}{mark}")
     tb = sum(v for k, v in base.items() if k in new)
-    tn = sum(new.values())
-    print(f"\ntotal(base∩new)={tb:.1f}s new={tn:.1f}s "
+    # ratio over base∩new only — counting new-only queries in tn would
+    # inflate the ratio every time coverage grows
+    tn = sum(v for k, v in new.items() if k in base)
+    tnew_only = sum(v for k, v in new.items() if k not in base)
+    print(f"\ntotal(base∩new)={tb:.1f}s new(∩)={tn:.1f}s "
+          f"new-only={tnew_only:.1f}s "
           f"adj-ratio={tn/args.scale/tb if tb else float('nan'):.2f} "
           f"(scale={args.scale}); {flagged} flagged >{args.flag}x")
     return 1 if flagged else 0

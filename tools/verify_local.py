@@ -51,10 +51,31 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def _dtype_class(s: pd.Series) -> str:
+    if pd.api.types.is_bool_dtype(s) or pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    return "other"
+
+
 def compare(name: str, sdf: pd.DataFrame, ddf: pd.DataFrame) -> list[str]:
     problems = []
     if sorted(sdf.columns) != sorted(ddf.columns):
         return [f"columns differ: spark={sorted(sdf.columns)} duck={sorted(ddf.columns)}"]
+    # Driver-hash semantics: the driver hashes dtype-faithful cells, so an
+    # int column on one engine vs float on the other (e.g. a DuckDB
+    # HUGEINT window sum landing as float64) is a REAL mismatch even when
+    # values coerce equal.  Fail loudly instead of silently coercing.
+    for c in sdf.columns:
+        sc, dc = _dtype_class(sdf[c]), _dtype_class(ddf[c])
+        if {sc, dc} == {"int", "float"}:
+            problems.append(
+                f"dtype-class mismatch col {c!r}: spark={sdf[c].dtype} "
+                f"duck={ddf[c].dtype} (driver hash would fail — cast BOTH sides)"
+            )
+    if problems:
+        return problems
     if len(sdf) != len(ddf):
         problems.append(f"row count: spark={len(sdf)} duck={len(ddf)}")
         return problems
