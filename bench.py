@@ -259,6 +259,10 @@ def main() -> None:
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in results.items()},
         "sf": sf,
+        # per-query timing = median of `iters` runs (clamped >= 3); an
+        # external wrapper re-running the whole script cannot under-sample
+        # the per-query medians below this
+        "iters": ITERS,
     }
     print(json.dumps(payload))
 

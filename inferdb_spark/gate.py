@@ -64,6 +64,7 @@ def _ensure_registered() -> None:
         "inferdb_spark.gate_stats",
         "inferdb_spark.gate_media",
         "inferdb_spark.gate_quality",
+        "inferdb_spark.gate_optbin",
     ):
         try:
             importlib.import_module(mod)
@@ -74,34 +75,33 @@ def _ensure_registered() -> None:
 # Names listed here are emitted FIRST by queries()/oracle_sql().  The driver
 # hash-checks only the first 50 declared queries per round, so each round's
 # newest / least-previously-driver-checked gates go here (the full registry is
-# still verified locally by tools/verify_local.py).  Round 2: the 9 new gates
-# (media decode, quality/stats), the two round-1-tail gates (knn_regress,
-# connected_components_star), then a rotation of gates the round-1 driver
-# window never hash-checked (it covered gate.py + gate_prep + 4 gate_ml).
+# still verified locally by tools/verify_local.py).  Round 3: the two
+# round-2 reds with their fixes (gbt_train_predict now carries a FULL
+# DuckDB training oracle; token_budget_per_source's HUGEINT cast), the
+# three new optimal-binning gates, the two hist_quantile gates whose `q`
+# dtype was normalized, then 43 gates no driver window has ever
+# hash-checked (87 remained after r01+r02; the rest rotate in round 4).
 _PRIORITY: list[str] = [
-    # round-2 new
-    "gbt_grad_histogram", "gbt_train_predict",
-    "pii_redaction", "paragraph_dedup_corpus", "token_budget_per_source",
-    "media_image_decode", "media_resize_roundtrip", "media_audio_decode",
-    "media_video_frames", "isotonic_calibration", "winnowing_fingerprints",
-    "weighted_median", "ks_statistic", "regression_metrics",
-    # round-1 tail (never driver-checked)
-    "knn_regress", "connected_components_star",
-    # rotation: pass-V-only families from round 1
-    "route_agg_join", "pca_projection", "outlier_impute",
-    "index_score_classification", "query_integration_lr", "featurizer_chain",
-    "window_rownumber", "rolling_window_avg", "union_distinct",
-    "query_integration", "auc_rank_sum", "benford_first_digit",
-    "calibration_bins", "target_encode_loo", "grouped_ols_slope",
-    "exact_quantiles", "cooccurrence_pmi", "embedding_near_pairs",
-    "regexp_extract_parse", "not_in_null_semantics", "lead_lag_deltas",
-    "asof_join_rates", "interval_join_counts", "sessionize_events",
-    "funnel_stages", "cohort_retention", "resample_daily_ffill",
-    "stream_windowed_agg", "session_window_batch",
-    "connected_components", "decimal_exact_money", "triangle_count",
-    "hof_battery", "kmv_distinct_sketch", "bloom_prejoin_filter",
-    "cms_term_frequency", "pagerank_supplier_part",
-    "spearman_rank_corr", "mutual_information",
+    # round-3 new / fixed
+    "gbt_train_predict", "token_budget_per_source", "multiclass_prebin_stats",
+    "optbin_categorical_stats", "iqr_range_prefilter", "hist_quantile_sketch",
+    "hist_quantile_merge",
+    # rotation: never driver-checked
+    "bloom_prejoin_filter", "cms_term_frequency",
+    "pagerank_supplier_part", "spearman_rank_corr", "mutual_information",
+    "token_histogram", "multiclass_metrics", "distinct_paths",
+    "collect_sorted_list", "hash_split_sample", "date_arithmetic",
+    "edit_distance_pairs", "sql_shared_text", "cooccurrence_pairs",
+    "ntile_decile_stats", "unpivot_measures", "stratified_sample",
+    "tfidf_top_terms", "group_zscore", "stats_moments",
+    "array_functions", "string_functions", "json_extract",
+    "pivot_event_counts", "range_frame_sum", "map_functions",
+    "activity_islands", "share_of_total", "event_transitions",
+    "stream_index_score", "rollup_revenue", "intersect_except",
+    "range_join_bands", "cube_volume", "window_value_functions",
+    "correlated_above_avg", "full_outer_reconcile", "null_safe_join",
+    "grouping_sets_mix", "cdc_apply_changes", "morton_zorder_key",
+    "column_profile", "mad_outliers",
 ]
 
 

@@ -243,12 +243,61 @@ def iqr_range_filter(
     outside [Q1 - k*IQR, Q3 + k*IQR] (interquartile-range method).  Only
     the FIT sees the filtered relation; transform still routes outliers
     into the edge bins.  Every reference optbinning call passes this
-    (/root/reference/src/encoder.py:38-44).  One exact-quantile aggregate;
-    the filter is a pushed-down predicate on the scan."""
-    q1, q3 = df.approxQuantile(column, [0.25, 0.75], 0.0)
+    (/root/reference/src/encoder.py:38-44).  One exact interpolated
+    percentile aggregate (same (n-1)*p definition as DuckDB
+    quantile_cont, so the bounds are engine-portable); the filter is a
+    pushed-down predicate on the scan."""
+    row = df.select(
+        F.percentile(
+            F.col(column).cast("double"), F.array(F.lit(0.25), F.lit(0.75))
+        ).alias("q")
+    ).first()
+    q1, q3 = float(row["q"][0]), float(row["q"][1])
     lo, hi = q1 - k * (q3 - q1), q3 + k * (q3 - q1)
     return df.where(
         (F.col(column) >= F.lit(float(lo))) & (F.col(column) <= F.lit(float(hi)))
+    )
+
+
+def multiclass_prebin_relation(
+    df: DataFrame, pre: BinSpec, target: str
+) -> DataFrame:
+    """The distributed half of the multiclass fit as a relation:
+    ONE groupBy(prebin, class) -> counts, <= pre_bins x n_classes rows
+    (map-side combined, scale-independent output)."""
+    return (
+        df.select(pre.expr().alias("b"), F.col(target).cast("string").alias("y"))
+        .groupBy("b", "y")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def categorical_stats_relation(
+    df: DataFrame, column: str, target: str, cat_cutoff: float = 0.05
+) -> DataFrame:
+    """The distributed half of fit_optimal_categorical_bins as a relation:
+    per-category support + event count + the cat_cutoff rare flag
+    (optbinning's 'others' pooling rule, reference src/encoder.py:58-97).
+    One groupBy + a broadcast 1-row total — no second full shuffle."""
+    s = df.groupBy(F.col(column).cast("string").alias("v")).agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col(target).cast("double") > 0, 1).otherwise(0)
+        ).alias("n_pos"),
+    )
+    total = s.agg(F.sum("n").alias("total"))
+    return s.crossJoin(F.broadcast(total)).select(
+        "v",
+        F.col("n").cast("long").alias("n"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.when(
+            F.col("n").cast("double") / F.col("total").cast("double")
+            < F.lit(float(cat_cutoff)),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("rare"),
     )
 
 
@@ -264,13 +313,7 @@ def _collect_prebin_multiclass_stats(
 ) -> _MulticlassStats:
     """ONE groupBy(prebin, class) -> counts; <= pre_bins x n_classes rows
     reach the driver — scale-independent like the binary collector."""
-    rows = (
-        df.select(pre.expr().alias("b"), F.col(target).cast("string").alias("y"))
-        .groupBy("b", "y")
-        .agg(F.count("*").alias("n"))
-        .orderBy("b", "y")
-        .collect()
-    )
+    rows = multiclass_prebin_relation(df, pre, target).orderBy("b", "y").collect()
     classes = sorted({r.y for r in rows})
     by_bin: dict[int, dict] = {}
     for r in rows:

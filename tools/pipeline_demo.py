@@ -154,6 +154,21 @@ def main() -> None:
     print(f"{'index-fit+score':<22} {test.count():>8} rows  | rmsle={err:.4f} "
           f"(supervised bins -> kv broadcast probe)")
 
+    # native histogram-GBT training on the same proxy task: one shuffle
+    # per tree level, rows never leave executors; score via the fitted
+    # ensemble burned into a CASE WHEN projection
+    from inferdb_spark.operators.gbt_train import fit_hist_gbt
+
+    gbt = fit_hist_gbt(
+        train, ["f_tokens", "f_alpha"], "target",
+        objective="squared", n_trees=5, max_depth=3, n_bins=16,
+    )
+    gscored = test.withColumn("prediction", gbt.expression())
+    gerr = float(rmsle(gscored, "prediction", "target").first()["rmsle"])
+    print(f"{'gbt-fit+score':<22} {test.count():>8} rows  | rmsle={gerr:.4f} "
+          f"(hist-GBT {len(gbt.trees)} trees, importance="
+          f"{ {k: round(v, 1) for k, v in gbt.importance('gain').items()} })")
+
 
 if __name__ == "__main__":
     main()
