@@ -65,6 +65,7 @@ def _ensure_registered() -> None:
         "inferdb_spark.gate_media",
         "inferdb_spark.gate_quality",
         "inferdb_spark.gate_optbin",
+        "inferdb_spark.gate_llm3",
     ):
         try:
             importlib.import_module(mod)
@@ -84,8 +85,8 @@ def _ensure_registered() -> None:
 _PRIORITY: list[str] = [
     # round-3 new / fixed
     "gbt_train_predict", "token_budget_per_source", "multiclass_prebin_stats",
-    "optbin_categorical_stats", "iqr_range_prefilter", "hist_quantile_sketch",
-    "hist_quantile_merge",
+    "optbin_categorical_stats", "iqr_range_prefilter", "semantic_dedup",
+    "hist_quantile_sketch", "hist_quantile_merge",
     # rotation: never driver-checked
     "bloom_prejoin_filter", "cms_term_frequency",
     "pagerank_supplier_part", "spearman_rank_corr", "mutual_information",
@@ -101,7 +102,7 @@ _PRIORITY: list[str] = [
     "range_join_bands", "cube_volume", "window_value_functions",
     "correlated_above_avg", "full_outer_reconcile", "null_safe_join",
     "grouping_sets_mix", "cdc_apply_changes", "morton_zorder_key",
-    "column_profile", "mad_outliers",
+    "column_profile",
 ]
 
 

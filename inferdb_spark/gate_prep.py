@@ -961,7 +961,8 @@ PF_T = 0.8
     "prefix_filter_jaccard_join",
     oracle=f"""
     WITH {_D_CORPUS},
-    pf_corpus AS (SELECT * FROM corpus WHERE doc_id % 2000000 < 600),
+    pf_corpus AS (SELECT * FROM corpus
+                  WHERE doc_id % 2000000 < 600 AND doc_id < 10000000),
     sets_l AS (SELECT doc_id, {_d_char_shingles('text', MH_SHINGLE)} AS sh FROM pf_corpus),
     sets AS (SELECT doc_id, unnest(sh) AS s FROM sets_l),
     dfreq AS (SELECT s, CAST(count(*) AS BIGINT) AS df FROM sets GROUP BY s),
@@ -1005,9 +1006,13 @@ def q_prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rare as the corpus grows and the candidate join degenerates — the
     # gate pins algorithm correctness on a fixed-cardinality subset.  On a
     # real web corpus (heavy-tailed shingle df) the full-corpus join is
-    # the production path.
+    # the production path.  `doc_id < 10M` pins the slice to the BASE
+    # replica of the key-shifted scale ramp (tools/make_scale_data.py
+    # SHIFT=10M): a no-op at sf<=0.1, a fixed 600-doc stratum at sf1 — so
+    # the exact-recall oracle stays scale-proportionate and no gate needs
+    # excluding from the sf1 run.
     corpus = _spark_corpus(spark, sf_dir).filter(
-        F.col("doc_id") % 2000000 < 600
+        (F.col("doc_id") % 2000000 < 600) & (F.col("doc_id") < 10_000_000)
     )
     cand = DD.prefix_filter_pairs(
         corpus, "doc_id", "text", threshold=PF_T, shingle_n=MH_SHINGLE

@@ -351,3 +351,96 @@ def pq_adc_topk(
         .orderBy(F.asc("adc_dist"), F.asc(id_col))
         .limit(k)
     )
+
+
+def assign_with_centroid_cosine(
+    vec_col: Column, centroids: list[list[float]]
+) -> Column:
+    """struct(cluster, ccos_q): nearest literal centroid by squared L2
+    (lowest-id tiebreak) plus the micro-unit-quantized cosine to that
+    centroid — one projection, no join, no shuffle.  Quantizing ccos to
+    BIGINT micro-units (floor(x*1e6 + 0.5)) makes downstream ORDERING on
+    it engine-portable (cross-engine float ULPs cannot flip a rank)."""
+    v = as_double_array(vec_col)
+    entries = []
+    for i, c in enumerate(centroids):
+        clit = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(v, clit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        ccos = cosine_similarity(v, clit)
+        entries.append(
+            F.struct(
+                d.alias("d"),
+                F.lit(i).alias("cluster"),
+                F.floor(ccos * F.lit(1000000.0) + F.lit(0.5))
+                .cast("long")
+                .alias("ccos_q"),
+            )
+        )
+    best = F.array_min(F.array(*entries))
+    return F.struct(best["cluster"].alias("cluster"), best["ccos_q"].alias("ccos_q"))
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate removal over an embedding column.
+
+    1. Assign every embedding to its nearest centroid — a map-only
+       projection against literal centroids (no shuffle; fit centroids
+       with fit_ivf_centroids or any external clusterer).
+    2. Self-join WITHIN clusters only (one shuffle keyed on cluster id);
+       pairs with cosine >= threshold are semantic duplicates.  Cluster
+       size bounds the join — at 100 TB raise n_clusters so the largest
+       cluster's pair count stays tractable (the paper uses ~100k
+       clusters), exactly the IVF partition-pruning trade-off.
+    3. Deterministic keep rule: drop x iff SOME same-cluster duplicate y
+       ranks below it by (centroid-cosine, id) — i.e. survivors are the
+       LOW-centroid-cosine representatives (SemDeDup keeps the examples
+       least typical of the cluster, preserving diversity).  Ranking uses
+       the micro-unit-quantized cosine, so the rule replays bit-identically
+       in SQL.
+
+    Returns surviving rows: (id, cluster, ccos_q).  A greedy
+    any-smaller-neighbor rule, not connected components: chains drop every
+    non-minimal member, matching the paper's per-cluster epsilon-dedup
+    greedy.  No reference counterpart (the reference has no embedding
+    pipeline); this is part of the LLM-training-data surface.
+    """
+    a = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_v"),
+        assign_with_centroid_cosine(F.col(vec_col), centroids).alias("_asg"),
+    ).select(
+        F.col(id_col),
+        F.col("_v"),
+        F.col("_asg.cluster").alias("cluster"),
+        F.col("_asg.ccos_q").alias("ccos_q"),
+    )
+    x, y = a.alias("x"), a.alias("y")
+    dup = (
+        F.col("x.cluster") == F.col("y.cluster")
+    ) & (F.col(f"x.{id_col}") != F.col(f"y.{id_col}"))
+    better = (F.col("y.ccos_q") < F.col("x.ccos_q")) | (
+        (F.col("y.ccos_q") == F.col("x.ccos_q"))
+        & (F.col(f"y.{id_col}") < F.col(f"x.{id_col}"))
+    )
+    close = cosine_similarity(
+        as_double_array(F.col("x._v")), as_double_array(F.col("y._v"))
+    ) >= F.lit(float(threshold))
+    losers = (
+        x.join(y, dup & better & close)
+        .select(F.col(f"x.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return a.join(losers, id_col, "left_anti").select(
+        id_col, "cluster", "ccos_q"
+    )
