@@ -86,6 +86,7 @@ _PRIORITY: list[str] = [
     # round-3 new / fixed
     "gbt_train_predict", "token_budget_per_source", "multiclass_prebin_stats",
     "optbin_categorical_stats", "iqr_range_prefilter", "semantic_dedup",
+    "temperature_mixing", "fasttext_quality_score",
     "hist_quantile_sketch", "hist_quantile_merge",
     # rotation: never driver-checked
     "bloom_prejoin_filter", "cms_term_frequency",
@@ -101,8 +102,7 @@ _PRIORITY: list[str] = [
     "stream_index_score", "rollup_revenue", "intersect_except",
     "range_join_bands", "cube_volume", "window_value_functions",
     "correlated_above_avg", "full_outer_reconcile", "null_safe_join",
-    "grouping_sets_mix", "cdc_apply_changes", "morton_zorder_key",
-    "column_profile",
+    "grouping_sets_mix", "cdc_apply_changes",
 ]
 
 

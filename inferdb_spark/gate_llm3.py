@@ -109,3 +109,127 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster").cast("int").alias("cluster"),
         F.col("ccos_q").cast("long").alias("ccos_q"),
     )
+
+
+from inferdb_spark.functions.hashing import duckdb_h52 as _d_h52
+from inferdb_spark.gate_prep import _d_tokens
+
+TM_ALPHA = 0.5
+TM_TARGET = 500  # permille
+
+
+@gate(
+    "temperature_mixing",
+    oracle=f"""
+    WITH s AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_s
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, n_s,
+             CAST(floor(pow(CAST(n_s AS DOUBLE), {TM_ALPHA!r}) * 1000000.0
+                        + 0.5) AS BIGINT) AS wq
+      FROM s
+    ),
+    t AS (SELECT CAST(sum(n_s) AS BIGINT) AS t_rows,
+                 CAST(sum(wq) AS BIGINT) AS w_total FROM w),
+    r AS (
+      SELECT source, n_s,
+             least(1000, CAST(({TM_TARGET} * t_rows * wq)
+                              // (w_total * n_s) AS BIGINT)) AS rate_permille
+      FROM w, t
+    ),
+    kept AS (
+      SELECT d.source,
+             CAST(sum(CASE WHEN {_d_h52("'tmix.' || CAST(doc_id AS VARCHAR)")}
+                                % 1000 < r.rate_permille
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      FROM documents d JOIN r ON d.source = r.source
+      GROUP BY d.source
+    )
+    SELECT r.source, r.n_s, CAST(r.rate_permille AS BIGINT) AS rate_permille,
+           k.n_kept
+    FROM r JOIN kept k ON r.source = k.source
+    """,
+)
+def q_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature source mixing (operators/textprep.temperature_mixing:
+    p_s ∝ n_s^0.5, the mT5 recipe rule): per-source keep rate from an
+    all-integer derivation (micro-unit-quantized n^alpha, BIGINT integral
+    division) + deterministic h52 selection — the sampled subset is
+    bit-identical on any engine, any retry.  One tiny groupBy + broadcast
+    rate join; selection is map-side."""
+    from inferdb_spark.functions.hashing import h52
+    from inferdb_spark.operators.textprep import (
+        temperature_mixing_rates,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    rates = temperature_mixing_rates(d, "source", TM_ALPHA, TM_TARGET)
+    h = h52(F.concat(F.lit("tmix."), F.col("doc_id").cast("string"))) % 1000
+    kept = (
+        d.select("source", h.alias("h"))
+        .join(F.broadcast(rates), "source")
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("h") < F.col("rate_permille"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept")
+        )
+    )
+    return rates.join(kept, "source").select(
+        "source",
+        F.col("n_s").cast("long").alias("n_s"),
+        F.col("rate_permille").cast("long").alias("rate_permille"),
+        "n_kept",
+    )
+
+
+# patterned literal weights for the hashed linear quality scorer
+FTQ_DIM = 64
+FTQ_W = [((j * 37) % 21 - 10) / 10.0 for j in range(FTQ_DIM)]
+FTQ_BIAS = 0.05
+_FTQ_WQ_SQL = "[" + ", ".join(str(int(round(w * 1_000_000))) for w in FTQ_W) + "]"
+
+
+@gate(
+    "fasttext_quality_score",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_d_tokens('text')}) AS term
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    h AS (SELECT doc_id, {_d_h52('term')} AS hv FROM tok),
+    c AS (
+      SELECT doc_id,
+             CAST(sum((CASE WHEN (hv // {FTQ_DIM}) % 2 = 0 THEN 1 ELSE -1 END)
+                 * ({_FTQ_WQ_SQL}::BIGINT[])[CAST(hv % {FTQ_DIM} AS INT) + 1])
+                 AS BIGINT) AS margin_q
+      FROM h GROUP BY doc_id
+    ),
+    base AS (SELECT doc_id FROM documents WHERE doc_id % 7 = 0)
+    SELECT b.doc_id,
+           CAST(coalesce(c.margin_q, 0) AS BIGINT) AS margin_q,
+           CAST(round(1.0 / (1.0 + exp(-(CAST(coalesce(c.margin_q, 0) AS DOUBLE)
+                / 1000000.0 + {FTQ_BIAS!r}))), 6) AS DOUBLE) AS score
+    FROM base b LEFT JOIN c ON b.doc_id = c.doc_id
+    """,
+)
+def q_fasttext_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style quality-classifier filter (operators/textprep.
+    hashed_linear_text_score): linear model over signed hashed
+    bag-of-words (hash_features' exact feature space), scored as a PURE
+    PROJECTION — integer micro-unit margin fold over the token array
+    (order-independent), sigmoid once at the end.  Zero shuffle, zero
+    Python, zero vocabulary state: the shape of a classifier quality
+    filter over a 100 TB crawl."""
+    from inferdb_spark.operators.textprep import hashed_linear_text_score
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    return hashed_linear_text_score(
+        d, "doc_id", "text", FTQ_W, FTQ_BIAS, FTQ_DIM
+    ).select(
+        "doc_id",
+        F.col("margin_q").cast("long").alias("margin_q"),
+        "score",
+    )

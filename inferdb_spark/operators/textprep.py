@@ -640,3 +640,130 @@ def token_budget_per_source(
             F.col("cum_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# temperature-based source mixing (the mT5/UnifiedQA data-recipe rule:
+# sample source s with probability proportional to n_s^alpha, flattening
+# source skew) — all-integer rate derivation so the subset is bit-identical
+# on any engine
+
+
+def temperature_mixing_rates(
+    df: DataFrame,
+    source_col: str = "source",
+    alpha: float = 0.5,
+    target_permille: int = 500,
+) -> DataFrame:
+    """Per-source keep rate (permille) for temperature sampling:
+    r_s = target * T * w_s / (W * n_s), w_s = n_s^alpha, capped at 1000.
+
+    Exactness discipline: w_s is quantized to BIGINT micro-units
+    immediately (floor(n^alpha * 1e6 + 0.5) — pow's <=1 ulp noise cannot
+    survive the quantization), so the cross-source sum W_q is an
+    order-independent integer and the rate is a single integer division —
+    bit-identical on Spark and DuckDB.  One groupBy to <= |sources| rows
+    plus a broadcast 1-row total; joins back as a broadcast."""
+    s = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count("*").cast("long").alias("n_s")
+    )
+    wq = F.floor(
+        F.pow(F.col("n_s").cast("double"), F.lit(float(alpha))) * 1000000.0
+        + F.lit(0.5)
+    ).cast("long")
+    s = s.withColumn("wq", wq)
+    tot = s.agg(
+        F.sum("n_s").cast("long").alias("t_rows"),
+        F.sum("wq").cast("long").alias("w_total"),
+    )
+    # `div` = exact BIGINT integral division (DuckDB `//` semantics) —
+    # never touches IEEE doubles, so no floor-after-round boundary drift.
+    # Overflow bound: target*T*wq < 2^63 holds through ~5M docs/source at
+    # alpha<=1; widen through DECIMAL(38,0) (graph.py:249 pattern) beyond.
+    return s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_s",
+        F.least(
+            F.lit(1000).cast("long"),
+            F.expr(
+                f"({int(target_permille)}L * t_rows * wq) div (w_total * n_s)"
+            ),
+        )
+        .cast("long")
+        .alias("rate_permille"),
+    )
+
+
+def temperature_mixing(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    target_permille: int = 500,
+    salt: str = "tmix.",
+) -> DataFrame:
+    """Apply temperature mixing: deterministic h52 hash thresholding
+    against the per-source rate (no RNG — retries/engines select the
+    identical subset).  Rate table is broadcast; the filter is a
+    map-side projection + one tiny join."""
+    from inferdb_spark.functions.hashing import h52
+
+    rates = temperature_mixing_rates(df, source_col, alpha, target_permille)
+    h = h52(F.concat(F.lit(salt), F.col(id_col).cast("string"))) % 1000
+    return (
+        df.join(F.broadcast(rates.select("source", "rate_permille")), source_col)
+        .where(h < F.col("rate_permille"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# fastText-style hashed linear quality scoring: the classifier-filter step
+# of a pretraining recipe (e.g. CCNet/GPT-3 quality filters), as a PURE
+# PROJECTION — tokenization, hashing, dot product, and sigmoid all inline
+# per row; zero shuffle, zero Python
+
+
+def hashed_linear_text_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    weights: list[float] | None = None,
+    bias: float = 0.0,
+    dim: int = 64,
+) -> DataFrame:
+    """Score text with a linear model over signed hashed bag-of-words
+    features (the feature space of hash_features: bucket h52(term)%dim,
+    sign from the next hash bit — so weights trained on hash_features COO
+    apply directly).  Weights are quantized to integer micro-units at
+    plan build; the per-doc margin is an exact BIGINT fold over the token
+    array (order-independent, engine-portable), converted to a sigmoid
+    score once at the end.  100 TB: map-only, whole-stage codegen, no
+    vocabulary state."""
+    from inferdb_spark.functions import text as TXT
+    from inferdb_spark.functions.hashing import h52
+
+    assert weights is not None and len(weights) == dim
+    wq = [int(round(w * 1_000_000)) for w in weights]
+    warr = F.array(*[F.lit(q).cast("long") for q in wq])
+
+    def _term_weight(t: Column) -> Column:
+        h = h52(t)
+        contrib = F.element_at(warr, (h % dim).cast("int") + 1)
+        sign = F.when((h / dim).cast("long") % 2 == 0, F.lit(1)).otherwise(
+            F.lit(-1)
+        ).cast("long")
+        return sign * contrib
+
+    margin_q = F.aggregate(
+        TXT.tokens(F.col(text_col)),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + _term_weight(t),
+    )
+    margin = margin_q.cast("double") / F.lit(1000000.0) + F.lit(float(bias))
+    return df.select(
+        F.col(id_col),
+        margin_q.alias("margin_q"),
+        F.round(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)), 6
+        ).cast("double").alias("score"),
+    )

@@ -1,0 +1,137 @@
+"""Round-3 curation operators: temperature mixing, hashed linear text
+scoring, semantic dedup — property tests beyond the oracle gates."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from inferdb_spark.operators.textprep import (
+    hashed_linear_text_score,
+    temperature_mixing,
+    temperature_mixing_rates,
+)
+
+
+@pytest.fixture(scope="module")
+def skewed_docs(spark):
+    rows = []
+    # source sizes 1000 / 200 / 50: heavy skew for temperature flattening
+    for s, n in (("big", 1000), ("mid", 200), ("small", 50)):
+        for i in range(n):
+            rows.append((len(rows), s, f"doc {s} {i} lorem ipsum dolor"))
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "source", "text"])
+    ).localCheckpoint()
+
+
+def test_temperature_rates_flatten_skew(skewed_docs):
+    """alpha=0.5 must give the small source a HIGHER keep rate than the
+    big one (rate ∝ n^(alpha-1)), and alpha=1.0 must be uniform."""
+    r = {
+        row["source"]: row["rate_permille"]
+        for row in temperature_mixing_rates(
+            skewed_docs, "source", 0.5, 200
+        ).collect()
+    }
+    assert r["small"] > r["mid"] > r["big"]
+    assert all(v < 1000 for v in r.values())  # uncapped regime
+    r1 = {
+        row["source"]: row["rate_permille"]
+        for row in temperature_mixing_rates(
+            skewed_docs, "source", 1.0, 500
+        ).collect()
+    }
+    # alpha=1: rate = target for every source (up to integer floor)
+    assert len({*r1.values()}) == 1
+    assert abs(next(iter(r1.values())) - 500) <= 1
+
+
+def test_temperature_mixing_deterministic(skewed_docs):
+    a = sorted(
+        r["doc_id"] for r in temperature_mixing(skewed_docs).select("doc_id").collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in temperature_mixing(
+            skewed_docs.repartition(7)
+        ).select("doc_id").collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_hashed_linear_score_matches_numpy(spark):
+    """Spark margin fold == explicit numpy scoring through the identical
+    hash/sign/bucket pipeline."""
+    from inferdb_spark.functions.hashing import h52
+
+    dim = 16
+    w = [((j * 5) % 11 - 5) / 10.0 for j in range(dim)]
+    wq = [int(round(x * 1_000_000)) for x in w]
+    texts = ["alpha beta gamma", "beta beta", "", "Delta! epsilon?"]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    out = {
+        r["doc_id"]: (r["margin_q"], r["score"])
+        for r in hashed_linear_text_score(
+            df, "doc_id", "text", w, 0.1, dim
+        ).collect()
+    }
+    # recompute hashes via the SAME Spark h52 (portable md5-prefix hash)
+    toks = {
+        0: ["alpha", "beta", "gamma"],
+        1: ["beta", "beta"],
+        2: [],
+        3: ["delta", "epsilon"],
+    }
+    uniq = sorted({t for ts in toks.values() for t in ts})
+    hdf = spark.createDataFrame(pd.DataFrame({"t": uniq})).select(
+        "t", h52(F.col("t")).alias("h")
+    )
+    hmap = {r["t"]: r["h"] for r in hdf.collect()}
+    for i, ts in toks.items():
+        m = 0
+        for t in ts:
+            h = hmap[t]
+            sign = 1 if (h // dim) % 2 == 0 else -1
+            m += sign * wq[h % dim]
+        assert out[i][0] == m
+        want = round(1.0 / (1.0 + math.exp(-(m / 1e6 + 0.1))), 6)
+        assert out[i][1] == pytest.approx(want, abs=1e-9)
+
+
+def test_semantic_dedup_drops_near_duplicates(spark):
+    """Two clusters of near-identical vectors + one isolated vector: each
+    duplicate group keeps exactly its lowest-(ccos_q, id) member; the
+    isolated vector survives."""
+    from inferdb_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(9)
+    c0 = np.array([1.0, 0.0, 0.0, 0.0])
+    c1 = np.array([0.0, 1.0, 0.0, 0.0])
+    rows = []
+    for i in range(4):  # near-dups of c0 direction
+        v = c0 + rng.normal(0, 0.01, 4)
+        rows.append((i, [float(x) for x in v]))
+    for i in range(4, 7):  # near-dups of c1 direction
+        v = c1 + rng.normal(0, 0.01, 4)
+        rows.append((i, [float(x) for x in v]))
+    rows.append((7, [0.0, 0.5, 0.0, 0.8]))  # same cluster as c1 but far
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    out = semantic_dedup(
+        df,
+        "embedding",
+        [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]],
+        threshold=0.95,
+    )
+    kept = sorted(r["vec_id"] for r in out.collect())
+    # one survivor per dup group + the far vector
+    assert len(kept) == 3
+    assert 7 in kept
+    assert len([k for k in kept if k < 4]) == 1
+    assert len([k for k in kept if 4 <= k < 7]) == 1
