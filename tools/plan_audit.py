@@ -198,6 +198,22 @@ def main() -> int:
         ("first-occurrence via window rank, not a self-join",
          lambda p: "Window" in p and "Join" not in p),
     ])
+    audit("fasttext_quality_score", [
+        ("zero-shuffle projection (hashed-BoW margin is a pure fold)",
+         lambda p: "Exchange" not in p and "Join" not in p),
+        ("no Python nodes", lambda p: "Python" not in p),
+    ])
+    audit("semantic_dedup", [
+        ("no cartesian product (pair join is cluster-keyed)",
+         lambda p: "CartesianProduct" not in p),
+        ("no Python nodes (assign + cosine are codegen folds)",
+         lambda p: "Python" not in p),
+    ])
+    audit("temperature_mixing", [
+        ("rate table joins broadcast (no fact-fact SMJ)",
+         lambda p: "BroadcastHashJoin" in p),
+        ("no Python nodes", lambda p: "Python" not in p),
+    ])
 
     print("\n" + ("ALL PLAN CHECKS PASS" if failures == 0 else f"{failures} PLAN CHECKS FAILED"))
     return 1 if failures else 0
