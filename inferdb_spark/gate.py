@@ -86,8 +86,8 @@ _PRIORITY: list[str] = [
     # round-3 new / fixed
     "gbt_train_predict", "token_budget_per_source", "multiclass_prebin_stats",
     "optbin_categorical_stats", "iqr_range_prefilter", "semantic_dedup",
-    "temperature_mixing", "fasttext_quality_score",
-    "hist_quantile_sketch", "hist_quantile_merge",
+    "temperature_mixing", "fasttext_quality_score", "gbt_train_logistic",
+    "ivf_pq_search", "hist_quantile_sketch", "hist_quantile_merge",
     # rotation: never driver-checked
     "bloom_prejoin_filter", "cms_term_frequency",
     "pagerank_supplier_part", "spearman_rank_corr", "mutual_information",
@@ -102,7 +102,6 @@ _PRIORITY: list[str] = [
     "stream_index_score", "rollup_revenue", "intersect_except",
     "range_join_bands", "cube_volume", "window_value_functions",
     "correlated_above_avg", "full_outer_reconcile", "null_safe_join",
-    "grouping_sets_mix", "cdc_apply_changes",
 ]
 
 

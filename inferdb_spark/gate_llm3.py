@@ -233,3 +233,129 @@ def q_fasttext_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("margin_q").cast("long").alias("margin_q"),
         "score",
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ composed ANN search (operators/similarity.ivf_pq_search)
+
+PQ_NSUB = 4
+PQ_SUB = 16  # 64-dim embeddings / 4 subspaces
+PQ_NCODE = 4
+PQ_BOOKS = [
+    [
+        [((s + 1) * (c + 2) * (j + 3) % 11 - 5) / 20.0 for j in range(PQ_SUB)]
+        for c in range(PQ_NCODE)
+    ]
+    for s in range(PQ_NSUB)
+]
+PQ_QUERY = [((i * 7) % 13 - 6) / 15.0 for i in range(64)]
+PQ_NPROBE = 2
+PQ_K = 25
+
+
+def _pq_probe_ids() -> list[int]:
+    """Driver-side coarse ranking from the SAME literals (shared-literal
+    rule: this list is embedded in both dialects)."""
+    dists = [
+        (i, sum((a - b) * (a - b) for a, b in zip(c, PQ_QUERY)))
+        for i, c in enumerate(SD_CENTROIDS)
+    ]
+    return [i for i, _ in sorted(dists, key=lambda t: t[1])[:PQ_NPROBE]]
+
+
+def _pq_luts_q() -> list[list[int]]:
+    out = []
+    for s, book in enumerate(PQ_BOOKS):
+        q_s = PQ_QUERY[s * PQ_SUB : (s + 1) * PQ_SUB]
+        out.append(
+            [
+                int(round(sum((q_s[j] - book[c][j]) ** 2 for j in range(PQ_SUB)) * 1_000_000))
+                for c in range(PQ_NCODE)
+            ]
+        )
+    return out
+
+
+_PQ_BK_SQL = ", ".join(
+    f"({s}, {c}, [" + ", ".join(repr(float(x)) for x in PQ_BOOKS[s][c]) + "]::DOUBLE[])"
+    for s in range(PQ_NSUB)
+    for c in range(PQ_NCODE)
+)
+_PQ_LUT_SQL = ", ".join(
+    f"({s}, {c}, {q})"
+    for s, row in enumerate(_pq_luts_q())
+    for c, q in enumerate(row)
+)
+_PQ_PROBE_SQL = ", ".join(str(i) for i in _pq_probe_ids())
+
+
+@gate(
+    "ivf_pq_search",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = 0
+    ),
+    cl AS (SELECT * FROM (VALUES {_SD_CENT_SQL}) AS t(cid, cv)),
+    cell_d AS (
+      SELECT e.vec_id, cl.cid,
+             list_sum(list_transform(generate_series(1, {SD_DIM}),
+                 i -> (cast(e.embedding[i] as double) - cl.cv[i])
+                    * (cast(e.embedding[i] as double) - cl.cv[i]))) AS dsq
+      FROM e CROSS JOIN cl
+    ),
+    cell_m AS (SELECT vec_id, min(dsq) AS md FROM cell_d GROUP BY vec_id),
+    cell AS (
+      SELECT d.vec_id, min(d.cid) AS list_id
+      FROM cell_d d JOIN cell_m m ON d.vec_id = m.vec_id AND d.dsq = m.md
+      GROUP BY d.vec_id
+    ),
+    probed AS (
+      SELECT e.vec_id, e.embedding
+      FROM e JOIN cell c ON e.vec_id = c.vec_id
+      WHERE c.list_id IN ({_PQ_PROBE_SQL})
+    ),
+    bk AS (SELECT * FROM (VALUES {_PQ_BK_SQL}) AS t(s, c, bv)),
+    sub_d AS (
+      SELECT p.vec_id, bk.s, bk.c,
+             list_sum(list_transform(generate_series(1, {PQ_SUB}),
+                 j -> (cast(p.embedding[bk.s * {PQ_SUB} + j] as double) - bk.bv[j])
+                    * (cast(p.embedding[bk.s * {PQ_SUB} + j] as double) - bk.bv[j]))) AS d
+      FROM probed p CROSS JOIN bk
+    ),
+    sub_m AS (SELECT vec_id, s, min(d) AS md FROM sub_d GROUP BY vec_id, s),
+    code AS (
+      SELECT d.vec_id, d.s, min(d.c) AS c
+      FROM sub_d d JOIN sub_m m
+        ON d.vec_id = m.vec_id AND d.s = m.s AND d.d = m.md
+      GROUP BY d.vec_id, d.s
+    ),
+    lut AS (SELECT * FROM (VALUES {_PQ_LUT_SQL}) AS t(s, c, lq)),
+    adc AS (
+      SELECT code.vec_id, CAST(sum(l.lq) AS BIGINT) AS adc_q
+      FROM code JOIN lut l ON code.s = l.s AND code.c = l.c
+      GROUP BY code.vec_id
+    )
+    SELECT vec_id, adc_q FROM adc ORDER BY adc_q, vec_id LIMIT {PQ_K}
+    """,
+)
+def q_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed ANN query (operators/similarity.ivf_pq_search) —
+    the FAISS production shape: coarse cell pruning to n_probe inverted
+    lists (scan-level partition pruning at 100 TB) + asymmetric-distance
+    ranking over PQ codes with a literal micro-unit LUT (exact integer
+    ADC; k-boundary ties break on (adc_q, id) identically cross-engine).
+    Encode + assign are argmin-over-literal projections: no Python, no
+    extra shuffle beyond the top-k."""
+    from inferdb_spark.operators.similarity import ivf_build, ivf_pq_search
+
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 3 == 0)
+    indexed = ivf_build(e, "embedding", SD_CENTROIDS)
+    return ivf_pq_search(
+        indexed,
+        "embedding",
+        SD_CENTROIDS,
+        PQ_BOOKS,
+        PQ_QUERY,
+        n_probe=PQ_NPROBE,
+        k=PQ_K,
+    ).select("vec_id", F.col("adc_q").cast("long").alias("adc_q"))

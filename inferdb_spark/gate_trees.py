@@ -256,3 +256,47 @@ def q_gbt_train_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("row_id"),
         F.round(model.expression(), 6).cast("double").alias("prediction"),
     )
+
+
+@gate(
+    "gbt_train_logistic",
+    oracle=GT.fit_predict_hist_gbt_sql(
+        GBT_FEATS,
+        "y",
+        GBT_EDGES,
+        row_id_sql="l_orderkey * 10 + l_linenumber",
+        n_trees=3,
+        max_depth=2,
+        base_score=0.0,
+        learning_rate=0.5,
+        objective="logistic",
+        label_sql="CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END",
+    ),
+)
+def q_gbt_train_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native hist-GBT training, LOGISTIC objective (operators/gbt_train.
+    fit_hist_gbt): binary target returnflag='R', 3 trees x depth 2, then
+    sigmoid-linked ensemble scoring.  The oracle replays the full
+    training loop in DuckDB with the identical p=1/(1+exp(-m)) gradient
+    formula — integer micro-unit histograms keep the replay hash-stable
+    through the transcendental."""
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "y", F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0)
+    )
+    model = GT.fit_hist_gbt(
+        li,
+        GBT_FEATS,
+        "y",
+        objective="logistic",
+        n_trees=3,
+        max_depth=2,
+        edges=GBT_EDGES,
+        base_score=0.0,
+        learning_rate=0.5,
+    )
+    return li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+        .cast("long")
+        .alias("row_id"),
+        F.round(model.expression(), 6).cast("double").alias("prediction"),
+    )

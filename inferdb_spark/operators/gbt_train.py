@@ -317,10 +317,18 @@ def fit_predict_hist_gbt_sql(
     gamma: float = 0.0,
     min_child_weight: float = 1.0,
     table: str = "lineitem",
+    objective: str = "squared",
+    label_sql: str | None = None,
 ) -> str:
     """Full DuckDB oracle for `fit_hist_gbt` + ensemble scoring — the whole
-    training loop unrolled into one CTE chain (squared objective, fixed
-    literal edges).  Each tree level is exactly the histogram → prefix-sum
+    training loop unrolled into one CTE chain (squared or logistic
+    objective, fixed literal edges).  `label_sql` overrides the label
+    expression (e.g. a CASE WHEN for a derived binary target); defaults
+    to `label_col`.  Logistic caveat: p = 1/(1+exp(-m)) crosses libm —
+    JVM/libm exp agree well inside 1e-15, and the micro-unit quantization
+    floor only flips if (p-y)*1e6 lands within that of an integer
+    boundary (measure ~1e-9/row); the identical-formula rule keeps both
+    engines on the same expression.  Each tree level is exactly the histogram → prefix-sum
     → gain-argmax → route sequence the Spark fit runs, in the same IEEE
     double arithmetic with the same parenthesization, over the same exact
     integer micro-unit sums — so trees, leaf weights, and predictions are
@@ -350,19 +358,34 @@ def fit_predict_hist_gbt_sql(
     )
     feat_case = " ".join(f"WHEN {i} THEN n.b{i}" for i in range(nf))
 
+    lab = label_sql if label_sql is not None else label_col
     ctes = [
         "b AS MATERIALIZED (SELECT "
         + f"CAST({row_id_sql} AS BIGINT) AS row_id, "
         + ", ".join(f"{bs} AS b{i}" for i, bs in enumerate(bin_sqls))
-        + f", CAST({label_col} AS DOUBLE) AS y FROM {table})",
+        + f", CAST({lab} AS DOUBLE) AS y FROM {table})",
         f"g0 AS MATERIALIZED (SELECT row_id, {bcols}, y, "
         f"CAST({float(base_score)!r} AS DOUBLE) AS m FROM b)",
     ]
+    if objective == "squared":
+        grad_cols = (
+            "CAST(floor((m - y) * 1000000.0 + 0.5) AS BIGINT) AS gq, "
+            "CAST(1000000 AS BIGINT) AS hq"
+        )
+    elif objective == "logistic":
+        # identical formula shape as _grad_hess: p = 1/(1+exp(-m)),
+        # g = p - y, h = p * (1 - p)
+        p = "(1.0 / (1.0 + exp(-m)))"
+        grad_cols = (
+            f"CAST(floor(({p} - y) * 1000000.0 + 0.5) AS BIGINT) AS gq, "
+            f"CAST(floor(({p} * (1.0 - {p})) * 1000000.0 + 0.5) AS BIGINT) AS hq"
+        )
+    else:
+        raise ValueError(objective)
     for t in range(n_trees):
         ctes.append(
             f"t{t}n0 AS MATERIALIZED (SELECT row_id, {bcols}, y, m, "
-            f"CAST(floor((m - y) * 1000000.0 + 0.5) AS BIGINT) AS gq, "
-            f"CAST(1000000 AS BIGINT) AS hq, 0 AS nid FROM g{t})"
+            f"{grad_cols}, 0 AS nid FROM g{t})"
         )
         for d in range(max_depth):
             min_nid = 2**d - 1
@@ -430,9 +453,14 @@ def fit_predict_hist_gbt_sql(
             + ", n.y, n.m + l.w AS m "
             f"FROM t{t}n{max_depth} n JOIN t{t}lw l ON n.nid = l.nid)"
         )
+    final = (
+        "round(1.0 / (1.0 + exp(-m)), 6)"
+        if objective == "logistic"
+        else "round(m, 6)"
+    )
     return (
         "WITH " + ",\n".join(ctes)
-        + f"\nSELECT row_id, round(m, 6) AS prediction FROM g{n_trees}"
+        + f"\nSELECT row_id, {final} AS prediction FROM g{n_trees}"
     )
 
 

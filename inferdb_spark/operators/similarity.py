@@ -444,3 +444,55 @@ def semantic_dedup(
     return a.join(losers, id_col, "left_anti").select(
         id_col, "cluster", "ccos_q"
     )
+
+
+def ivf_pq_search(
+    indexed: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    n_probe: int = 2,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """FAISS-style IVF-PQ composed query — the production 100 TB ANN
+    shape: coarse cell pruning (driver ranks literal centroids, the scan
+    filter prunes to `n_probe` inverted lists / partitions) + asymmetric
+    -distance ranking over PQ codes (per-subspace LUT of query->codeword
+    distances burned in as literals).
+
+    Engine-portable ordering: the LUT entries are quantized to BIGINT
+    micro-units in the DRIVER (shared literals), so the ADC distance is
+    an exact integer sum once codes are chosen — ties at the k-boundary
+    break on (adc_q, id) identically everywhere.  Code assignment itself
+    is the W3 argmin-over-literals pattern (codegen, no Python).
+    `indexed` must carry `list_id` (ivf_build); expects dim divisible by
+    len(codebooks)."""
+    dists = [
+        (i, sum((a - b) * (a - b) for a, b in zip(c, query_vec)))
+        for i, c in enumerate(centroids)
+    ]
+    probe_ids = [i for i, _ in sorted(dists, key=lambda t: t[1])[:n_probe]]
+    sub = len(codebooks[0][0])
+    luts_q: list[list[int]] = []
+    for s, book in enumerate(codebooks):
+        q_s = query_vec[s * sub : (s + 1) * sub]
+        luts_q.append(
+            [
+                int(round(sum((q_s[j] - book[c][j]) ** 2 for j in range(sub)) * 1_000_000))
+                for c in range(len(book))
+            ]
+        )
+    codes = pq_encode(F.col(vec_col), codebooks)
+    adc_q = None
+    for s, lq in enumerate(luts_q):
+        lut = F.array(*[F.lit(x).cast("long") for x in lq])
+        term = F.element_at(lut, F.element_at(codes, s + 1) + 1)
+        adc_q = term if adc_q is None else adc_q + term
+    return (
+        indexed.filter(F.col("list_id").isin(probe_ids))
+        .select(F.col(id_col), adc_q.cast("long").alias("adc_q"))
+        .orderBy(F.asc("adc_q"), F.asc(id_col))
+        .limit(k)
+    )
