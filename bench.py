@@ -248,6 +248,13 @@ def main() -> None:
         "gbt_train_predict",
         "pii_redaction",
         "paragraph_dedup_corpus",
+        # round-3 additions: semantic dedup, recipe mixing, classifier
+        # quality filter, in-engine BPE training, composed IVF-PQ ANN
+        "semantic_dedup",
+        "temperature_mixing",
+        "fasttext_quality_score",
+        "bpe_fit_merges",
+        "ivf_pq_search",
     ]:
         if name in gq:
             fn = gq[name]

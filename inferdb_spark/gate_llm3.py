@@ -359,3 +359,77 @@ def q_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_probe=PQ_NPROBE,
         k=PQ_K,
     ).select("vec_id", F.col("adc_q").cast("long").alias("adc_q"))
+
+
+# ---------------------------------------------------------------------------
+# in-engine BPE tokenizer training + application (operators/bpe_train.py)
+
+BPE_N_MERGES = 8
+# fixed literal merges for the APPLY gate (multi-char chain checks ordered
+# application: 'th' must exist before 'the' can form)
+BPE_APPLY_MERGES = [("e", "r"), ("e", "r"), ("t", "h"), ("th", "e"), ("o", "r")]
+
+
+def _bpe_fit_oracle() -> str:
+    from inferdb_spark.gate_prep import _d_tokens as dt
+    from inferdb_spark.operators.bpe_train import fit_bpe_sql
+
+    return fit_bpe_sql(BPE_N_MERGES, "documents", dt("text"))
+
+
+@gate("bpe_fit_merges", oracle=_bpe_fit_oracle())
+def q_bpe_fit_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING in-engine (operators/bpe_train.
+    fit_bpe_merges): 8 merge rounds, each one aggregation over the
+    distinct-word relation (vocab-sized, corpus-size-independent — the
+    property that makes word-level BPE training feasible at 100 TB);
+    driver sees one argmax row per round.  The oracle replays the entire
+    fit as chained CTEs (pair-count -> argmax -> literal replace), so the
+    TRAINER is hash-checked, like gbt_train_predict."""
+    from inferdb_spark.operators.bpe_train import fit_bpe_merges
+
+    d = load_table(spark, sf_dir, "documents")
+    merges, _ = fit_bpe_merges(d, "text", n_merges=BPE_N_MERGES)
+    return spark.createDataFrame(
+        [(i, a, b, c) for i, (a, b, c) in enumerate(merges)],
+        "round: int, a: string, b: string, c: long",
+    )
+
+
+@gate(
+    "bpe_segment_apply",
+    oracle=f"""
+    WITH w AS (
+      SELECT DISTINCT t AS word FROM (
+        SELECT unnest({_d_tokens('text')}) AS t FROM documents
+      )
+    ),
+    seg AS (
+      SELECT word,
+             replace(replace(replace(replace(replace(seq0, ' e r ', ' er '), ' e r ', ' er '), ' t h ', ' th '), ' th e ', ' the '), ' o r ', ' or ') AS seq
+      FROM (SELECT word, ' ' || array_to_string(regexp_extract_all(word, '.'), ' ')
+                         || ' ' AS seq0 FROM w)
+    )
+    SELECT word,
+           array_to_string(string_split(trim(seq), ' '), '|') AS pieces,
+           CAST(length(string_split(trim(seq), ' ')) AS BIGINT) AS n_pieces
+    FROM seg
+    """,
+)
+def q_bpe_segment_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE segmentation with a FIXED literal merge list (operators/
+    bpe_train.bpe_apply): chained literal replaces on the delimited
+    symbol string — a pure projection over the distinct-word relation;
+    the multi-char merge chain ('t h'->'th', 'th e'->'the') pins ordered
+    application semantics cross-engine."""
+    from inferdb_spark.functions.text import tokens as _tokens
+    from inferdb_spark.operators.bpe_train import bpe_apply
+
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(F.explode(_tokens(F.col("text"))).alias("word")).distinct()
+    seg = bpe_apply(F.col("word"), BPE_APPLY_MERGES)
+    return words.select(
+        "word",
+        F.array_join(seg, "|").alias("pieces"),
+        F.size(seg).cast("long").alias("n_pieces"),
+    )

@@ -1,0 +1,161 @@
+"""Distributed BPE tokenizer TRAINING (Sennrich et al. 2016) — in-engine.
+
+The reference has no tokenizer trainer (its BPE-ish surface is the
+pre-tokenizer in functions/text.py); this closes the training half of the
+tokenization story for an LLM data pipeline, Spark-first:
+
+- **All heavy state is the DISTINCT-WORD relation** (word, count, symbol
+  sequence): corpus-size-independent after the first aggregation, exactly
+  how word-level BPE trainers (subword-nmt, HuggingFace) operate.  At
+  100 TB the vocabulary is millions of rows while the corpus is billions —
+  every merge round costs one aggregation over the vocab relation only.
+- **One aggregation per merge round**: explode adjacent symbol pairs
+  (weighted by word count) -> groupBy(pair) -> sum -> argmax.  The driver
+  receives ONE row per round (the winning pair) — the same
+  driver/cluster split as gbt_train.py's histogram collect.
+- **Merge application is a literal string replace** on the
+  space-delimited symbol sequence (' a b ' -> ' ab '): left-to-right
+  non-overlapping replacement == greedy BPE merge order, and the IDENTICAL
+  operation exists in every SQL dialect — which makes the WHOLE training
+  loop replayable as chained CTEs (fit_bpe_sql), so the gate
+  hash-checks the trainer itself, like gbt_train's training oracle.
+- **Bit-deterministic**: pair counts are integer sums; the argmax breaks
+  ties by (count DESC, left symbol ASC, right symbol ASC).
+
+`bpe_apply` burns a fitted merge list into a chained-replace projection —
+tokenizing a 100 TB corpus with the learned merges is then map-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _word_vocab(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, cnt, seq): distinct words with counts and the initial
+    character-level symbol sequence ' c1 c2 ... '."""
+    from inferdb_spark.functions.text import tokens
+
+    words = df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+    vocab = words.groupBy("word").agg(F.count("*").cast("long").alias("cnt"))
+    chars = F.expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+    )
+    return vocab.withColumn(
+        "seq", F.concat(F.lit(" "), F.array_join(chars, " "), F.lit(" "))
+    )
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair counts weighted by word count — ONE
+    aggregation over the vocab relation."""
+    syms = F.split(F.trim(F.col("seq")), " ")
+    pairs = F.expr(
+        "transform(sequence(1, size(split(trim(seq), ' ')) - 1),"
+        " i -> struct(split(trim(seq), ' ')[i-1] AS a,"
+        "             split(trim(seq), ' ')[i] AS b))"
+    )
+    return (
+        vocab.where(F.size(syms) >= 2)
+        .select(F.explode(pairs).alias("p"), F.col("cnt"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("cnt").cast("long").alias("c"))
+    )
+
+
+def fit_bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+    checkpoint_every: int = 4,
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Learn `n_merges` BPE merges.  Returns (merges, final vocab
+    relation); merges[i] = (left, right, pair_count) in learned order.
+    Driver traffic: one (a, b, count) row per round."""
+    vocab = _word_vocab(df, text_col).localCheckpoint()
+    merges: list[tuple[str, str, int]] = []
+    for r in range(n_merges):
+        best = (
+            _pair_counts(vocab)
+            .orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, c = best[0]["a"], best[0]["b"], int(best[0]["c"])
+        merges.append((a, b, c))
+        vocab = vocab.withColumn(
+            "seq",
+            F.replace(
+                F.col("seq"), F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
+            ),
+        )
+        if (r + 1) % checkpoint_every == 0:
+            vocab = vocab.localCheckpoint()
+    return merges, vocab
+
+
+def bpe_apply(word_col: Column, merges: list[tuple[str, str]]) -> Column:
+    """array<string> of BPE tokens for one normalized WORD column: chars
+    joined with spaces, then the fitted merges applied in order as
+    chained literal replaces — a pure projection (tokenizing the corpus
+    with a learned vocab is map-only at any scale)."""
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(word_col)),
+        lambda i: F.substring(word_col, i, F.lit(1)),
+    )
+    seq = F.concat(F.lit(" "), F.array_join(chars, " "), F.lit(" "))
+    for m in merges:
+        a, b = m[0], m[1]
+        seq = F.replace(seq, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
+    return F.split(F.trim(seq), " ")
+
+
+def fit_bpe_sql(
+    n_merges: int = 8,
+    table: str = "documents",
+    tokens_sql: str | None = None,
+) -> str:
+    """DuckDB oracle replaying the ENTIRE BPE fit: chained CTE rounds of
+    pair-count -> argmax -> literal replace, emitting the learned merge
+    table (round, a, b, c).  `tokens_sql` must be a DuckDB expression
+    yielding the word array per row (the shared tokenizer twin)."""
+    assert tokens_sql is not None
+    pair_tpl = (
+        "SELECT p.a, p.b, CAST(sum(cnt) AS BIGINT) AS c FROM ("
+        "  SELECT cnt, unnest(list_transform("
+        "    generate_series(1, length(string_split(trim(seq), ' ')) - 1),"
+        "    i -> struct_pack(a := string_split(trim(seq), ' ')[i],"
+        "                     b := string_split(trim(seq), ' ')[i+1]))) AS p"
+        "  FROM {v} WHERE length(string_split(trim(seq), ' ')) >= 2"
+        ") GROUP BY p.a, p.b"
+    )
+    ctes = [
+        f"w AS MATERIALIZED (SELECT t AS word, CAST(count(*) AS BIGINT) AS cnt "
+        f"FROM (SELECT unnest({tokens_sql}) AS t FROM {table}) GROUP BY t)",
+        "v0 AS MATERIALIZED (SELECT word, cnt, ' ' || "
+        "array_to_string(regexp_extract_all(word, '.'), ' ') || ' ' AS seq "
+        "FROM w)",
+    ]
+    for r in range(n_merges):
+        ctes.append(f"p{r} AS MATERIALIZED ({pair_tpl.format(v=f'v{r}')})")
+        ctes.append(
+            f"b{r} AS MATERIALIZED (SELECT a, b, c FROM p{r} "
+            f"ORDER BY c DESC, a ASC, b ASC LIMIT 1)"
+        )
+        ctes.append(
+            f"v{r + 1} AS MATERIALIZED (SELECT word, cnt, "
+            f"replace(seq, ' ' || (SELECT a FROM b{r}) || ' ' || "
+            f"(SELECT b FROM b{r}) || ' ', ' ' || (SELECT a FROM b{r}) || "
+            f"(SELECT b FROM b{r}) || ' ') AS seq FROM v{r})"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT {r} AS round, a, b, c FROM b{r}" for r in range(n_merges)
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT CAST(round AS INT) AS round, a, b, c FROM ({union}) "
+        "ORDER BY round"
+    )

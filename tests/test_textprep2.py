@@ -135,3 +135,40 @@ def test_semantic_dedup_drops_near_duplicates(spark):
     assert 7 in kept
     assert len([k for k in kept if k < 4]) == 1
     assert len([k for k in kept if 4 <= k < 7]) == 1
+
+
+def test_bpe_fit_and_apply(spark):
+    """BPE trainer on a tiny corpus with a known dominant pair; apply
+    must reproduce training-time segmentation (fit/apply consistency)."""
+    import pandas as pd
+
+    from inferdb_spark.operators.bpe_train import bpe_apply, fit_bpe_merges
+
+    # 'thin' breaks the t-h vs h-e tie: t+h has weight 8 (the=3, then=2,
+    # there, other, thin), h+e only 7
+    corpus = ["the then there thin", "the other", "then the"]
+    df = spark.createDataFrame(pd.DataFrame({"text": corpus}))
+    merges, vocab = fit_bpe_merges(df, "text", n_merges=3)
+    assert (merges[0][0], merges[0][1]) == ("t", "h")
+    assert ("th", "e") in [(a, b) for a, b, _ in merges]
+    # apply with the learned merges reproduces the final vocab's seqs
+    lits = [(a, b) for a, b, _ in merges]
+    got = {
+        r["word"]: r["seg"]
+        for r in vocab.select(
+            "word", F.array_join(bpe_apply(F.col("word"), lits), " ").alias("seg")
+        ).collect()
+    }
+    want = {r["word"]: r["seq"].strip() for r in vocab.collect()}
+    assert got == want
+
+
+def test_bpe_merge_is_left_to_right_greedy(spark):
+    """'aaa' under merge (a,a) -> ['aa','a'], the non-overlapping
+    left-to-right rule both engines share."""
+    from inferdb_spark.operators.bpe_train import bpe_apply
+
+    row = spark.range(1).select(
+        bpe_apply(F.lit("aaa"), [("a", "a")]).alias("t")
+    ).first()
+    assert row["t"] == ["aa", "a"]
