@@ -88,7 +88,7 @@ _PRIORITY: list[str] = [
     "optbin_categorical_stats", "iqr_range_prefilter", "semantic_dedup",
     "temperature_mixing", "fasttext_quality_score", "gbt_train_logistic",
     "ivf_pq_search", "bpe_fit_merges", "bpe_segment_apply",
-    "hist_quantile_sketch", "hist_quantile_merge",
+    "sequence_packing", "hist_quantile_sketch", "hist_quantile_merge",
     # rotation: never driver-checked
     "bloom_prejoin_filter", "cms_term_frequency",
     "pagerank_supplier_part", "spearman_rank_corr", "mutual_information",
@@ -102,7 +102,6 @@ _PRIORITY: list[str] = [
     "activity_islands", "share_of_total", "event_transitions",
     "stream_index_score", "rollup_revenue", "intersect_except",
     "range_join_bands", "cube_volume", "window_value_functions",
-    "correlated_above_avg",
 ]
 
 

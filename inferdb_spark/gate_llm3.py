@@ -433,3 +433,58 @@ def q_bpe_segment_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(seg, "|").alias("pieces"),
         F.size(seg).cast("long").alias("n_pieces"),
     )
+
+
+PACK_W = 256
+
+
+@gate(
+    "sequence_packing",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(length({_d_tokens('text')}) AS BIGINT) AS nt
+      FROM documents
+    ),
+    b AS (
+      SELECT source AS grp, doc_id AS id, nt,
+             CAST(sum(nt) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum
+      FROM t WHERE nt > 0
+    ),
+    x AS (
+      SELECT grp, id, nt, cum - nt AS st, cum,
+             unnest(generate_series(CAST((cum - nt) // {PACK_W} AS BIGINT),
+                                    CAST((cum - 1) // {PACK_W} AS BIGINT)))
+                 AS chunk_id
+      FROM b
+    )
+    SELECT grp, CAST(chunk_id AS BIGINT) AS chunk_id, id,
+           CAST(greatest(0, chunk_id * {PACK_W} - st) AS BIGINT) AS tok_offset,
+           CAST(least(cum, (chunk_id + 1) * {PACK_W})
+                - greatest(st, chunk_id * {PACK_W}) AS BIGINT) AS n_toks
+    FROM x
+    """,
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing (operators/textprep.sequence_packing):
+    concatenate each source's token stream in doc_id order, cut every 256
+    tokens, emit one row per (doc, window) overlap — the training-batch
+    layout step.  One per-group window prefix-sum, all-integer output;
+    for a single huge source, pre-shard the group key (docstring)."""
+    from inferdb_spark.functions.text import token_count
+    from inferdb_spark.operators.textprep import sequence_packing
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_toks_in")
+    )
+    return sequence_packing(
+        d, "doc_id", "n_toks_in", "source", PACK_W
+    ).select(
+        "grp",
+        "chunk_id",
+        "id",
+        "tok_offset",
+        "n_toks",
+    )

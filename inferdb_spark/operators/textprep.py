@@ -767,3 +767,70 @@ def hashed_linear_text_score(
             F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)), 6
         ).cast("double").alias("score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# GPT-style sequence packing: concatenate each group's token stream in
+# deterministic order and chunk it into fixed-size context windows —
+# the final layout step before training-batch serialization
+
+
+def sequence_packing(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    group_col: str = "source",
+    window_tokens: int = 256,
+) -> DataFrame:
+    """Assign every document's token span to training context windows.
+
+    Documents are concatenated per group in ascending `id_col` order and
+    the stream is cut every `window_tokens` tokens (documents may straddle
+    a cut — the GPT concat-and-chunk convention).  Output one row per
+    (document, window) overlap: (group, chunk_id, id, tok_offset,
+    n_toks), all integer arithmetic — bit-identical on any engine.
+
+    Scale: ONE window prefix-sum per group (shuffle keyed on group).  A
+    group's packing is inherently sequential, so parallelism = number of
+    groups; for one huge source, pre-shard with a derived group key
+    (e.g. h52(id) % k) — each shard packs independently, which is how
+    production packers parallelize anyway.  No driver state, no Python.
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n = F.col(tokens_col).cast("long")
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("id"),
+        n.alias("nt"),
+        F.sum(n).over(w).alias("cum"),
+    ).where(F.col("nt") > 0)
+    start = F.col("cum") - F.col("nt")
+    W_ = F.lit(int(window_tokens)).cast("long")
+    first_c = F.expr("(cum - nt) div " + str(int(window_tokens)))
+    last_c = F.expr(f"(cum - 1) div {int(window_tokens)}")
+    out = base.select(
+        "grp",
+        "id",
+        "nt",
+        start.alias("st"),
+        F.col("cum"),
+        F.explode(F.sequence(first_c, last_c)).alias("chunk_id"),
+    )
+    c_lo = F.col("chunk_id") * W_
+    c_hi = c_lo + W_
+    return out.select(
+        F.col("grp"),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("id"),
+        F.greatest(F.lit(0).cast("long"), c_lo - F.col("st"))
+        .alias("tok_offset"),
+        (F.least(F.col("cum"), c_hi) - F.greatest(F.col("st"), c_lo))
+        .cast("long")
+        .alias("n_toks"),
+    )

@@ -172,3 +172,37 @@ def test_bpe_merge_is_left_to_right_greedy(spark):
         bpe_apply(F.lit("aaa"), [("a", "a")]).alias("t")
     ).first()
     assert row["t"] == ["aa", "a"]
+
+
+def test_sequence_packing_invariants(spark):
+    """Window fill + token conservation: every window except each group's
+    last holds exactly W tokens; each doc's spans cover it exactly."""
+    import pandas as pd
+
+    from inferdb_spark.operators.textprep import sequence_packing
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (i, f"s{i % 3}", int(rng.integers(1, 40))) for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "source", "nt"])
+    )
+    out = sequence_packing(df, "doc_id", "nt", "source", 64).toPandas()
+    # token conservation per doc
+    per_doc = out.groupby("id")["n_toks"].sum().to_dict()
+    for i, _, nt in rows:
+        assert per_doc[i] == nt
+    # full windows except the last per group
+    fill = out.groupby(["grp", "chunk_id"])["n_toks"].sum()
+    for grp in {r[1] for r in rows}:
+        g = fill[grp]
+        assert (g.iloc[:-1] == 64).all(), (grp, g)
+        assert 0 < g.iloc[-1] <= 64
+    # per-doc spans are contiguous: offsets sorted by chunk tile the doc
+    for i in out["id"].unique():
+        spans = out[out["id"] == i].sort_values("chunk_id")
+        pos = 0
+        for _, r in spans.iterrows():
+            assert r["tok_offset"] == pos
+            pos += r["n_toks"]
