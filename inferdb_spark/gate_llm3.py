@@ -488,3 +488,67 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tok_offset",
         "n_toks",
     )
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval: BM25 (lexical) + brute cosine (embedding) fused by RRF
+
+from inferdb_spark import gate_sketch as _GS  # noqa: F401  (registers bm25 oracle)
+from inferdb_spark.gate import _ORACLES as _ORC
+
+RRF_K = 60
+RRF_TOPN = 10
+
+
+def _rrf_oracle() -> str:
+    bm = _ORC["bm25_ranked_retrieval"]
+    an = _ORC["embedding_cosine_topk"]
+    return f"""
+    WITH bm AS ({bm}),
+    an AS ({an}),
+    r1 AS (SELECT doc_id AS id,
+                  row_number() OVER (ORDER BY score_micro DESC, doc_id ASC)
+                      AS rnk FROM bm),
+    r2 AS (SELECT vec_id AS id,
+                  row_number() OVER (ORDER BY cosine DESC, vec_id ASC)
+                      AS rnk FROM an),
+    u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+    SELECT id,
+           CAST(sum(1000000 // ({RRF_K} + rnk)) AS BIGINT) AS rrf_micro,
+           CAST(count(*) AS BIGINT) AS n_lists
+    FROM u GROUP BY id
+    ORDER BY rrf_micro DESC, id ASC LIMIT {RRF_TOPN}
+    """
+
+
+@gate("rrf_hybrid_retrieval", oracle=_rrf_oracle())
+def q_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (operators/similarity.rrf_fuse): BM25 lexical
+    top-20 + brute-cosine embedding top-20, fused by reciprocal-rank
+    fusion with integer micro-unit contributions (1e6 div (60+rank)) —
+    exact BIGINT fused scores, engine-portable tie-breaks.  The oracle
+    nests the two rankers' own oracles, so the whole hybrid stack is
+    hash-checked end to end."""
+    from pyspark.sql.window import Window
+
+    from inferdb_spark.gate_prep import q_embedding_cosine_topk
+    from inferdb_spark.gate_sketch import q_bm25_ranked_retrieval
+    from inferdb_spark.operators.similarity import rrf_fuse
+
+    bm = q_bm25_ranked_retrieval(spark, sf_dir)
+    an = q_embedding_cosine_topk(spark, sf_dir)
+    r1 = bm.select(
+        F.col("doc_id").alias("id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("score_micro"), F.asc("doc_id")))
+        .alias("rnk"),
+    )
+    r2 = an.select(
+        F.col("vec_id").alias("id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("cosine"), F.asc("vec_id")))
+        .alias("rnk"),
+    )
+    return rrf_fuse([r1, r2], "id", "rnk", RRF_K, RRF_TOPN).select(
+        F.col("id").cast("long").alias("id"), "rrf_micro", "n_lists"
+    )

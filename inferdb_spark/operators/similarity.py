@@ -496,3 +496,37 @@ def ivf_pq_search(
         .orderBy(F.asc("adc_q"), F.asc(id_col))
         .limit(k)
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "id",
+    rank_col: str = "rnk",
+    k: int = 60,
+    topn: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of pre-ranked top-k
+    lists — the standard hybrid-retrieval combiner (lexical BM25 +
+    embedding ANN).  Contribution per list is the INTEGER
+    `1000000 div (k + rank)`, so fused scores are exact BIGINTs and the
+    final ordering (rrf_micro DESC, id ASC) is engine-portable.  Inputs
+    are top-k lists (tiny by construction); the fuse is a union + one
+    aggregation over <= Σk rows — driver-free and trivially scalable to
+    many rankers."""
+    from functools import reduce
+
+    u = reduce(
+        lambda a, b: a.unionByName(b),
+        [r.select(F.col(id_col), F.col(rank_col)) for r in rankings],
+    )
+    return (
+        u.groupBy(id_col)
+        .agg(
+            F.sum(F.expr(f"1000000L div ({int(k)} + {rank_col})"))
+            .cast("long")
+            .alias("rrf_micro"),
+            F.count("*").cast("long").alias("n_lists"),
+        )
+        .orderBy(F.desc("rrf_micro"), F.asc(id_col))
+        .limit(topn)
+    )
