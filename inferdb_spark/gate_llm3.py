@@ -552,3 +552,91 @@ def q_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([r1, r2], "id", "rnk", RRF_K, RRF_TOPN).select(
         F.col("id").cast("long").alias("id"), "rrf_micro", "n_lists"
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus statistics: Zipf's-law slope over the term-frequency distribution
+
+ZIPF_TOP = 50
+
+
+@gate(
+    "zipf_law_slope",
+    oracle=f"""
+    WITH tf AS (
+      SELECT t AS term, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest({_d_tokens('text')}) AS t FROM documents)
+      GROUP BY t
+    ),
+    ranked AS (
+      SELECT term, freq,
+             row_number() OVER (ORDER BY freq DESC, term ASC) AS rnk
+      FROM tf
+    ),
+    q AS (
+      SELECT CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS xq,
+             CAST(floor(ln(CAST(freq AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS yq
+      FROM ranked WHERE rnk <= {ZIPF_TOP}
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(xq) AS BIGINT) AS sx, CAST(sum(yq) AS BIGINT) AS sy,
+             CAST(sum(xq * yq) AS BIGINT) AS sxy,
+             CAST(sum(xq * xq) AS BIGINT) AS sxx
+      FROM q
+    )
+    SELECT n,
+           CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+                      / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS DOUBLE)
+               AS zipf_slope
+    FROM s
+    """,
+)
+def q_zipf_law_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law exponent of the corpus: OLS slope of ln(freq) vs
+    ln(rank) over the top-50 terms — the corpus-health diagnostic a
+    data-curation pipeline tracks per snapshot (natural text ≈ -1;
+    boilerplate/spam skews it).  Determinism: ln values are quantized to
+    BIGINT micro-units BEFORE summation, so the regression's sufficient
+    statistics are exact integers (order-independent) and the one final
+    division is identical on both engines.  Term counting is the shared
+    vocab-relation job; everything after is vocab-sized."""
+    from pyspark.sql.window import Window
+
+    from inferdb_spark.functions.text import tokens as _tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(_tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    ranked = tf.withColumn(
+        "rnk",
+        F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("term"))),
+    ).where(F.col("rnk") <= ZIPF_TOP)
+    qq = ranked.select(
+        F.floor(F.ln(F.col("rnk").cast("double")) * 1000000.0 + F.lit(0.5))
+        .cast("long")
+        .alias("xq"),
+        F.floor(F.ln(F.col("freq").cast("double")) * 1000000.0 + F.lit(0.5))
+        .cast("long")
+        .alias("yq"),
+    )
+    s = qq.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("xq").cast("long").alias("sx"),
+        F.sum("yq").cast("long").alias("sy"),
+        F.sum(F.col("xq") * F.col("yq")).cast("long").alias("sxy"),
+        F.sum(F.col("xq") * F.col("xq")).cast("long").alias("sxx"),
+    )
+    return s.select(
+        "n",
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"),
+            6,
+        )
+        .cast("double")
+        .alias("zipf_slope"),
+    )
