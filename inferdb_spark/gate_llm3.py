@@ -640,3 +640,95 @@ def q_zipf_law_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("zipf_slope"),
     )
+
+
+HN_K = 5
+HN_ANCHOR_MOD = 101  # ~1% anchor stratum
+
+
+@gate(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH a AS (
+      SELECT vec_id AS anchor_id, embedding AS av, label AS al
+      FROM embeddings
+      WHERE vec_id % {HN_ANCHOR_MOD} = 0 AND vec_id < 10000000
+    ),
+    c AS (SELECT vec_id AS cand_id, embedding AS cv, label AS cl
+          FROM embeddings),
+    p AS (
+      SELECT a.anchor_id, c.cand_id,
+             round({_d_dot_ee('a.av', 'c.cv')}
+                   / (sqrt({_d_dot_ee('a.av', 'a.av')})
+                    * sqrt({_d_dot_ee('c.cv', 'c.cv')})), 6) AS cosine_r6
+      FROM a JOIN c ON a.al <> c.cl
+    ),
+    r AS (
+      SELECT anchor_id, cand_id, cosine_r6,
+             row_number() OVER (PARTITION BY anchor_id
+                                ORDER BY cosine_r6 DESC, cand_id ASC) AS rnk
+      FROM p
+    )
+    SELECT anchor_id, cand_id, CAST(rnk AS BIGINT) AS rnk,
+           CAST(cosine_r6 AS DOUBLE) AS cosine_r6
+    FROM r WHERE rnk <= {HN_K}
+    """,
+)
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining (operators/similarity.
+    hard_negative_mining): per-anchor top-5 most-similar DIFFERENT-label
+    items — the negatives an embedding-model trainer wants.  Broadcast
+    anchors x corpus scan + one window per anchor; ranks on 6dp-rounded
+    cosine with id tie-break (engine-portable).  Anchor stratum
+    vec_id % 101, pinned to the base replica (vec_id < 10M, a no-op at
+    sf<=0.1) so the anchors-x-corpus candidate join stays corpus-LINEAR
+    on the key-shifted scale ramp."""
+    from inferdb_spark.operators.similarity import hard_negative_mining
+
+    e = load_table(spark, sf_dir, "embeddings")
+    anchors = e.filter(
+        (F.col("vec_id") % HN_ANCHOR_MOD == 0) & (F.col("vec_id") < 10_000_000)
+    )
+    return hard_negative_mining(anchors, e, "embedding", "label", "vec_id", HN_K)
+
+
+KANON_K = 8
+
+
+@gate(
+    "k_anonymity_suppress",
+    oracle=f"""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n
+      FROM customer GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT CAST(c_nationkey AS BIGINT) AS nation, c_mktsegment AS segment,
+           n, CAST(CASE WHEN n >= {KANON_K} THEN 1 ELSE 0 END AS INT) AS kept
+    FROM g
+    """,
+)
+def q_k_anonymity_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity suppression audit (operators/validate.
+    k_anonymity_suppress, k=8 over (nation, segment)): the per-group
+    relation with the keep decision; the operator itself semi-joins the
+    qualifying groups back onto the rows (pytest asserts row-level
+    equivalence).  The post-redaction privacy gate of a data release."""
+    from inferdb_spark.operators.validate import k_anonymity_suppress
+
+    c = load_table(spark, sf_dir, "customer")
+    kept = k_anonymity_suppress(c, ["c_nationkey", "c_mktsegment"], KANON_K)
+    g_all = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    g_kept = kept.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("_nk")
+    )
+    return (
+        g_all.join(g_kept, ["c_nationkey", "c_mktsegment"], "left")
+        .select(
+            F.col("c_nationkey").cast("long").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            "n",
+            F.when(F.col("_nk").isNotNull(), 1).otherwise(0).cast("int").alias("kept"),
+        )
+    )

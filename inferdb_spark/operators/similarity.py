@@ -530,3 +530,58 @@ def rrf_fuse(
         .orderBy(F.desc("rrf_micro"), F.asc(id_col))
         .limit(topn)
     )
+
+
+def hard_negative_mining(
+    anchors: DataFrame,
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: for every
+    anchor, the top-k most-similar corpus items with a DIFFERENT label
+    (the negatives that actually move the loss).
+
+    Plan: broadcast the (small) anchor relation against the corpus scan,
+    filter label mismatch, exact cosine, then one window top-k per anchor
+    (shuffle keyed on anchor id).  Ranking uses the 6dp-rounded cosine
+    with id tie-break, so ranks are engine-portable.  At 100 TB replace
+    the broadcast-cross candidate step with IVF probing (ivf_build +
+    list_id filter) — the window stage is unchanged."""
+    from pyspark.sql.window import Window
+
+    a = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).alias("_av"),
+        F.col(label_col).alias("_al"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("_cv"),
+        F.col(label_col).alias("_cl"),
+    )
+    pairs = c.join(F.broadcast(a), F.col("_al") != F.col("_cl")).select(
+        "anchor_id",
+        "cand_id",
+        F.round(
+            cosine_similarity(
+                as_double_array(F.col("_av")), as_double_array(F.col("_cv"))
+            ),
+            6,
+        ).alias("cosine_r6"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cosine_r6"), F.asc("cand_id")
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(
+            "anchor_id",
+            "cand_id",
+            F.col("rnk").cast("long").alias("rnk"),
+            F.col("cosine_r6").cast("double").alias("cosine_r6"),
+        )
+    )

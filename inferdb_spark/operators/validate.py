@@ -64,3 +64,22 @@ def expect(
         for name in checks
     ]
     return wide.select(F.explode(F.array(*stacks)).alias("c")).select("c.*")
+
+
+def k_anonymity_suppress(
+    df: DataFrame, quasi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """k-anonymity enforcement by suppression: drop every row whose
+    quasi-identifier combination occurs fewer than k times (the release
+    would otherwise re-identify members of small groups).  One groupBy on
+    the quasi columns + a broadcast-friendly semi join of qualifying
+    groups — the privacy gate a training-data release pipeline runs after
+    PII redaction.  Deterministic: membership depends only on exact
+    counts."""
+    groups = (
+        df.groupBy(*quasi_cols)
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") >= k)
+        .drop("_n")
+    )
+    return df.join(groups, quasi_cols, "left_semi")

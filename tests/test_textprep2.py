@@ -206,3 +206,17 @@ def test_sequence_packing_invariants(spark):
         for _, r in spans.iterrows():
             assert r["tok_offset"] == pos
             pos += r["n_toks"]
+
+
+def test_k_anonymity_row_level(spark):
+    """Row-level equivalence of the suppression semi-join: exactly the
+    rows of >= k groups survive."""
+    import pandas as pd
+
+    from inferdb_spark.operators.validate import k_anonymity_suppress
+
+    rows = [(i, "a" if i < 10 else ("b" if i < 13 else "c")) for i in range(15)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["id", "q"]))
+    out = k_anonymity_suppress(df, ["q"], k=5)
+    got = sorted(r["id"] for r in out.collect())
+    assert got == list(range(10))  # only group 'a' (n=10) survives k=5
