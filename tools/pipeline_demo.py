@@ -122,6 +122,27 @@ def main() -> None:
     stage("priority-sample", sampled,
           "k=15/source, weight=n_chars (Duffield-Lund-Thorup priorities)")
 
+    # temperature mixing: flatten source skew (p ∝ n^0.5) before layout
+    from inferdb_spark.operators.textprep import (
+        sequence_packing,
+        temperature_mixing,
+    )
+
+    mixed = temperature_mixing(sampled, "source", "doc_id", 0.5, 700)
+    stage("temperature-mix", mixed, "p ∝ n^0.5 per source, h52 keep (target 700‰)")
+
+    # sequence packing: concat-and-chunk the surviving token stream into
+    # 256-token training windows
+    packed = sequence_packing(
+        quality_score(mixed).select(
+            "doc_id", "source", F.col("n_tokens")
+        ),
+        "doc_id", "n_tokens", "source", 256,
+    )
+    n_chunks = packed.select("grp", "chunk_id").distinct().count()
+    print(f"{'sequence-pack':<22} {packed.count():>8} rows  | "
+          f"{n_chunks} x 256-token windows (doc spans may straddle cuts)")
+
     vocab = build_vocab(sampled, min_count=2)
     feats = hash_features(sampled, dim=256)
     print(f"{'featurize':<22} {'':>8}       | vocab={vocab.count()} terms, "
