@@ -254,13 +254,12 @@ PQ_K = 25
 
 
 def _pq_probe_ids() -> list[int]:
-    """Driver-side coarse ranking from the SAME literals (shared-literal
-    rule: this list is embedded in both dialects)."""
-    dists = [
-        (i, sum((a - b) * (a - b) for a, b in zip(c, PQ_QUERY)))
-        for i, c in enumerate(SD_CENTROIDS)
-    ]
-    return [i for i, _ in sorted(dists, key=lambda t: t[1])[:PQ_NPROBE]]
+    """Driver-side coarse ranking from the SAME literals via the single
+    shared helper (shared-literal rule: this list is embedded in both
+    dialects and must match the operator's own ranking)."""
+    from inferdb_spark.operators.similarity import coarse_probe_ids
+
+    return coarse_probe_ids(SD_CENTROIDS, PQ_QUERY, PQ_NPROBE)
 
 
 def _pq_luts_q() -> list[list[int]]:
@@ -406,13 +405,15 @@ def q_bpe_fit_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     seg AS (
       SELECT word,
-             replace(replace(replace(replace(replace(seq0, ' e r ', ' er '), ' e r ', ' er '), ' t h ', ' th '), ' th e ', ' the '), ' o r ', ' or ') AS seq
-      FROM (SELECT word, ' ' || array_to_string(regexp_extract_all(word, '.'), ' ')
-                         || ' ' AS seq0 FROM w)
+             replace(replace(replace(replace(replace(seq0,
+                 '|e||r|', '|er|'), '|e||r|', '|er|'), '|t||h|', '|th|'),
+                 '|th||e|', '|the|'), '|o||r|', '|or|') AS seq
+      FROM (SELECT word, '|' || array_to_string(regexp_extract_all(word, '.'), '||')
+                         || '|' AS seq0 FROM w)
     )
     SELECT word,
-           array_to_string(string_split(trim(seq), ' '), '|') AS pieces,
-           CAST(length(string_split(trim(seq), ' ')) AS BIGINT) AS n_pieces
+           array_to_string(string_split(trim(seq, '|'), '||'), '/') AS pieces,
+           CAST(length(string_split(trim(seq, '|'), '||')) AS BIGINT) AS n_pieces
     FROM seg
     """,
 )
@@ -430,7 +431,7 @@ def q_bpe_segment_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     seg = bpe_apply(F.col("word"), BPE_APPLY_MERGES)
     return words.select(
         "word",
-        F.array_join(seg, "|").alias("pieces"),
+        F.array_join(seg, "/").alias("pieces"),
         F.size(seg).cast("long").alias("n_pieces"),
     )
 

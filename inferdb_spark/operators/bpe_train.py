@@ -34,7 +34,14 @@ from pyspark.sql import functions as F
 
 def _word_vocab(df: DataFrame, text_col: str) -> DataFrame:
     """(word, cnt, seq): distinct words with counts and the initial
-    character-level symbol sequence ' c1 c2 ... '."""
+    character-level symbol sequence '|c1||c2|...|cn|'.
+
+    Each symbol is WRAPPED in '|' (safe: normalized tokens are [a-z0-9])
+    so adjacent pair occurrences share NO characters — a literal replace
+    of '|a||b|' is then exactly the non-overlapping left-to-right merge
+    pass of Sennrich BPE ('aaaa' -> [aa, aa], 'aaa' -> [aa, a]).  A
+    space-delimited form would share the boundary space between
+    occurrences and under-merge runs of repeated symbols."""
     from inferdb_spark.functions.text import tokens
 
     words = df.select(F.explode(tokens(F.col(text_col))).alias("word"))
@@ -43,18 +50,21 @@ def _word_vocab(df: DataFrame, text_col: str) -> DataFrame:
         "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
     )
     return vocab.withColumn(
-        "seq", F.concat(F.lit(" "), F.array_join(chars, " "), F.lit(" "))
+        "seq", F.concat(F.lit("|"), F.array_join(chars, "||"), F.lit("|"))
     )
+
+
+_SYMS_SQL = "split(trim(BOTH '|' FROM seq), '\\\\|\\\\|')"
 
 
 def _pair_counts(vocab: DataFrame) -> DataFrame:
     """Adjacent-symbol pair counts weighted by word count — ONE
     aggregation over the vocab relation."""
-    syms = F.split(F.trim(F.col("seq")), " ")
+    syms = F.expr(_SYMS_SQL)
     pairs = F.expr(
-        "transform(sequence(1, size(split(trim(seq), ' ')) - 1),"
-        " i -> struct(split(trim(seq), ' ')[i-1] AS a,"
-        "             split(trim(seq), ' ')[i] AS b))"
+        f"transform(sequence(1, size({_SYMS_SQL}) - 1),"
+        f" i -> struct({_SYMS_SQL}[i-1] AS a,"
+        f"             {_SYMS_SQL}[i] AS b))"
     )
     return (
         vocab.where(F.size(syms) >= 2)
@@ -89,7 +99,7 @@ def fit_bpe_merges(
         vocab = vocab.withColumn(
             "seq",
             F.replace(
-                F.col("seq"), F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
+                F.col("seq"), F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|")
             ),
         )
         if (r + 1) % checkpoint_every == 0:
@@ -99,18 +109,20 @@ def fit_bpe_merges(
 
 def bpe_apply(word_col: Column, merges: list[tuple[str, str]]) -> Column:
     """array<string> of BPE tokens for one normalized WORD column: chars
-    joined with spaces, then the fitted merges applied in order as
-    chained literal replaces — a pure projection (tokenizing the corpus
-    with a learned vocab is map-only at any scale)."""
+    wrapped as '|c|' and joined, then the fitted merges applied in order
+    as chained literal replaces (see _word_vocab for why the wrapping
+    makes this the exact Sennrich merge pass) — a pure projection
+    (tokenizing the corpus with a learned vocab is map-only at any
+    scale)."""
     chars = F.transform(
         F.sequence(F.lit(1), F.length(word_col)),
         lambda i: F.substring(word_col, i, F.lit(1)),
     )
-    seq = F.concat(F.lit(" "), F.array_join(chars, " "), F.lit(" "))
+    seq = F.concat(F.lit("|"), F.array_join(chars, "||"), F.lit("|"))
     for m in merges:
         a, b = m[0], m[1]
-        seq = F.replace(seq, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
-    return F.split(F.trim(seq), " ")
+        seq = F.replace(seq, F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|"))
+    return F.split(F.btrim(seq, F.lit("|")), "\\|\\|")
 
 
 def fit_bpe_sql(
@@ -123,20 +135,21 @@ def fit_bpe_sql(
     table (round, a, b, c).  `tokens_sql` must be a DuckDB expression
     yielding the word array per row (the shared tokenizer twin)."""
     assert tokens_sql is not None
+    sy = "string_split(trim(seq, '|'), '||')"
     pair_tpl = (
         "SELECT p.a, p.b, CAST(sum(cnt) AS BIGINT) AS c FROM ("
         "  SELECT cnt, unnest(list_transform("
-        "    generate_series(1, length(string_split(trim(seq), ' ')) - 1),"
-        "    i -> struct_pack(a := string_split(trim(seq), ' ')[i],"
-        "                     b := string_split(trim(seq), ' ')[i+1]))) AS p"
-        "  FROM {v} WHERE length(string_split(trim(seq), ' ')) >= 2"
+        f"    generate_series(1, length({sy}) - 1),"
+        f"    i -> struct_pack(a := {sy}[i],"
+        f"                     b := {sy}[i+1]))) AS p"
+        f"  FROM {{v}} WHERE length({sy}) >= 2"
         ") GROUP BY p.a, p.b"
     )
     ctes = [
         f"w AS MATERIALIZED (SELECT t AS word, CAST(count(*) AS BIGINT) AS cnt "
         f"FROM (SELECT unnest({tokens_sql}) AS t FROM {table}) GROUP BY t)",
-        "v0 AS MATERIALIZED (SELECT word, cnt, ' ' || "
-        "array_to_string(regexp_extract_all(word, '.'), ' ') || ' ' AS seq "
+        "v0 AS MATERIALIZED (SELECT word, cnt, '|' || "
+        "array_to_string(regexp_extract_all(word, '.'), '||') || '|' AS seq "
         "FROM w)",
     ]
     for r in range(n_merges):
@@ -147,9 +160,9 @@ def fit_bpe_sql(
         )
         ctes.append(
             f"v{r + 1} AS MATERIALIZED (SELECT word, cnt, "
-            f"replace(seq, ' ' || (SELECT a FROM b{r}) || ' ' || "
-            f"(SELECT b FROM b{r}) || ' ', ' ' || (SELECT a FROM b{r}) || "
-            f"(SELECT b FROM b{r}) || ' ') AS seq FROM v{r})"
+            f"replace(seq, '|' || (SELECT a FROM b{r}) || '||' || "
+            f"(SELECT b FROM b{r}) || '|', '|' || (SELECT a FROM b{r}) || "
+            f"(SELECT b FROM b{r}) || '|') AS seq FROM v{r})"
         )
     union = " UNION ALL ".join(
         f"SELECT {r} AS round, a, b, c FROM b{r}" for r in range(n_merges)

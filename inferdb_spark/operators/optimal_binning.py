@@ -408,8 +408,9 @@ def fit_optimal_bins(
         total = sum(mstats.n)
         min_support = max(1, int(math.ceil(min_frac * total)))
         # multiclass 'auto' = no trend (per-class monotonicity is not a
-        # single-sequence constraint); forced +1/-1 applies to the
-        # majority-class share
+        # single-sequence constraint); forced +1/-1 constrains the share
+        # of classes[0] (lexicographically first — document your class
+        # labels accordingly)
         trends: list = (
             [None] if monotonic in ("auto", None) else [int(monotonic)]
         )
@@ -420,6 +421,13 @@ def fit_optimal_bins(
             )
             if sol is not None:
                 break
+        # relaxation mirrors the binary path: drop the trend FIRST (keep
+        # the support floor), only then drop support — a forced-trend
+        # infeasibility must not silently void min_frac
+        if sol is None and trends != [None]:
+            sol = _solve_partition(
+                P, max_bins, value, mean, support, False, min_support, None
+            )
         if sol is None:
             sol = _solve_partition(P, max_bins, value, mean, support, False, 1, None)
         assert sol is not None
@@ -501,8 +509,13 @@ def fit_optimal_categorical_bins(
     values (unseen values at transform -> extra bin, matching
     src/encoder.py:123-126).
     """
+    # NULL policy: NULL categories and NULL targets are excluded from the
+    # FIT (transform still routes NULL categories via BinSpec.null_bin) —
+    # without the guard a NULL in the rare pool breaks the sort and an
+    # all-NULL-target category yields sy=None
     rows = (
-        df.groupBy(F.col(column).cast("string").alias("v"))
+        df.where(F.col(column).isNotNull() & F.col(target).isNotNull())
+        .groupBy(F.col(column).cast("string").alias("v"))
         .agg(
             F.count("*").alias("n"),
             F.sum(F.col(target).cast("double")).alias("sy"),

@@ -188,6 +188,20 @@ def ivf_build(
     return df.withColumn("list_id", ivf_assign(F.col(vec_col), centroids))
 
 
+def coarse_probe_ids(
+    centroids: list[list[float]], query_vec: list[float], n_probe: int
+) -> list[int]:
+    """Driver-side coarse-quantizer ranking: the n_probe nearest list ids
+    by squared L2, lowest-id tiebreak.  THE single source of truth for
+    every probe-ranking site (ivf_search, ivf_pq_search, gate oracles) —
+    the shared-literal rule requires all of them to agree."""
+    dists = [
+        (i, sum((a - b) * (a - b) for a, b in zip(c, query_vec)))
+        for i, c in enumerate(centroids)
+    ]
+    return [i for i, _ in sorted(dists, key=lambda t: t[1])[:n_probe]]
+
+
 def ivf_search(
     indexed: DataFrame,
     vec_col: str,
@@ -202,11 +216,7 @@ def ivf_search(
     within them.  With list_id partitioning the filter prunes at the
     source — the classic coarse-quantizer ANN trade-off (recall vs probes).
     """
-    dists = [
-        (i, sum((a - b) * (a - b) for a, b in zip(c, query_vec)))
-        for i, c in enumerate(centroids)
-    ]
-    probe_ids = [i for i, _ in sorted(dists, key=lambda t: t[1])[:n_probe]]
+    probe_ids = coarse_probe_ids(centroids, query_vec, n_probe)
     sim = cosine_similarity(as_double_array(F.col(vec_col)), _query_lit(query_vec))
     return (
         indexed.filter(F.col("list_id").isin(probe_ids))
@@ -425,6 +435,10 @@ def semantic_dedup(
         F.col("_asg.cluster").alias("cluster"),
         F.col("_asg.ccos_q").alias("ccos_q"),
     )
+    # the assignment projection feeds three plan branches (x side, y side,
+    # survivor anti-join) — cache it so the |centroids|-fold distance and
+    # cosine folds run once per row, not three times
+    a = a.cache()
     x, y = a.alias("x"), a.alias("y")
     dup = (
         F.col("x.cluster") == F.col("y.cluster")
@@ -469,11 +483,7 @@ def ivf_pq_search(
     is the W3 argmin-over-literals pattern (codegen, no Python).
     `indexed` must carry `list_id` (ivf_build); expects dim divisible by
     len(codebooks)."""
-    dists = [
-        (i, sum((a - b) * (a - b) for a, b in zip(c, query_vec)))
-        for i, c in enumerate(centroids)
-    ]
-    probe_ids = [i for i, _ in sorted(dists, key=lambda t: t[1])[:n_probe]]
+    probe_ids = coarse_probe_ids(centroids, query_vec, n_probe)
     sub = len(codebooks[0][0])
     luts_q: list[list[int]] = []
     for s, book in enumerate(codebooks):

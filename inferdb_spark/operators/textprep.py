@@ -251,7 +251,13 @@ def hash_features(
     signed = toks.select(
         F.col(id_col),
         (h % dim).alias("bucket"),
-        F.when((h / dim).cast("long") % 2 == 0, F.lit(1)).otherwise(F.lit(-1)).alias("sign"),
+        # exact floor-quotient sign bit: (h - h%dim)/dim is an integer-
+        # valued exact double division for ANY dim (matches SQL hv // dim;
+        # raw h/dim can round up across a boundary when dim is not a
+        # power of two)
+        F.when(
+            ((h - h % dim) / dim).cast("long") % 2 == 0, F.lit(1)
+        ).otherwise(F.lit(-1)).alias("sign"),
     )
     return (
         signed.groupBy(id_col, "bucket")
@@ -749,15 +755,22 @@ def hashed_linear_text_score(
     def _term_weight(t: Column) -> Column:
         h = h52(t)
         contrib = F.element_at(warr, (h % dim).cast("int") + 1)
-        sign = F.when((h / dim).cast("long") % 2 == 0, F.lit(1)).otherwise(
-            F.lit(-1)
-        ).cast("long")
+        # exact floor-quotient (see hash_features): safe for any dim
+        sign = F.when(
+            ((h - h % dim) / dim).cast("long") % 2 == 0, F.lit(1)
+        ).otherwise(F.lit(-1)).cast("long")
         return sign * contrib
 
-    margin_q = F.aggregate(
-        TXT.tokens(F.col(text_col)),
+    # NULL text -> NULL token array -> NULL fold; coalesce to 0 so the
+    # empty-document and NULL-document cases score identically (and match
+    # the SQL twin's LEFT JOIN + coalesce)
+    margin_q = F.coalesce(
+        F.aggregate(
+            TXT.tokens(F.col(text_col)),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + _term_weight(t),
+        ),
         F.lit(0).cast("long"),
-        lambda acc, t: acc + _term_weight(t),
     )
     margin = margin_q.cast("double") / F.lit(1000000.0) + F.lit(float(bias))
     return df.select(

@@ -32,10 +32,15 @@ def tree_to_expression(node: Node) -> Column:
     reference's generated CASE WHEN SQL (src/transpiler.py:1122-1166)."""
     if "value" in node:
         return F.lit(float(node["value"]))
-    c = F.col(node["feature"])
-    # NULL <= t is NULL (falsy) -> otherwise branch; route NULL left
-    # explicitly so the rule is engine-independent.
-    go_left = c.isNull() | (c <= F.lit(float(node["threshold"])))
+    c = F.col(node["feature"]).cast("double")
+    # NULL and NaN route LEFT explicitly: `NULL <= t` is NULL (falsy) and
+    # Spark/DuckDB order NaN above every value (`NaN <= t` false), so
+    # without the guard both would silently fall to the right branch —
+    # contradicting the hist-GBT trainer, which bins NULL/NaN to bin 0
+    # (left).  Engine-independent and fit/score-consistent.
+    go_left = (
+        c.isNull() | F.isnan(c) | (c <= F.lit(float(node["threshold"])))
+    )
     return F.when(go_left, tree_to_expression(node["left"])).otherwise(
         tree_to_expression(node["right"])
     )
@@ -49,7 +54,8 @@ def tree_to_sql(node: Node) -> str:
         return repr(float(node["value"]))
     f, t = node["feature"], float(node["threshold"])
     return (
-        f"CASE WHEN {f} IS NULL OR {f} <= {t!r} "
+        f"CASE WHEN {f} IS NULL OR isnan(CAST({f} AS DOUBLE)) "
+        f"OR {f} <= {t!r} "
         f"THEN {tree_to_sql(node['left'])} "
         f"ELSE {tree_to_sql(node['right'])} END"
     )

@@ -82,4 +82,14 @@ def k_anonymity_suppress(
         .where(F.col("_n") >= k)
         .drop("_n")
     )
-    return df.join(groups, quasi_cols, "left_semi")
+    # null-safe equality: groupBy treats NULL as a group, so the semi
+    # join must too — a plain equi-join (NULL = NULL unknown) would
+    # silently suppress every NULL-quasi row regardless of group size
+    g = groups.select(
+        *[F.col(c).alias(f"_g_{c}") for c in quasi_cols]
+    )
+    cond = None
+    for c in quasi_cols:
+        e = F.col(c).eqNullSafe(F.col(f"_g_{c}"))
+        cond = e if cond is None else cond & e
+    return df.join(g, cond, "left_semi")

@@ -364,3 +364,48 @@ def test_training_oracle_sql_matches_spark_fit(synth, spark):
         .to_numpy()
     )
     assert np.array_equal(got, want)
+
+
+def test_nan_scoring_matches_binned_routing(spark):
+    """The fitted model's expression() must route NaN rows exactly as the
+    binned trainer did (NaN -> bin 0 -> left): fit on NaN-bearing data,
+    then compare expression() predictions against explicit binned-tree
+    routing for every row."""
+    import pandas as pd
+
+    rng = np.random.default_rng(5)
+    n = 600
+    x1 = rng.uniform(0, 50, n)
+    x2 = rng.uniform(0, 0.1, n)
+    x3 = rng.uniform(0, 0.08, n)
+    x1[::5] = np.nan
+    y = 3.0 * np.nan_to_num(x1 > 24) - 2.0 * (x2 > 0.05) + rng.normal(0, 0.1, n)
+    df = spark.createDataFrame(
+        pd.DataFrame({"rid": range(n), "f1": x1, "f2": x2, "f3": x3, "y": y})
+    ).localCheckpoint()
+    m = G.fit_hist_gbt(df, FEATS, "y", n_trees=2, max_depth=2, edges=EDGES,
+                       base_score=0.0)
+
+    # binned routing twin: bin each feature (NaN->0), walk the binned tree
+    def binned_pred(row):
+        tot = m.base_score
+        for tree in m.trees:
+            node = tree
+            while "value" not in node:
+                c = node["feature"]
+                v = row[c]
+                go_left = v is None or (isinstance(v, float) and math.isnan(v)) \
+                    or v <= node["threshold"]
+                node = node["left"] if go_left else node["right"]
+            tot += node["value"]
+        return tot
+
+    import math
+    got = {
+        r["rid"]: r["p"]
+        for r in df.select("rid", F.round(m.expression(), 6).alias("p")).collect()
+    }
+    pdf = df.toPandas()
+    for _, row in pdf.iterrows():
+        want = round(binned_pred(row), 6)
+        assert got[row["rid"]] == pytest.approx(want, abs=1e-9), row["rid"]

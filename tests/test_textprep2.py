@@ -159,7 +159,10 @@ def test_bpe_fit_and_apply(spark):
             "word", F.array_join(bpe_apply(F.col("word"), lits), " ").alias("seg")
         ).collect()
     }
-    want = {r["word"]: r["seq"].strip() for r in vocab.collect()}
+    want = {
+        r["word"]: " ".join(r["seq"].strip("|").split("||"))
+        for r in vocab.collect()
+    }
     assert got == want
 
 
@@ -220,3 +223,35 @@ def test_k_anonymity_row_level(spark):
     out = k_anonymity_suppress(df, ["q"], k=5)
     got = sorted(r["id"] for r in out.collect())
     assert got == list(range(10))  # only group 'a' (n=10) survives k=5
+
+
+def test_bpe_repeated_symbol_runs(spark):
+    """'aaaa' -> [aa, aa] and 'aaa' -> [aa, a]: the wrapped-symbol
+    representation gives the true Sennrich non-overlapping merge pass
+    (the space-delimited form under-merged runs)."""
+    from inferdb_spark.operators.bpe_train import bpe_apply
+
+    rows = spark.createDataFrame(
+        [("aaaa",), ("aaa",), ("aa",), ("a",)], "w: string"
+    ).select("w", bpe_apply(F.col("w"), [("a", "a")]).alias("t")).collect()
+    got = {r["w"]: r["t"] for r in rows}
+    assert got["aaaa"] == ["aa", "aa"]
+    assert got["aaa"] == ["aa", "a"]
+    assert got["aa"] == ["aa"]
+    assert got["a"] == ["a"]
+
+
+def test_k_anonymity_null_quasi_group(spark):
+    """NULL is a quasi-identifier VALUE: a >= k NULL group must survive
+    (null-safe semi join), a sub-k NULL group must be suppressed."""
+    import pandas as pd
+
+    from inferdb_spark.operators.validate import k_anonymity_suppress
+
+    rows = [(i, None if i < 7 else "x") for i in range(10)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["id", "q"]).astype({"q": "object"})
+    )
+    out = k_anonymity_suppress(df, ["q"], k=5)
+    kept = sorted(r["id"] for r in out.collect())
+    assert kept == list(range(7))  # NULL group n=7 kept; 'x' n=3 dropped
