@@ -89,7 +89,7 @@ _PRIORITY: list[str] = [
     "temperature_mixing", "fasttext_quality_score", "gbt_train_logistic",
     "ivf_pq_search", "bpe_fit_merges", "bpe_segment_apply",
     "sequence_packing", "rrf_hybrid_retrieval", "zipf_law_slope",
-    "hard_negative_mining", "k_anonymity_suppress",
+    "hard_negative_mining", "k_anonymity_suppress", "dsir_selection",
     "hist_quantile_sketch", "hist_quantile_merge",
     # rotation: never driver-checked
     "bloom_prejoin_filter", "cms_term_frequency",
@@ -102,7 +102,7 @@ _PRIORITY: list[str] = [
     "array_functions", "string_functions", "json_extract",
     "pivot_event_counts", "range_frame_sum", "map_functions",
     "activity_islands", "share_of_total", "event_transitions",
-    "stream_index_score", "rollup_revenue",
+    "stream_index_score",
 ]
 
 

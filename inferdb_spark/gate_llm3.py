@@ -733,3 +733,65 @@ def q_k_anonymity_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("_nk").isNotNull(), 1).otherwise(0).cast("int").alias("kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance-resampling data selection (operators/textprep.dsir_select)
+
+DSIR_DIM = 64
+DSIR_K = 50
+
+
+@gate(
+    "dsir_selection",
+    oracle=f"""
+    WITH tgt AS (SELECT * FROM documents WHERE doc_id % 11 = 0),
+    raw AS (SELECT * FROM documents WHERE doc_id % 11 <> 0),
+    t_tok AS (SELECT unnest({_d_tokens('text')}) AS term FROM tgt),
+    r_tok AS (SELECT doc_id, unnest({_d_tokens('text')}) AS term FROM raw),
+    t_b AS (SELECT {_d_h52('term')} % {DSIR_DIM} AS bucket,
+                   CAST(count(*) AS BIGINT) AS t_n
+            FROM t_tok GROUP BY bucket),
+    r_b AS (SELECT {_d_h52('term')} % {DSIR_DIM} AS bucket,
+                   CAST(count(*) AS BIGINT) AS r_n
+            FROM r_tok GROUP BY bucket),
+    tot AS (SELECT (SELECT CAST(coalesce(sum(t_n), 0) AS BIGINT) FROM t_b) AS t_tot,
+                   (SELECT CAST(coalesce(sum(r_n), 0) AS BIGINT) FROM r_b) AS r_tot),
+    wts AS (
+      SELECT b.bucket,
+             CAST(floor((ln((CAST(coalesce(t.t_n, 0) AS DOUBLE) + 0.5)
+                             / (CAST(tot.t_tot AS DOUBLE) + {DSIR_DIM * 0.5!r}))
+                         - ln((CAST(coalesce(r.r_n, 0) AS DOUBLE) + 0.5)
+                             / (CAST(tot.r_tot AS DOUBLE) + {DSIR_DIM * 0.5!r})))
+                        * 1000000.0 + 0.5) AS BIGINT) AS w_micro
+      FROM (SELECT unnest(generate_series(0, {DSIR_DIM - 1})) AS bucket) b
+      LEFT JOIN t_b t ON b.bucket = t.bucket
+      LEFT JOIN r_b r ON b.bucket = r.bucket
+      CROSS JOIN tot
+    ),
+    scored AS (
+      SELECT rt.doc_id, CAST(sum(w.w_micro) AS BIGINT) AS score_micro
+      FROM (SELECT doc_id, {_d_h52('term')} % {DSIR_DIM} AS bucket FROM r_tok) rt
+      JOIN wts w ON rt.bucket = w.bucket
+      GROUP BY rt.doc_id
+    )
+    SELECT r.doc_id,
+           CAST(coalesce(s.score_micro, 0) AS BIGINT) AS score_micro
+    FROM raw r LEFT JOIN scored s ON r.doc_id = s.doc_id
+    ORDER BY score_micro DESC, r.doc_id ASC LIMIT {DSIR_K}
+    """,
+)
+def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (operators/textprep.dsir_select; Xie et al.
+    2023): hashed-unigram importance weights ln(p_target/p_raw) quantized
+    to BIGINT micro-nats, per-doc score = exact integer sum of its
+    tokens' bucket weights, top-50 most target-like raw docs.  Two
+    corpus-stats aggregations + one broadcast-join pass over raw +
+    TakeOrdered — the selection shape for curating a 100 TB crawl
+    toward a target domain."""
+    from inferdb_spark.operators.textprep import dsir_select
+
+    d = load_table(spark, sf_dir, "documents")
+    tgt = d.filter(F.col("doc_id") % 11 == 0)
+    raw = d.filter(F.col("doc_id") % 11 != 0)
+    return dsir_select(tgt, raw, "doc_id", "text", DSIR_DIM, DSIR_K)

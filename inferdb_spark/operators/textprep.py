@@ -847,3 +847,100 @@ def sequence_packing(
         .cast("long")
         .alias("n_toks"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance-weighted data selection (Xie et al. 2023,
+# arXiv:2302.03169): score raw-corpus documents by how target-like their
+# hashed n-gram distribution is, select the top-k
+
+
+def dsir_bucket_weights(
+    target: DataFrame,
+    raw: DataFrame,
+    text_col: str = "text",
+    dim: int = 64,
+) -> DataFrame:
+    """Per-bucket log importance weights ln(p_target(b)/p_raw(b)) over
+    hashed unigram buckets, Laplace-smoothed, quantized to BIGINT
+    micro-nats.  Two corpus-statistics aggregations -> a dim-row weight
+    relation (broadcastable).  The ln() is computed from exact integer
+    counts through the identical expression on any engine; micro-nat
+    quantization absorbs libm-vs-JVM ULPs."""
+    from inferdb_spark.functions import text as TXT
+    from inferdb_spark.functions.hashing import h52
+
+    def bucket_counts(df: DataFrame, name: str) -> DataFrame:
+        toks = df.select(F.explode(TXT.tokens(F.col(text_col))).alias("term"))
+        return (
+            toks.select((h52(F.col("term")) % dim).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count("*").cast("long").alias(name))
+        )
+
+    t = bucket_counts(target, "t_n")
+    r = bucket_counts(raw, "r_n")
+    tt = t.agg(F.sum("t_n").cast("long").alias("t_tot"))
+    rt = r.agg(F.sum("r_n").cast("long").alias("r_tot"))
+    full = (
+        target.sparkSession.range(dim)
+        .select(F.col("id").cast("long").alias("bucket"))
+        .join(t, "bucket", "left")
+        .join(r, "bucket", "left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(rt))
+        .select(
+            "bucket",
+            F.coalesce("t_n", F.lit(0)).alias("t_n"),
+            F.coalesce("r_n", F.lit(0)).alias("r_n"),
+            "t_tot",
+            "r_tot",
+        )
+    )
+    lw = F.ln(
+        (F.col("t_n").cast("double") + F.lit(0.5))
+        / (F.col("t_tot").cast("double") + F.lit(dim * 0.5))
+    ) - F.ln(
+        (F.col("r_n").cast("double") + F.lit(0.5))
+        / (F.col("r_tot").cast("double") + F.lit(dim * 0.5))
+    )
+    return full.select(
+        "bucket",
+        F.floor(lw * F.lit(1000000.0) + F.lit(0.5)).cast("long").alias("w_micro"),
+    )
+
+
+def dsir_select(
+    target: DataFrame,
+    raw: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+    k: int = 50,
+) -> DataFrame:
+    """Select the k most target-like raw documents: per-doc score = Σ over
+    tokens of the bucket's importance weight (an exact BIGINT sum once
+    weights are micro-nat integers), top-k by (score DESC, id ASC).
+
+    Plan: weight relation broadcasts onto the token explode; one
+    groupBy(doc) + TakeOrdered.  Everything after the two corpus-stats
+    aggregations is a single pass over the raw corpus — the DSIR
+    selection shape at 100 TB."""
+    from inferdb_spark.functions import text as TXT
+    from inferdb_spark.functions.hashing import h52
+
+    w = dsir_bucket_weights(target, raw, text_col, dim)
+    toks = raw.select(
+        F.col(id_col), F.explode(TXT.tokens(F.col(text_col))).alias("_term")
+    ).select(F.col(id_col), (h52(F.col("_term")) % dim).alias("bucket"))
+    scored = (
+        toks.join(F.broadcast(w), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum("w_micro").cast("long").alias("score_micro"))
+    )
+    # docs with zero tokens score 0 (no postings) — keep them rankable
+    base = raw.select(F.col(id_col)).join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce("score_micro", F.lit(0)).cast("long").alias("score_micro"),
+    )
+    return base.orderBy(F.desc("score_micro"), F.asc(id_col)).limit(k)

@@ -255,3 +255,27 @@ def test_k_anonymity_null_quasi_group(spark):
     out = k_anonymity_suppress(df, ["q"], k=5)
     kept = sorted(r["id"] for r in out.collect())
     assert kept == list(range(7))  # NULL group n=7 kept; 'x' n=3 dropped
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    """Docs sharing the target corpus's vocabulary must outscore docs
+    from a disjoint vocabulary."""
+    import pandas as pd
+
+    from inferdb_spark.operators.textprep import dsir_select
+
+    tgt = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(100, 110),
+                      "text": ["physics quantum energy field"] * 10})
+    )
+    raw_rows = []
+    for i in range(20):
+        raw_rows.append((i, "quantum field theory energy"))      # target-like
+    for i in range(20, 40):
+        raw_rows.append((i, "recipe butter flour sugar oven"))    # off-domain
+    raw = spark.createDataFrame(
+        pd.DataFrame(raw_rows, columns=["doc_id", "text"])
+    )
+    top = dsir_select(tgt, raw, "doc_id", "text", dim=64, k=20)
+    ids = {r["doc_id"] for r in top.collect()}
+    assert ids == set(range(20))
