@@ -30,17 +30,23 @@ _SD_CENT_SQL = ", ".join(
 )
 
 
-def _d_dot(a: str, b: str) -> str:
-    return (
-        f"list_sum(list_transform(generate_series(1, {SD_DIM}), "
-        f"i -> cast({a}[i] as double) * {b}[i]))"
-    )
-
-
 def _d_dot_ee(a: str, b: str) -> str:
     return (
         f"list_sum(list_transform(generate_series(1, {SD_DIM}), "
         f"i -> cast({a}[i] as double) * cast({b}[i] as double)))"
+    )
+
+
+def _d_cos(a: str, b: str) -> str:
+    """Guarded cosine — mirrors functions/vector.cosine_similarity's
+    zero-norm rule (0.0 when either norm is 0) so degenerate embeddings
+    cannot yield NaN on the DuckDB side (NaN sorts above every threshold
+    in DuckDB's total order and breaks micro-unit quantization)."""
+    na2, nb2 = _d_dot_ee(a, a), _d_dot_ee(b, b)
+    return (
+        f"(CASE WHEN {na2} > 0 AND {nb2} > 0 "
+        f"THEN {_d_dot_ee(a, b)} / (sqrt({na2}) * sqrt({nb2})) "
+        f"ELSE 0.0 END)"
     )
 
 
@@ -56,9 +62,7 @@ def _d_dot_ee(a: str, b: str) -> str:
              list_sum(list_transform(generate_series(1, {SD_DIM}),
                  i -> (cast(e.embedding[i] as double) - cl.cv[i])
                     * (cast(e.embedding[i] as double) - cl.cv[i]))) AS dsq,
-             {_d_dot('e.embedding', 'cl.cv')}
-               / (sqrt({_d_dot_ee('e.embedding', 'e.embedding')})
-                * sqrt({_d_dot_ee('cl.cv', 'cl.cv')})) AS ccos
+             {_d_cos('e.embedding', 'cl.cv')} AS ccos
       FROM e CROSS JOIN cl
     ),
     m AS (SELECT vec_id, min(dsq) AS md FROM d GROUP BY vec_id),
@@ -79,10 +83,7 @@ def _d_dot_ee(a: str, b: str) -> str:
         ON x.cluster = y.cluster AND x.vec_id <> y.vec_id
        AND (y.ccos_q < x.ccos_q
             OR (y.ccos_q = x.ccos_q AND y.vec_id < x.vec_id))
-      WHERE {_d_dot_ee('x.embedding', 'y.embedding')}
-            / (sqrt({_d_dot_ee('x.embedding', 'x.embedding')})
-             * sqrt({_d_dot_ee('y.embedding', 'y.embedding')}))
-            >= {SD_THRESHOLD!r}
+      WHERE {_d_cos('x.embedding', 'y.embedding')} >= {SD_THRESHOLD!r}
     )
     SELECT a.vec_id, CAST(a.cluster AS INT) AS cluster, a.ccos_q
     FROM asg a LEFT JOIN losers l ON a.vec_id = l.vec_id
@@ -134,9 +135,12 @@ TM_TARGET = 500  # permille
     t AS (SELECT CAST(sum(n_s) AS BIGINT) AS t_rows,
                  CAST(sum(wq) AS BIGINT) AS w_total FROM w),
     r AS (
+      -- numerator widened through HUGEINT (the operator widens through
+      -- DECIMAL(38,0)): target*t_rows*wq reaches ~1e35 at 100 TB counts
       SELECT source, n_s,
-             least(1000, CAST(({TM_TARGET} * t_rows * wq)
-                              // (w_total * n_s) AS BIGINT)) AS rate_permille
+             least(1000, CAST((CAST({TM_TARGET} AS HUGEINT) * t_rows * wq)
+                              // (CAST(w_total AS HUGEINT) * n_s) AS BIGINT))
+                 AS rate_permille
       FROM w, t
     ),
     kept AS (
@@ -659,9 +663,7 @@ HN_ANCHOR_MOD = 101  # ~1% anchor stratum
           FROM embeddings),
     p AS (
       SELECT a.anchor_id, c.cand_id,
-             round({_d_dot_ee('a.av', 'c.cv')}
-                   / (sqrt({_d_dot_ee('a.av', 'a.av')})
-                    * sqrt({_d_dot_ee('c.cv', 'c.cv')})), 6) AS cosine_r6
+             round({_d_cos('a.av', 'c.cv')}, 6) AS cosine_r6
       FROM a JOIN c ON a.al <> c.cl
     ),
     r AS (

@@ -158,11 +158,18 @@ def fit_bpe_sql(
             f"b{r} AS MATERIALIZED (SELECT a, b, c FROM p{r} "
             f"ORDER BY c DESC, a ASC, b ASC LIMIT 1)"
         )
+        # coalesce('') guards pair exhaustion (n_merges > available pairs):
+        # an empty b{r} would otherwise make the scalar subqueries NULL and
+        # replace() NULL-propagate the whole seq; with '' the search pattern
+        # degenerates to '||||', which cannot occur in a wrapped-symbol seq
+        # (symbols are never empty), so later rounds pass seq through —
+        # matching the Spark fit's early break exactly.
         ctes.append(
             f"v{r + 1} AS MATERIALIZED (SELECT word, cnt, "
-            f"replace(seq, '|' || (SELECT a FROM b{r}) || '||' || "
-            f"(SELECT b FROM b{r}) || '|', '|' || (SELECT a FROM b{r}) || "
-            f"(SELECT b FROM b{r}) || '|') AS seq FROM v{r})"
+            f"replace(seq, '|' || coalesce((SELECT a FROM b{r}), '') || '||' || "
+            f"coalesce((SELECT b FROM b{r}), '') || '|', "
+            f"'|' || coalesce((SELECT a FROM b{r}), '') || "
+            f"coalesce((SELECT b FROM b{r}), '') || '|') AS seq FROM v{r})"
         )
     union = " UNION ALL ".join(
         f"SELECT {r} AS round, a, b, c FROM b{r}" for r in range(n_merges)

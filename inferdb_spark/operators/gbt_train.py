@@ -224,7 +224,15 @@ def _grad_hess(margin: Column, y: Column, objective: str) -> tuple[Column, Colum
     if objective == "squared":
         return margin - y, F.lit(1.0)
     if objective == "logistic":
-        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+        # p is snapped onto the 1e-6 grid BEFORE g/h are formed, so the
+        # ONLY libm-sensitive rounding per row is this one: downstream
+        # g = p - y and h = p * (1 - p) are pure IEEE arithmetic on
+        # identical doubles in every engine and quantize deterministically
+        # (removes the second/third flip boundary the raw-p form had).
+        p = F.floor(
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))) * F.lit(1000000.0)
+            + F.lit(0.5)
+        ) / F.lit(1000000.0)
         return p - y, p * (F.lit(1.0) - p)
     raise ValueError(objective)
 
@@ -324,11 +332,10 @@ def fit_predict_hist_gbt_sql(
     training loop unrolled into one CTE chain (squared or logistic
     objective, fixed literal edges).  `label_sql` overrides the label
     expression (e.g. a CASE WHEN for a derived binary target); defaults
-    to `label_col`.  Logistic caveat: p = 1/(1+exp(-m)) crosses libm —
-    JVM/libm exp agree well inside 1e-15, and the micro-unit quantization
-    floor only flips if (p-y)*1e6 lands within that of an integer
-    boundary (measure ~1e-9/row); the identical-formula rule keeps both
-    engines on the same expression.  Each tree level is exactly the histogram → prefix-sum
+    to `label_col`.  Logistic determinism: p = 1/(1+exp(-m)) crosses libm,
+    so p is snapped onto the 1e-6 grid immediately (one boundary per row,
+    measure ~1e-10); g/h are then pure IEEE arithmetic on identical
+    doubles and quantize bit-identically in every engine.  Each tree level is exactly the histogram → prefix-sum
     → gain-argmax → route sequence the Spark fit runs, in the same IEEE
     double arithmetic with the same parenthesization, over the same exact
     integer micro-unit sums — so trees, leaf weights, and predictions are
@@ -373,9 +380,9 @@ def fit_predict_hist_gbt_sql(
             "CAST(1000000 AS BIGINT) AS hq"
         )
     elif objective == "logistic":
-        # identical formula shape as _grad_hess: p = 1/(1+exp(-m)),
-        # g = p - y, h = p * (1 - p)
-        p = "(1.0 / (1.0 + exp(-m)))"
+        # identical formula shape as _grad_hess: p snapped to the 1e-6
+        # grid first, then g = p - y, h = p * (1 - p)
+        p = "(floor((1.0 / (1.0 + exp(-m))) * 1000000.0 + 0.5) / 1000000.0)"
         grad_cols = (
             f"CAST(floor(({p} - y) * 1000000.0 + 0.5) AS BIGINT) AS gq, "
             f"CAST(floor(({p} * (1.0 - {p})) * 1000000.0 + 0.5) AS BIGINT) AS hq"
@@ -760,7 +767,7 @@ def fit_hist_gbt_numpy(
         if objective == "squared":
             g, h = m - y, np.ones(n)
         else:
-            p = 1.0 / (1.0 + np.exp(-m))
+            p = np.floor((1.0 / (1.0 + np.exp(-m))) * QUANT + 0.5) / QUANT
             g, h = p - y, p * (1.0 - p)
         gq = np.floor(g * QUANT + 0.5).astype(np.int64)
         hq = np.floor(h * QUANT + 0.5).astype(np.int64)

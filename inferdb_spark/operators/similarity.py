@@ -436,9 +436,11 @@ def semantic_dedup(
         F.col("_asg.ccos_q").alias("ccos_q"),
     )
     # the assignment projection feeds three plan branches (x side, y side,
-    # survivor anti-join) — cache it so the |centroids|-fold distance and
-    # cosine folds run once per row, not three times
-    a = a.cache()
+    # survivor anti-join) — localCheckpoint (eager) materializes it once so
+    # the |centroids|-fold distance/cosine folds run once per row, and
+    # unlike cache() leaves nothing registered in the CacheManager after
+    # the operator returns (blocks are freed when the RDD is GC'd)
+    a = a.localCheckpoint(eager=True)
     x, y = a.alias("x"), a.alias("y")
     dup = (
         F.col("x.cluster") == F.col("y.cluster")

@@ -673,30 +673,45 @@ def temperature_mixing_rates(
     s = df.groupBy(F.col(source_col).alias("source")).agg(
         F.count("*").cast("long").alias("n_s")
     )
+    return temperature_mixing_rates_from_counts(s, alpha, target_permille)
+
+
+def temperature_mixing_rates_from_counts(
+    counts: DataFrame,
+    alpha: float = 0.5,
+    target_permille: int = 500,
+) -> DataFrame:
+    """Rate derivation over a pre-aggregated (source, n_s) relation —
+    split out so the DECIMAL arithmetic is unit-testable at planetary
+    counts without materializing the rows."""
     wq = F.floor(
         F.pow(F.col("n_s").cast("double"), F.lit(float(alpha))) * 1000000.0
         + F.lit(0.5)
     ).cast("long")
-    s = s.withColumn("wq", wq)
+    s = counts.withColumn("wq", wq)
     tot = s.agg(
         F.sum("n_s").cast("long").alias("t_rows"),
         F.sum("wq").cast("long").alias("w_total"),
     )
-    # `div` = exact BIGINT integral division (DuckDB `//` semantics) —
-    # never touches IEEE doubles, so no floor-after-round boundary drift.
-    # Overflow bound: target*T*wq < 2^63 holds through ~5M docs/source at
-    # alpha<=1; widen through DECIMAL(38,0) (graph.py:249 pattern) beyond.
+    # Exact integral division, widened through DECIMAL(38,0) (the
+    # graph.py damping pattern): the numerator target*t_rows*wq reaches
+    # ~1e35 at 100 TB corpus counts (t_rows ~1e13, wq ~1e19 at alpha=1)
+    # — far past 2^63, comfortably inside 38 digits.  The relation is
+    # <= |sources| rows, so the decimal arithmetic costs nothing.
+    rate = F.expr(
+        f"cast(("
+        f"  cast({int(target_permille)} as decimal(38,0)) "
+        f"  * cast(t_rows as decimal(38,0)) * cast(wq as decimal(38,0))"
+        f") div ("
+        f"  cast(w_total as decimal(38,0)) * cast(n_s as decimal(38,0))"
+        f") as bigint)"
+    )
     return s.crossJoin(F.broadcast(tot)).select(
         "source",
         "n_s",
-        F.least(
-            F.lit(1000).cast("long"),
-            F.expr(
-                f"({int(target_permille)}L * t_rows * wq) div (w_total * n_s)"
-            ),
-        )
-        .cast("long")
-        .alias("rate_permille"),
+        F.least(F.lit(1000).cast("long"), rate).cast("long").alias(
+            "rate_permille"
+        ),
     )
 
 

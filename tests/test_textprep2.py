@@ -279,3 +279,76 @@ def test_dsir_prefers_target_like_docs(spark):
     top = dsir_select(tgt, raw, "doc_id", "text", dim=64, k=20)
     ids = {r["doc_id"] for r in top.collect()}
     assert ids == set(range(20))
+
+
+def test_temperature_rates_no_overflow_at_planetary_counts(spark):
+    """DECIMAL(38,0) widening: rates stay exact when per-source counts are
+    ~2^40 (the old BIGINT numerator wrapped past ~5M docs/source).  Counts
+    are powers of 4 with alpha=0.5, so n^alpha is an exact integer and the
+    expected value is pure Python bigint arithmetic."""
+    import pandas as pd
+
+    from inferdb_spark.operators.textprep import (
+        temperature_mixing_rates_from_counts,
+    )
+
+    counts = {"a": 4**20, "b": 4**19, "c": 4**18}  # 1.1e12 .. 6.9e10
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"source": list(counts), "n_s": list(counts.values())}
+        )
+    )
+    got = {
+        r["source"]: r["rate_permille"]
+        for r in temperature_mixing_rates_from_counts(df, 0.5, 500).collect()
+    }
+    wq = {s: int(math.isqrt(n)) * 1_000_000 for s, n in counts.items()}
+    t_rows, w_total = sum(counts.values()), sum(wq.values())
+    exp = {
+        s: min(1000, (500 * t_rows * wq[s]) // (w_total * counts[s]))
+        for s in counts
+    }
+    assert got == exp
+    # the numerator really is past 2^63 — the regression this test pins
+    assert 500 * t_rows * max(wq.values()) > 2**63
+
+
+def test_bpe_sql_oracle_pair_exhaustion(spark):
+    """fit_bpe_sql with n_merges > available pairs must emit exactly the
+    merges the Spark fit performs (early break) and not NULL-propagate the
+    later rounds' replaces."""
+    import duckdb
+    import pandas as pd
+
+    from inferdb_spark.gate_prep import _d_tokens
+    from inferdb_spark.operators.bpe_train import fit_bpe_merges, fit_bpe_sql
+
+    pdf = pd.DataFrame({"doc_id": [0, 1], "text": ["ab ab", "ab cd"]})
+    sdf = spark.createDataFrame(pdf)
+    merges, _ = fit_bpe_merges(sdf, "text", n_merges=10)
+    assert 0 < len(merges) < 10  # genuinely exhausts
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    sql = fit_bpe_sql(10, "documents", _d_tokens("text"))
+    got = con.execute(sql).fetchall()
+    exp = [(i, a, b, c) for i, (a, b, c) in enumerate(merges)]
+    assert [tuple(r) for r in got] == exp
+
+
+def test_semantic_dedup_leaves_no_cache_behind(spark):
+    """Cache hygiene: the operator must not leave a relation registered in
+    the CacheManager after it returns (long-lived pipelines would leak
+    executor memory)."""
+    import pandas as pd
+
+    from inferdb_spark.operators.similarity import semantic_dedup
+
+    spark.catalog.clearCache()
+    vecs = [[float((i * 7 + j) % 5 - 2) for j in range(4)] for i in range(12)]
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(12), "embedding": vecs})
+    )
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    out = semantic_dedup(df, "embedding", cents, threshold=0.99)
+    out.collect()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
