@@ -66,6 +66,7 @@ def _ensure_registered() -> None:
         "inferdb_spark.gate_quality",
         "inferdb_spark.gate_optbin",
         "inferdb_spark.gate_llm3",
+        "inferdb_spark.gate_llm4",
     ):
         try:
             importlib.import_module(mod)

@@ -695,6 +695,86 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negative_mining(anchors, e, "embedding", "label", "vec_id", HN_K)
 
 
+HN_NPROBE = 2  # of the 4 SD_CENTROIDS lists
+
+
+@gate(
+    "hard_negative_mining_ivf",
+    oracle=f"""
+    WITH a0 AS (
+      SELECT vec_id AS anchor_id, embedding AS av, label AS al
+      FROM embeddings
+      WHERE vec_id % {HN_ANCHOR_MOD} = 0 AND vec_id < 10000000
+    ),
+    cl AS (SELECT * FROM (VALUES {_SD_CENT_SQL}) AS t(cid, cv)),
+    cell_d AS (
+      SELECT e.vec_id, cl.cid,
+             list_sum(list_transform(generate_series(1, {SD_DIM}),
+                 i -> (cast(e.embedding[i] as double) - cl.cv[i])
+                    * (cast(e.embedding[i] as double) - cl.cv[i]))) AS dsq
+      FROM embeddings e CROSS JOIN cl
+    ),
+    cell_m AS (SELECT vec_id, min(dsq) AS md FROM cell_d GROUP BY vec_id),
+    cell AS (
+      SELECT d.vec_id, min(d.cid) AS list_id
+      FROM cell_d d JOIN cell_m m ON d.vec_id = m.vec_id AND d.dsq = m.md
+      GROUP BY d.vec_id
+    ),
+    probe_d AS (
+      SELECT a.anchor_id, cl.cid,
+             list_sum(list_transform(generate_series(1, {SD_DIM}),
+                 i -> (cast(a.av[i] as double) - cl.cv[i])
+                    * (cast(a.av[i] as double) - cl.cv[i]))) AS dsq
+      FROM a0 a CROSS JOIN cl
+    ),
+    probe AS (
+      SELECT anchor_id, cid AS list_id FROM (
+        SELECT anchor_id, cid,
+               row_number() OVER (PARTITION BY anchor_id
+                                  ORDER BY dsq ASC, cid ASC) AS pr
+        FROM probe_d
+      ) WHERE pr <= {HN_NPROBE}
+    ),
+    p AS (
+      SELECT a.anchor_id, e.vec_id AS cand_id,
+             round({_d_cos('a2.av', 'e.embedding')}, 6) AS cosine_r6
+      FROM probe a
+      JOIN cell c ON a.list_id = c.list_id
+      JOIN embeddings e ON e.vec_id = c.vec_id
+      JOIN a0 a2 ON a2.anchor_id = a.anchor_id
+      WHERE a2.al <> e.label
+    ),
+    r AS (
+      SELECT anchor_id, cand_id, cosine_r6,
+             row_number() OVER (PARTITION BY anchor_id
+                                ORDER BY cosine_r6 DESC, cand_id ASC) AS rnk
+      FROM p
+    )
+    SELECT anchor_id, cand_id, CAST(rnk AS BIGINT) AS rnk,
+           CAST(cosine_r6 AS DOUBLE) AS cosine_r6
+    FROM r WHERE rnk <= {HN_K}
+    """,
+)
+def q_hard_negative_mining_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-shortlisted hard-negative mining (operators/similarity.
+    hard_negative_mining_ivf): candidate generation is an EQUI-join of
+    the anchors' n_probe nearest IVF lists against the list-assigned
+    corpus — sum-of-probed-list-sizes candidates instead of
+    |anchors| x |corpus| (the round-3 verdict's scale fix); the window
+    top-k stage is unchanged.  Probe/assign ties break (distance, id)
+    ascending on both engines; parity with the exact variant at
+    n_probe = n_lists is pytest-asserted."""
+    from inferdb_spark.operators.similarity import hard_negative_mining_ivf
+
+    e = load_table(spark, sf_dir, "embeddings")
+    anchors = e.filter(
+        (F.col("vec_id") % HN_ANCHOR_MOD == 0) & (F.col("vec_id") < 10_000_000)
+    )
+    return hard_negative_mining_ivf(
+        anchors, e, SD_CENTROIDS, "embedding", "label", "vec_id", HN_K, HN_NPROBE
+    )
+
+
 KANON_K = 8
 
 

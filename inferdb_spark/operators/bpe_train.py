@@ -79,30 +79,61 @@ def fit_bpe_merges(
     text_col: str = "text",
     n_merges: int = 8,
     checkpoint_every: int = 4,
+    batch_m: int = 1,
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:
     """Learn `n_merges` BPE merges.  Returns (merges, final vocab
     relation); merges[i] = (left, right, pair_count) in learned order.
-    Driver traffic: one (a, b, count) row per round."""
+
+    `batch_m` > 1 enables the standard parallel-BPE batching (e.g.
+    Tokenizers/SentencePiece trainers at scale): each round takes the top
+    `batch_m` candidate pairs that are pairwise SYMBOL-DISJOINT and merges
+    them all in one replace chain.  Disjoint merges commute — neither
+    destroys nor creates occurrences of the other, so their pre-round
+    counts stay exact and the batch equals running them sequentially in
+    count order; the approximation vs pure sequential BPE is only that a
+    pair CREATED by this round's earlier merge (e.g. ('ab','c') after
+    ('a','b')) cannot be picked until next round.  batch_m=1 is exactly
+    sequential Sennrich BPE (pytest parity-asserted).  A 32k-vocab fit
+    needs ~32k/batch_m Spark jobs instead of 32k — the rounds-vs-vocab
+    bound is documented in DESIGN_SCALE.md.  Driver traffic: ~4*batch_m
+    candidate rows per round."""
     vocab = _word_vocab(df, text_col).localCheckpoint()
     merges: list[tuple[str, str, int]] = []
-    for r in range(n_merges):
-        best = (
+    done = 0
+    while done < n_merges:
+        want = min(batch_m, n_merges - done)
+        # 4x headroom so symbol collisions among the top candidates still
+        # leave `want` disjoint picks in most rounds (fewer is fine — the
+        # next round re-counts and re-offers them)
+        cand = (
             _pair_counts(vocab)
             .orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
-            .limit(1)
+            .limit(max(4 * want, want))
             .collect()
         )
-        if not best:
+        if not cand:
             break
-        a, b, c = best[0]["a"], best[0]["b"], int(best[0]["c"])
-        merges.append((a, b, c))
-        vocab = vocab.withColumn(
-            "seq",
-            F.replace(
-                F.col("seq"), F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|")
-            ),
-        )
-        if (r + 1) % checkpoint_every == 0:
+        used: set[str] = set()
+        batch: list[tuple[str, str, int]] = []
+        for row in cand:
+            a, b = row["a"], row["b"]
+            if a in used or b in used:
+                continue
+            batch.append((a, b, int(row["c"])))
+            # reserve the NEW symbol's spelling too: a later batch member
+            # over an existing same-spelled symbol would otherwise also
+            # merge the occurrences this replace just created, making its
+            # recorded pre-round count stale
+            used.update((a, b, a + b))
+            if len(batch) == want:
+                break
+        seq = F.col("seq")
+        for a, b, _ in batch:
+            seq = F.replace(seq, F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|"))
+        vocab = vocab.withColumn("seq", seq)
+        merges.extend(batch)
+        done += len(batch)
+        if (done // max(batch_m, 1)) % checkpoint_every == 0 or len(batch) < want:
             vocab = vocab.localCheckpoint()
     return merges, vocab
 

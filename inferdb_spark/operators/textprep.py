@@ -959,3 +959,124 @@ def dsir_select(
         F.coalesce("score_micro", F.lit(0)).cast("long").alias("score_micro"),
     )
     return base.orderBy(F.desc("score_micro"), F.asc(id_col)).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# exact substring-level dedup (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better", arXiv:2107.06499) — the ExactSubstr
+# mode, re-expressed relationally at token k-gram granularity: every
+# occurrence of a k-token window whose content appears earlier in the
+# corpus (global (doc_id, pos) order) is excised; the FIRST occurrence of
+# every substring survives.  The reference has no corpus tooling; this is
+# part of the beyond-reference LLM-data surface.
+
+
+def substring_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Exact repeated-substring removal.
+
+    Pipeline (all corpus-LINEAR; no pairwise joins):
+      1. Token k-gram windows per doc — a pure ARRAY projection
+         (transform over sequence + slice + array_join), no shuffle;
+         window key = md5(gram): fixed 32-byte shuffle key, 128-bit so
+         collisions are impossible in practice (h52's 52 bits would
+         collide at 100 TB gram counts).
+      2. Global first occurrence per gram = min(struct(doc_id, pos))
+         — ONE groupBy over the gram relation.
+      3. Duplicate windows = occurrences > first (self-join back on the
+         gram hash: same shuffle key as step 2).
+      4. Merge overlapping/adjacent windows into maximal spans per doc —
+         the gaps-and-islands pattern (one window over doc_id), then
+         explode spans to covered positions (Σ span lengths ≤ corpus
+         tokens).
+      5. Excise: left_anti tokens on covered (doc_id, pos), reassemble in
+         pos order (sort_array over collected (pos, tok) structs).
+
+    Returns (id, text_clean, n_tokens, n_removed) for EVERY input doc
+    (docs shorter than k tokens pass through).  Determinism: integer
+    positions, lexicographic struct mins, no floats anywhere."""
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    arr = tokens(F.col(text_col))
+    grams = (
+        df.select(F.col(id_col).alias("_id"), arr.alias("_a"))
+        .where(F.size("_a") >= k)
+        .select(
+            "_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, size(_a) - {k}),"
+                    f" i -> md5(array_join(slice(_a, i + 1, {k}), ' ')))"
+                )
+            ).alias("pos", "gh"),
+        )
+    )
+    first = grams.groupBy("gh").agg(
+        F.min(F.struct("_id", "pos")).alias("f"),
+        F.count("*").cast("long").alias("n_occ"),
+    )
+    dup = (
+        grams.join(first, "gh")
+        .where(
+            (F.col("n_occ") > 1)
+            & (
+                F.struct("_id", "pos")
+                != F.col("f")
+            )
+        )
+        .select("_id", F.col("pos").alias("s"), (F.col("pos") + F.lit(k - 1)).alias("e"))
+    )
+    from pyspark.sql.window import Window
+
+    w_prev = (
+        Window.partitionBy("_id").orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = Window.partitionBy("_id").orderBy("s").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    spans = (
+        dup.withColumn("prev_e", F.max("e").over(w_prev))
+        .withColumn(
+            "new_island",
+            F.when(
+                F.col("prev_e").isNull() | (F.col("s") > F.col("prev_e") + 1), 1
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("new_island").over(w_run))
+        .groupBy("_id", "island")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+    )
+    covered = spans.select(
+        "_id", F.explode(F.sequence("s", "e")).alias("pos")
+    )
+    kept = toks.join(covered, ["_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("text_clean"),
+        F.count("*").cast("long").alias("n_kept"),
+    )
+    base = df.select(
+        F.col(id_col).alias("_id"), token_count(F.col(text_col)).alias("n_tokens")
+    )
+    return (
+        base.join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

@@ -128,3 +128,68 @@ def test_pq_adc_recall_vs_bruteforce(spark, sf_dir):
     # PQ's production shape is shortlist (ADC) -> exact re-rank: the
     # exact top-10 must survive into the ADC top-100 shortlist
     assert len(shortlist & exact) >= 8
+
+
+def _labeled_embeddings(spark, n=240, dim=8):
+    rows = []
+    for i in range(n):
+        c = i % 3
+        base = [0.05 * ((i * 7 + j) % 5) for j in range(dim)]
+        base[c] += 10.0
+        rows.append((i, [float(x) for x in base], c % 2))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_hard_negative_ivf_full_probe_equals_exact(spark):
+    """n_probe = n_lists must reproduce the exact variant bit-for-bit
+    (every candidate survives the shortlist, ranking keys identical)."""
+    from inferdb_spark.operators.similarity import (
+        fit_ivf_centroids,
+        hard_negative_mining,
+        hard_negative_mining_ivf,
+    )
+
+    df = _labeled_embeddings(spark)
+    anchors = df.filter(F.col("vec_id") % 29 == 0)
+    cents = fit_ivf_centroids(df, "embedding", n_lists=3)
+    exact = hard_negative_mining(
+        anchors, df, "embedding", "label", "vec_id", k=5
+    ).collect()
+    ivf = hard_negative_mining_ivf(
+        anchors, df, cents, "embedding", "label", "vec_id", k=5, n_probe=3
+    ).collect()
+    key = lambda r: (r.anchor_id, r.rnk)
+    assert sorted(map(tuple, ivf), key=lambda t: (t[0], t[2])) == sorted(
+        map(tuple, exact), key=lambda t: (t[0], t[2])
+    )
+    assert len(exact) > 0
+
+
+def test_hard_negative_ivf_recall_and_plan(spark):
+    """Partial probing: recall vs exact stays high on clustered data, and
+    the candidate join is an equi join (no BroadcastNestedLoopJoin)."""
+    from inferdb_spark.operators.similarity import (
+        fit_ivf_centroids,
+        hard_negative_mining,
+        hard_negative_mining_ivf,
+    )
+
+    df = _labeled_embeddings(spark)
+    anchors = df.filter(F.col("vec_id") % 29 == 0)
+    cents = fit_ivf_centroids(df, "embedding", n_lists=3)
+    out = hard_negative_mining_ivf(
+        anchors, df, cents, "embedding", "label", "vec_id", k=5, n_probe=2
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    exact = {
+        (r.anchor_id, r.cand_id)
+        for r in hard_negative_mining(
+            anchors, df, "embedding", "label", "vec_id", k=5
+        ).collect()
+    }
+    got = {(r.anchor_id, r.cand_id) for r in out.collect()}
+    assert len(got & exact) / len(exact) >= 0.6

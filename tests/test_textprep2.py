@@ -352,3 +352,90 @@ def test_semantic_dedup_leaves_no_cache_behind(spark):
     out = semantic_dedup(df, "embedding", cents, threshold=0.99)
     out.collect()
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def _py_bpe(word_counts, n_merges, batch_m):
+    """Pure-Python twin of fit_bpe_merges incl. the batched variant:
+    wrapped-symbol string form, (count desc, a, b) ordering, greedy
+    symbol-disjoint batch selection with the concat reservation."""
+    vocab = {
+        "|" + "||".join(w) + "|": c for w, c in word_counts.items()
+    }
+    merges, done = [], 0
+    while done < n_merges:
+        want = min(batch_m, n_merges - done)
+        counts = {}
+        for seq, c in vocab.items():
+            syms = seq.strip("|").split("||")
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = (
+                    counts.get((syms[i], syms[i + 1]), 0) + c
+                )
+        cand = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        cand = cand[: max(4 * want, want)]
+        if not cand:
+            break
+        used, batch = set(), []
+        for (a, b), c in cand:
+            if a in used or b in used:
+                continue
+            batch.append((a, b, c))
+            used.update((a, b, a + b))
+            if len(batch) == want:
+                break
+        new_vocab = {}
+        for seq, c in vocab.items():
+            for a, b, _ in batch:
+                seq = seq.replace(f"|{a}||{b}|", f"|{a}{b}|")
+            new_vocab[seq] = new_vocab.get(seq, 0) + c
+        vocab = new_vocab
+        merges.extend(batch)
+        done += len(batch)
+    return merges
+
+
+def _bpe_fixture_counts():
+    texts = ["the other brother", "there the other", "than the then there",
+             "other brother bother", "the the the than"]
+    wc = {}
+    for t in texts:
+        for w in t.split():
+            wc[w] = wc.get(w, 0) + 1
+    return texts, wc
+
+
+def test_bpe_batched_matches_python_twin(spark):
+    """batch_m in {1, 3}: the Spark fit must equal the pure-Python twin
+    exactly (same merges, same order, same counts); batch_m=1 is
+    sequential Sennrich BPE."""
+    import pandas as pd
+
+    from inferdb_spark.operators.bpe_train import fit_bpe_merges
+
+    texts, wc = _bpe_fixture_counts()
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    for m in (1, 3):
+        got, _ = fit_bpe_merges(sdf, "text", n_merges=7, batch_m=m)
+        assert got == _py_bpe(wc, 7, m), f"batch_m={m}"
+
+
+def test_bpe_batched_first_round_disjoint(spark):
+    """Merges learned with batch_m=4 start with the sequential winner and
+    the first batch is pairwise symbol-disjoint."""
+    import pandas as pd
+
+    from inferdb_spark.operators.bpe_train import fit_bpe_merges
+
+    texts, _ = _bpe_fixture_counts()
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    seq1, _ = fit_bpe_merges(sdf, "text", n_merges=1, batch_m=1)
+    batched, _ = fit_bpe_merges(sdf, "text", n_merges=4, batch_m=4)
+    assert batched[0] == seq1[0]
+    used = set()
+    for a, b, _c in batched:  # one round: all four disjoint
+        assert a not in used and b not in used
+        used.update((a, b, a + b))

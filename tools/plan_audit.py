@@ -214,6 +214,15 @@ def main() -> int:
          lambda p: "BroadcastHashJoin" in p),
         ("no Python nodes", lambda p: "Python" not in p),
     ])
+    audit("hard_negative_mining_ivf", [
+        ("candidate generation is an equi hash join on list_id "
+         "(no nested loop, no cartesian)",
+         lambda p: "BroadcastNestedLoopJoin" not in p
+         and "CartesianProduct" not in p
+         and ("BroadcastHashJoin" in p or "SortMergeJoin" in p)),
+        ("no Python nodes (probe + assign + cosine are codegen folds)",
+         lambda p: "Python" not in p),
+    ])
 
     print("\n" + ("ALL PLAN CHECKS PASS" if failures == 0 else f"{failures} PLAN CHECKS FAILED"))
     return 1 if failures else 0
