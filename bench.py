@@ -255,6 +255,11 @@ def main() -> None:
         "fasttext_quality_score",
         "bpe_fit_merges",
         "ivf_pq_search",
+        # round-4 additions: IVF-shortlisted hard negatives, exact
+        # substring dedup, unigram-LM training round
+        "hard_negative_mining_ivf",
+        "substring_dedup",
+        "unigram_em_round",
     ]:
         if name in gq:
             fn = gq[name]

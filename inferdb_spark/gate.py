@@ -76,34 +76,47 @@ def _ensure_registered() -> None:
 
 # Names listed here are emitted FIRST by queries()/oracle_sql().  The driver
 # hash-checks only the first 50 declared queries per round, so each round's
-# newest / least-previously-driver-checked gates go here (the full registry is
-# still verified locally by tools/verify_local.py).  Round 3: the two
-# round-2 reds with their fixes (gbt_train_predict now carries a FULL
-# DuckDB training oracle; token_budget_per_source's HUGEINT cast), the
-# three new optimal-binning gates, the two hist_quantile gates whose `q`
-# dtype was normalized, then 43 gates no driver window has ever
-# hash-checked (87 remained after r01+r02; the rest rotate in round 4).
+# window is drawn from the least-previously-driver-checked gates (the full
+# registry is still verified locally by tools/verify_local.py).  Round 4:
+# the verdict's explicit ask — the 52 gates no driver window (r01/r02/r03)
+# ever hash-checked: the TPC-H battery (q3-q21, gate_dss2), the stats/ML
+# classics (chi2, winsorized mean, kmeans step, linreg, naive bayes, tree
+# scoring), grouping-sets/OLAP, CDC, and sketch-algebra gates.  The first
+# 50 fill this window; the last two (chi2_independence, winsorized_mean)
+# plus the round-4 additions (hard_negative_mining_ivf, substring_dedup,
+# unigram_segment_apply, unigram_em_round — judge-run verify covers them
+# this round) lead the round-5 rotation.
 _PRIORITY: list[str] = [
-    # round-3 new / fixed
-    "gbt_train_predict", "token_budget_per_source", "multiclass_prebin_stats",
-    "optbin_categorical_stats", "iqr_range_prefilter", "semantic_dedup",
-    "temperature_mixing", "fasttext_quality_score", "gbt_train_logistic",
-    "ivf_pq_search", "bpe_fit_merges", "bpe_segment_apply",
-    "sequence_packing", "rrf_hybrid_retrieval", "zipf_law_slope",
-    "hard_negative_mining", "k_anonymity_suppress", "dsir_selection",
-    "hist_quantile_sketch", "hist_quantile_merge",
-    # rotation: never driver-checked
-    "bloom_prejoin_filter", "cms_term_frequency",
-    "pagerank_supplier_part", "spearman_rank_corr", "mutual_information",
-    "token_histogram", "multiclass_metrics", "distinct_paths",
-    "collect_sorted_list", "hash_split_sample", "date_arithmetic",
-    "edit_distance_pairs", "sql_shared_text", "cooccurrence_pairs",
-    "ntile_decile_stats", "unpivot_measures", "stratified_sample",
-    "tfidf_top_terms", "group_zscore", "stats_moments",
-    "array_functions", "string_functions", "json_extract",
-    "pivot_event_counts", "range_frame_sum", "map_functions",
-    "activity_islands", "share_of_total", "event_transitions",
-    "stream_index_score",
+    # never driver-checked: OLAP / relational-algebra shapes
+    "rollup_revenue", "intersect_except", "range_join_bands", "cube_volume",
+    "window_value_functions", "correlated_above_avg", "full_outer_reconcile",
+    "null_safe_join", "grouping_sets_mix", "cdc_apply_changes",
+    "morton_zorder_key", "column_profile", "mad_outliers",
+    "try_safe_arithmetic",
+    # never driver-checked: stats / ML scoring classics
+    "knn_classify", "naive_bayes_model", "naive_bayes_score", "tree_score",
+    "gbt_score_sigmoid", "linreg_gram", "kmeans_lloyd_step",
+    "covariance_moments",
+    # never driver-checked: decorrelated-subquery / aggregation shapes
+    "min_acctbal_supplier_per_nation", "having_fraction_of_total",
+    "customer_order_distribution", "large_volume_orders",
+    "inactive_high_balance_customers", "multi_count_distinct",
+    "cumulative_distinct_users", "group_exact_quartiles",
+    "width_bucket_histogram",
+    # never driver-checked: the TPC-H battery
+    "q3_shipping_priority", "q4_order_priority", "q5_local_supplier_volume",
+    "q7_volume_shipping", "q9_product_profit", "q10_returned_items",
+    "q12_late_shipment_priority", "q14_promo_effect", "q15_top_supplier",
+    "q16_parts_supplier_count", "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue", "q20_excess_volume_suppliers",
+    "q21_waiting_suppliers", "q6_forecast_revenue", "q8_market_share",
+    # never driver-checked: sketch algebra / retrieval
+    "kmv_merge_rollup", "bm25_ranked_retrieval", "kmv_pairwise_overlap",
+    # ---- 50-gate window boundary ----
+    "chi2_independence", "winsorized_mean",
+    # round-4 additions (head of the round-5 rotation)
+    "hard_negative_mining_ivf", "substring_dedup",
+    "unigram_segment_apply", "unigram_em_round",
 ]
 
 

@@ -439,3 +439,32 @@ def test_bpe_batched_first_round_disjoint(spark):
     for a, b, _c in batched:  # one round: all four disjoint
         assert a not in used and b not in used
         used.update((a, b, a + b))
+
+
+def test_substring_dedup_removes_later_occurrences(spark):
+    """k=3: a repeated 3-token window is excised from the LATER doc only;
+    non-duplicated text is untouched; short docs pass through."""
+    import pandas as pd
+
+    from inferdb_spark.operators.textprep import substring_dedup
+
+    docs = [
+        (0, "alpha beta gamma delta"),            # first occurrence, kept
+        (1, "x alpha beta gamma y"),              # window repeats -> excised
+        (2, "unique words only here"),            # untouched
+        (3, "tiny doc"),                          # < k tokens, passthrough
+        (4, "alpha beta gamma"),                  # exact repeat, all removed
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in substring_dedup(
+            spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"])),
+            k=3,
+        ).collect()
+    }
+    assert out[0]["text_clean"] == "alpha beta gamma delta"
+    assert out[0]["n_removed"] == 0
+    assert out[1]["text_clean"] == "x y" and out[1]["n_removed"] == 3
+    assert out[2]["n_removed"] == 0
+    assert out[3]["text_clean"] == "tiny doc" and out[3]["n_removed"] == 0
+    assert out[4]["text_clean"] == "" and out[4]["n_removed"] == 3
