@@ -117,6 +117,7 @@ _PRIORITY: list[str] = [
     # round-4 additions (head of the round-5 rotation)
     "hard_negative_mining_ivf", "substring_dedup",
     "unigram_segment_apply", "unigram_em_round",
+    "trigram_backoff_lm", "sq8_quantized_topk",
 ]
 
 

@@ -227,3 +227,160 @@ def q_unigram_em_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.col("score_q").cast("long").alias("score_q"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stupid-backoff trigram LM (KenLM-lite corpus quality filter; Brants 2007)
+# train on doc_id % 10 != 0, score the held-out split so every backoff
+# level genuinely fires (same-corpus training would make c123 always > 0)
+
+TRI_QLN04 = -916291  # round(ln(0.4)*1e6) — must equal textprep.QLN_BACKOFF
+
+_TRI_STRUCTS = (
+    "list_transform(generate_series(1, len(t) - 2), "
+    "i -> {'w1': t[i], 'w2': t[i + 1], 'w3': t[i + 2]})"
+)
+_BI_STRUCTS = (
+    "list_transform(generate_series(1, len(t) - 1), "
+    "i -> {'w1': t[i], 'w2': t[i + 1]})"
+)
+
+
+@gate(
+    "trigram_backoff_lm",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_d_tokens('text')} AS t FROM documents),
+    trw AS (SELECT t FROM tok WHERE doc_id % 10 != 0),
+    tew AS (SELECT doc_id, t FROM tok WHERE doc_id % 10 = 0),
+    trp AS (
+      SELECT g['w1'] AS w1, g['w2'] AS w2, g['w3'] AS w3
+      FROM (SELECT unnest({_TRI_STRUCTS}) AS g FROM trw WHERE len(t) >= 3)
+    ),
+    brp AS (
+      SELECT b['w1'] AS w1, b['w2'] AS w2
+      FROM (SELECT unnest({_BI_STRUCTS}) AS b FROM trw WHERE len(t) >= 2)
+    ),
+    uw AS (SELECT unnest(t) AS w FROM trw),
+    tri AS (SELECT w1, w2, w3, count(*) AS c123 FROM trp GROUP BY w1, w2, w3),
+    big AS (SELECT w1, w2, count(*) AS c12 FROM brp GROUP BY w1, w2),
+    uni AS (SELECT w, count(*) AS c1 FROM uw GROUP BY w),
+    nv AS (SELECT count(*) AS n, count(DISTINCT w) AS v FROM uw),
+    tp AS (
+      SELECT doc_id, g['w1'] AS w1, g['w2'] AS w2, g['w3'] AS w3
+      FROM (SELECT doc_id, unnest({_TRI_STRUCTS}) AS g
+            FROM tew WHERE len(t) >= 3)
+    ),
+    sc AS (
+      SELECT tp.doc_id,
+             CASE WHEN tri.c123 IS NOT NULL THEN 3
+                  WHEN bo.c23 IS NOT NULL THEN 2 ELSE 1 END AS lvl,
+             CASE WHEN tri.c123 IS NOT NULL THEN
+                    CAST(round(ln(CAST(tri.c123 AS DOUBLE)
+                                  / CAST(ctx.c12 AS DOUBLE)) * 1000000) AS BIGINT)
+                  WHEN bo.c23 IS NOT NULL THEN
+                    {TRI_QLN04} + CAST(round(ln(CAST(bo.c23 AS DOUBLE)
+                                  / CAST(u2.c2 AS DOUBLE)) * 1000000) AS BIGINT)
+                  ELSE
+                    {2 * TRI_QLN04} + CAST(round(ln(CAST(COALESCE(u3.c3, 0) + 1 AS DOUBLE)
+                                  / CAST(nv.n + nv.v AS DOUBLE)) * 1000000) AS BIGINT)
+             END AS lp
+      FROM tp
+      LEFT JOIN tri ON tri.w1 = tp.w1 AND tri.w2 = tp.w2 AND tri.w3 = tp.w3
+      LEFT JOIN big ctx ON ctx.w1 = tp.w1 AND ctx.w2 = tp.w2
+      LEFT JOIN (SELECT w1 AS b2, w2 AS b3, c12 AS c23 FROM big) bo
+             ON bo.b2 = tp.w2 AND bo.b3 = tp.w3
+      LEFT JOIN (SELECT w AS u2w, c1 AS c2 FROM uni) u2 ON u2.u2w = tp.w2
+      LEFT JOIN (SELECT w AS u3w, c1 AS c3 FROM uni) u3 ON u3.u3w = tp.w3
+      CROSS JOIN nv
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_trigrams,
+           CAST(sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_l3,
+           CAST(sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_l2,
+           CAST(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_l1,
+           CAST(sum(lp) AS BIGINT) AS score_unats
+    FROM sc GROUP BY doc_id
+    """,
+)
+def q_trigram_backoff_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff trigram LM scoring (operators/textprep.
+    ngram_lm_counts + stupid_backoff_score): train n-gram counts on 90%
+    of the corpus, score the held-out 10% so trigram hits, bigram
+    backoffs, and add-one unigram floors (incl. OOV words) all fire.
+    Scores are integer micro-nats with a pre-quantized ln(0.4) penalty;
+    the per-doc level counts pin the backoff routing cross-engine."""
+    from inferdb_spark.operators.textprep import (
+        ngram_lm_counts,
+        stupid_backoff_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tri, big, uni, n_tok, vocab = ngram_lm_counts(
+        docs.filter(F.col("doc_id") % 10 != 0)
+    )
+    out = stupid_backoff_score(
+        docs.filter(F.col("doc_id") % 10 == 0), tri, big, uni, n_tok, vocab
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_trigrams", "n_l3", "n_l2", "n_l1", "score_unats",
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar-quantized top-k (operators/similarity.sq8_topk): exact-integer
+# compressed vector search — per-dim maxabs scales fit from the corpus on
+# BOTH engines, then int8 codes + BIGINT dot products (no transcendentals)
+
+SQ8_K = 25
+SQ8_DIM = 64
+SQ8_QUERY = [((i * 5) % 11 - 5) / 9.0 for i in range(SQ8_DIM)]
+_SQ8_QV_SQL = ", ".join(f"({i}, {x!r})" for i, x in enumerate(SQ8_QUERY))
+
+
+@gate(
+    "sq8_quantized_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    dims AS (
+      SELECT i AS dim, max(abs(CAST(embedding[i + 1] AS DOUBLE))) AS s
+      FROM e CROSS JOIN (SELECT unnest(generate_series(0, {SQ8_DIM - 1})) AS i) g
+      GROUP BY i
+    ),
+    qv AS (SELECT * FROM (VALUES {_SQ8_QV_SQL}) AS t(dim, qx)),
+    qq AS (
+      SELECT qv.dim,
+             CASE WHEN d.s > 0 THEN CAST(floor(qx / d.s * 127.0 + 0.5) AS BIGINT)
+                  ELSE 0 END AS q,
+             d.s
+      FROM qv JOIN dims d ON d.dim = qv.dim
+    ),
+    dots AS (
+      SELECT e.vec_id,
+             sum(CASE WHEN qq.s > 0 THEN
+                   CAST(floor(CAST(e.embedding[qq.dim + 1] AS DOUBLE)
+                              / qq.s * 127.0 + 0.5) AS BIGINT)
+                 ELSE 0 END * qq.q) AS dot_q
+      FROM e CROSS JOIN qq
+      GROUP BY e.vec_id
+    )
+    SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(dot_q AS BIGINT) AS dot_q
+    FROM dots ORDER BY dot_q DESC, vec_id LIMIT {SQ8_K}
+    """,
+)
+def q_sq8_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 (symmetric int8) quantized vector search (operators/similarity.
+    fit_sq8_scales + sq8_topk): per-dim maxabs scales are fit from the
+    data (pure max — bit-identical on both engines), codes are
+    floor(x/s*127+0.5), and ranking is a BIGINT dot-product fold with
+    (dot_q DESC, vec_id ASC) tie-breaks — a fully deterministic
+    compressed-search tier with zero transcendentals.  Plan: map-only
+    quantize+fold, then TakeOrderedAndProject."""
+    from inferdb_spark.operators.similarity import fit_sq8_scales, sq8_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    scales = fit_sq8_scales(e, "embedding")
+    return sq8_topk(e, "embedding", scales, SQ8_QUERY, k=SQ8_K).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("dot_q").cast("long").alias("dot_q"),
+    )

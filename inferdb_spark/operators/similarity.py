@@ -671,3 +671,89 @@ def hard_negative_mining_ivf(
             F.col("cosine_r6").cast("double").alias("cosine_r6"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SQ8: scalar (int8) quantization — the deterministic compressed-search tier
+# ---------------------------------------------------------------------------
+
+
+def fit_sq8_scales(df: DataFrame, vec_col: str = "embedding") -> list[float]:
+    """Per-dimension max-|x| scales for symmetric int8 quantization (the
+    FAISS ScalarQuantizer QT_8bit_direct family; per-dim beats per-tensor
+    when dimensions differ in range).  posexplode → per-dim max — one
+    shuffle of d tiny groups; d scalars to the driver (fit-time collect,
+    the fit_ivf_centroids budget).  max over the raw values involves no
+    arithmetic, so the scales are bit-identical in any engine."""
+    rows = (
+        df.select(F.posexplode(as_double_array(F.col(vec_col))).alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.max(F.abs(F.col("x"))).alias("s"))
+        .collect()
+    )
+    out = [0.0] * (max(r["dim"] for r in rows) + 1)
+    for r in rows:
+        out[r["dim"]] = float(r["s"])
+    return out
+
+
+def sq8_quantize_col(vec_col: Column, scales: list[float]) -> Column:
+    """array<bigint> of symmetric int8 codes: q_i = floor(x_i/s_i*127+0.5)
+    (zero when s_i = 0 — a constant dimension carries no signal).  The
+    rounding is the repo's half-up floor(+0.5): identical IEEE ops in
+    Spark, DuckDB, and driver-side Python, so codes replay exactly."""
+    sl = F.array(*[F.lit(float(s)) for s in scales])
+    return F.zip_with(
+        as_double_array(vec_col),
+        sl,
+        lambda x, s: F.when(s > 0.0, F.floor(x / s * 127.0 + 0.5))
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+
+
+def sq8_quantize_query(query_vec: list[float], scales: list[float]) -> list[int]:
+    """Driver-side twin of sq8_quantize_col for the literal query vector
+    (Python floats ARE IEEE doubles — same ops, same codes)."""
+    import math
+
+    return [
+        int(math.floor(x / s * 127.0 + 0.5)) if s > 0.0 else 0
+        for x, s in zip(query_vec, scales)
+    ]
+
+
+def sq8_topk(
+    df: DataFrame,
+    vec_col: str,
+    scales: list[float],
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k by EXACT-INTEGER quantized dot product — the SQ8 ANN tier
+    between brute-force float cosine and PQ: 4× (float32) compression,
+    zero transcendentals, zero float accumulation, so the ranking (and
+    its k-boundary ties, broken on (dot_q DESC, id ASC)) is bit-exact on
+    any engine and any shuffle order.  Map-only quantize + integer
+    zip_with/aggregate fold + TakeOrderedAndProject: the cosine_topk
+    plan shape with BIGINT math.  At 100 TB the quantized corpus is the
+    stored artifact (codes written once at ingest; scans read 64 B/row
+    instead of 256 B) and this operator is the scan-time ranker.
+
+    Reference has no vector search at all (nearest-neighbor is the
+    kv-probe of /root/reference/src/index.py); beyond-reference operator.
+    """
+    qq = sq8_quantize_query(query_vec, scales)
+    qv = sq8_quantize_col(F.col(vec_col), scales)
+    qlit = F.array(*[F.lit(int(v)).cast("long") for v in qq])
+    dot_q = F.aggregate(
+        F.zip_with(qv, qlit, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        df.select(F.col(id_col), dot_q.alias("dot_q"))
+        .orderBy(F.desc("dot_q"), F.asc(id_col))
+        .limit(k)
+    )

@@ -1080,3 +1080,158 @@ def substring_dedup(
             .alias("n_removed"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# stupid-backoff trigram language model (KenLM-lite corpus quality filter)
+# ---------------------------------------------------------------------------
+
+# round(ln(0.4) * 1e6): the stupid-backoff level penalty, pre-quantized so
+# the only transcendental evaluated per row is the count-ratio ln (which
+# both engines round to integer micro-nats before summing)
+QLN_BACKOFF = -916291
+
+
+def _trigram_structs(tok_col: str) -> Column:
+    """array<struct<w1,w2,w3>> of adjacent token triples; empty for <3
+    tokens (same sequence-direction guard as _bigram_structs)."""
+    return F.when(
+        F.size(F.col(tok_col)) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col(tok_col)) - 2),
+            lambda i: F.struct(
+                F.element_at(F.col(tok_col), i).alias("w1"),
+                F.element_at(F.col(tok_col), i + 1).alias("w2"),
+                F.element_at(F.col(tok_col), i + 2).alias("w3"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string,w3:string>>"))
+
+
+def ngram_lm_counts(
+    df: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame, int, int]:
+    """Corpus n-gram count relations for the stupid-backoff scorer:
+    (trigrams(w1,w2,w3,c123), bigrams(w1,w2,c12), unigrams(w,c1),
+    n_tokens, vocab_size).  One cached tokenization scan feeds all
+    three aggregates (the bigram_counts rule); each count relation is
+    vocabulary-sized — corpus-size-independent state, the property that
+    lets a 100 TB corpus train at n-gram-table cost."""
+    from inferdb_spark.functions import text as TXT
+
+    toks = df.select(TXT.tokens(F.col(text_col)).alias("t")).cache()
+    tri = (
+        toks.select(F.explode(_trigram_structs("t")).alias("g"))
+        .groupBy("g.w1", "g.w2", "g.w3")
+        .agg(F.count("*").alias("c123"))
+    )
+    big = (
+        toks.select(F.explode(_bigram_structs("t")).alias("b"))
+        .groupBy("b.w1", "b.w2")
+        .agg(F.count("*").alias("c12"))
+    )
+    unis = toks.select(F.explode("t").alias("w"))
+    uni = unis.groupBy("w").agg(F.count("*").alias("c1"))
+    row = unis.agg(
+        F.count("*").alias("n"), F.countDistinct("w").alias("v")
+    ).first()
+    return tri, big, uni, int(row["n"]), int(row["v"])
+
+
+def stupid_backoff_score(
+    df: DataFrame,
+    trigrams: DataFrame,
+    bigrams: DataFrame,
+    unigrams: DataFrame,
+    n_tokens: int,
+    vocab_size: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document stupid-backoff trigram log-score (Brants et al. 2007,
+    "Large Language Models in Machine Translation") — the KenLM-style
+    corpus-perplexity filter (CCNet's quality signal) expressed
+    relationally.  Per trigram position (w1,w2,w3) of the SCORED corpus,
+    against counts from the TRAINING corpus:
+
+      seen trigram:          ln(c123/c12)
+      backoff to bigram:     ln(0.4) + ln(c23/c2)
+      backoff to unigram:    2*ln(0.4) + ln((c3+1)/(N+V))   (add-one: OOV-safe)
+
+    All scores are integer micro-nats (round(ln·1e6) per position, BIGINT
+    sum — order-independent, engine-exact); the ln(0.4) penalty is the
+    pre-quantized QLN_BACKOFF so level routing adds integers only.
+    Output: (id, n_trigrams, n_l3, n_l2, n_l1, score_unats) — the level
+    counts pin the backoff routing cross-engine.
+
+    Scale: the scored trigram stream left-joins four vocabulary-sized
+    count relations on word-key equi-joins (shuffle partitioned by the
+    join keys; stopword-headed keys are skewed — AQE skew-join splits
+    them, the salting pattern of skew_agg_salted applies if disabled).
+    No Python, no window, no driver traffic beyond the two fit scalars.
+    The reference has no LM scoring (flat numeric featurization only,
+    /root/reference/src/transpiler.py:379-433); this extends the engine
+    for corpus-quality filtering."""
+    from inferdb_spark.functions import text as TXT
+
+    tri = trigrams.select(
+        F.col("w1").alias("t1"), F.col("w2").alias("t2"),
+        F.col("w3").alias("t3"), "c123",
+    )
+    ctx = bigrams.select(
+        F.col("w1").alias("x1"), F.col("w2").alias("x2"), F.col("c12")
+    )
+    bo = bigrams.select(
+        F.col("w1").alias("b2"), F.col("w2").alias("b3"),
+        F.col("c12").alias("c23"),
+    )
+    u2 = unigrams.select(F.col("w").alias("u2w"), F.col("c1").alias("c2"))
+    u3 = unigrams.select(F.col("w").alias("u3w"), F.col("c1").alias("c3"))
+
+    toks = df.select(F.col(id_col), TXT.tokens(F.col(text_col)).alias("t"))
+    pos = toks.select(
+        F.col(id_col), F.explode(_trigram_structs("t")).alias("g")
+    ).select(id_col, "g.w1", "g.w2", "g.w3")
+
+    def qln(num: Column, den: Column) -> Column:
+        return F.round(
+            F.log(num.cast("double") / den.cast("double")) * 1e6
+        ).cast("long")
+
+    j = (
+        pos.join(tri, (pos.w1 == tri.t1) & (pos.w2 == tri.t2) & (pos.w3 == tri.t3), "left")
+        .join(ctx, (pos.w1 == ctx.x1) & (pos.w2 == ctx.x2), "left")
+        .join(bo, (pos.w2 == bo.b2) & (pos.w3 == bo.b3), "left")
+        .join(u2, pos.w2 == u2.u2w, "left")
+        .join(u3, pos.w3 == u3.u3w, "left")
+    )
+    level = (
+        F.when(F.col("c123").isNotNull(), F.lit(3))
+        .when(F.col("c23").isNotNull(), F.lit(2))
+        .otherwise(F.lit(1))
+    )
+    lp = (
+        F.when(level == 3, qln(F.col("c123"), F.col("c12")))
+        .when(
+            level == 2,
+            F.lit(QLN_BACKOFF) + qln(F.col("c23"), F.col("c2")),
+        )
+        .otherwise(
+            F.lit(2 * QLN_BACKOFF)
+            + qln(
+                F.coalesce(F.col("c3"), F.lit(0)) + 1,
+                F.lit(int(n_tokens) + int(vocab_size)),
+            )
+        )
+    )
+    return (
+        j.select(F.col(id_col), level.alias("lvl"), lp.alias("lp"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_trigrams"),
+            F.sum((F.col("lvl") == 3).cast("long")).cast("long").alias("n_l3"),
+            F.sum((F.col("lvl") == 2).cast("long")).cast("long").alias("n_l2"),
+            F.sum((F.col("lvl") == 1).cast("long")).cast("long").alias("n_l1"),
+            F.sum("lp").cast("long").alias("score_unats"),
+        )
+    )

@@ -468,3 +468,75 @@ def test_substring_dedup_removes_later_occurrences(spark):
     assert out[2]["n_removed"] == 0
     assert out[3]["text_clean"] == "tiny doc" and out[3]["n_removed"] == 0
     assert out[4]["text_clean"] == "" and out[4]["n_removed"] == 3
+
+
+def test_stupid_backoff_levels_and_python_twin(spark):
+    """All three backoff levels fire and the score matches a pure-Python
+    replay (incl. add-one OOV floor)."""
+    import math
+
+    import pandas as pd
+
+    from inferdb_spark.operators.textprep import (
+        QLN_BACKOFF,
+        ngram_lm_counts,
+        stupid_backoff_score,
+    )
+
+    train = [
+        "the cat sat on the mat",
+        "the cat ate the fish",
+        "a dog sat on the rug",
+    ]
+    test = [
+        # trigram hit (lvl3), bigram backoff (lvl2), unigram + OOV (lvl1)
+        (0, "the cat sat on a zebra"),
+        (1, "dog ate the fish zebra"),
+    ]
+    tdf = spark.createDataFrame(pd.DataFrame({"doc_id": range(3), "text": train}))
+    sdf = spark.createDataFrame(pd.DataFrame(test, columns=["doc_id", "text"]))
+    tri, big, uni, n_tok, vocab = ngram_lm_counts(tdf)
+    got = {
+        r["doc_id"]: r
+        for r in stupid_backoff_score(sdf, tri, big, uni, n_tok, vocab).collect()
+    }
+
+    # python twin
+    def toks(s):
+        return s.split(" ")
+
+    c3, c2, c1 = {}, {}, {}
+    n = 0
+    for t in train:
+        w = toks(t)
+        n += len(w)
+        for i in range(len(w)):
+            c1[w[i]] = c1.get(w[i], 0) + 1
+            if i + 1 < len(w):
+                c2[(w[i], w[i + 1])] = c2.get((w[i], w[i + 1]), 0) + 1
+            if i + 2 < len(w):
+                c3[(w[i], w[i + 1], w[i + 2])] = c3.get((w[i], w[i + 1], w[i + 2]), 0) + 1
+    v = len(c1)
+    q = lambda a, b: round(math.log(a / b) * 1e6)
+    for doc_id, text in test:
+        w = toks(text)
+        lvls = {1: 0, 2: 0, 3: 0}
+        s = 0
+        for i in range(len(w) - 2):
+            g = (w[i], w[i + 1], w[i + 2])
+            if g in c3:
+                lvls[3] += 1
+                s += q(c3[g], c2[(g[0], g[1])])
+            elif (g[1], g[2]) in c2:
+                lvls[2] += 1
+                s += QLN_BACKOFF + q(c2[(g[1], g[2])], c1[g[1]])
+            else:
+                lvls[1] += 1
+                s += 2 * QLN_BACKOFF + q(c1.get(g[2], 0) + 1, n + v)
+        r = got[doc_id]
+        assert (r["n_l3"], r["n_l2"], r["n_l1"]) == (lvls[3], lvls[2], lvls[1])
+        assert r["score_unats"] == s
+        assert r["n_trigrams"] == len(w) - 2
+    # the fixture genuinely exercises every level
+    assert got[0]["n_l3"] > 0 and got[1]["n_l1"] > 0
+    assert got[0]["n_l2"] + got[1]["n_l2"] > 0

@@ -224,6 +224,19 @@ def main() -> int:
          lambda p: "Python" not in p),
     ])
 
+    audit("sq8_quantized_topk", [
+        ("TakeOrderedAndProject (distributed k-heap, no global sort)",
+         lambda p: "TakeOrderedAndProject" in p),
+        ("no Python nodes (quantize + integer dot are codegen folds)",
+         lambda p: "Python" not in p),
+    ])
+    audit("trigram_backoff_lm", [
+        ("no cartesian / nested-loop (count joins are word-key equi joins)",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("no Python nodes", lambda p: "Python" not in p),
+    ])
+
     print("\n" + ("ALL PLAN CHECKS PASS" if failures == 0 else f"{failures} PLAN CHECKS FAILED"))
     return 1 if failures else 0
 
