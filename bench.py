@@ -260,6 +260,8 @@ def main() -> None:
         "hard_negative_mining_ivf",
         "substring_dedup",
         "unigram_em_round",
+        "unigram_fit_replay",
+        "wordpiece_fit_merges",
         "trigram_backoff_lm",
         "sq8_quantized_topk",
     ]:

@@ -117,7 +117,8 @@ _PRIORITY: list[str] = [
     # round-4 additions (head of the round-5 rotation)
     "hard_negative_mining_ivf", "substring_dedup",
     "unigram_segment_apply", "unigram_em_round",
-    "trigram_backoff_lm", "sq8_quantized_topk",
+    "trigram_backoff_lm", "sq8_quantized_topk", "unigram_fit_replay",
+    "wordpiece_fit_merges", "wordpiece_segment_apply",
 ]
 
 

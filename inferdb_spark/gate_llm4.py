@@ -229,6 +229,159 @@ def q_unigram_em_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+UFR_ROUNDS = 3  # EM rounds the full-fit replay unrolls
+
+
+def _unigram_fit_oracle() -> str:
+    from inferdb_spark.operators.unigram_lm import fit_unigram_sql
+
+    return (
+        "WITH w AS (SELECT t AS word, CAST(count(*) AS BIGINT) AS cnt FROM ("
+        f"SELECT unnest({_d_tokens('text')}) AS t FROM documents) "
+        f"WHERE length(t) <= {UNI_W} GROUP BY t),\n"
+        + fit_unigram_sql(
+            n_rounds=UFR_ROUNDS,
+            max_word_len=UNI_W,
+            max_piece_len=UNI_L,
+            seed_multi=24,
+            target_multi=12,
+        )
+        + f"\nSELECT piece, CAST(n AS BIGINT) AS n, "
+        f"CAST(score_q AS BIGINT) AS score_q FROM tb{UFR_ROUNDS}"
+    )
+
+
+@gate("unigram_fit_replay", oracle=_unigram_fit_oracle())
+def q_unigram_fit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece) tokenizer training, FULL-fit
+    hash-checked (operators/unigram_lm.fit_unigram_lm): seeding (char
+    weights + top-24 substrings), then 3 EM rounds of Viterbi E-step /
+    count M-step / (n DESC, piece ASC) pruning to max(12, ceil(3/4*cur))
+    multis.  The oracle (fit_unigram_sql) replays the ENTIRE trainer —
+    one chained DP + count + prune CTE block per round — so the trainer
+    is cross-engine-verified end to end, like gbt_train_predict and
+    bpe_fit_merges.  Cluster state per round is the vocab-sized piece
+    table; the corpus is touched once per E-step."""
+    from inferdb_spark.operators.unigram_lm import fit_unigram_lm
+
+    d = load_table(spark, sf_dir, "documents")
+    table = fit_unigram_lm(
+        d,
+        "text",
+        n_rounds=UFR_ROUNDS,
+        max_piece_len=UNI_L,
+        seed_multi=24,
+        target_multi=12,
+        max_word_len=UNI_W,
+    )
+    return spark.createDataFrame(
+        [(p, int(n), int(s)) for p, n, s in table],
+        "piece: string, n: long, score_q: long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# WordPiece tokenizer (Schuster & Nakajima 2012; the BERT tokenizer):
+# likelihood-ratio merge training with real ## continuation semantics, and
+# greedy longest-match-first segmentation (operators/wordpiece_train.py).
+
+WP_N_MERGES = 8
+
+
+def _wordpiece_fit_oracle() -> str:
+    from inferdb_spark.operators.wordpiece_train import fit_wordpiece_sql
+
+    return fit_wordpiece_sql(WP_N_MERGES, tokens_sql=_d_tokens("text"))
+
+
+@gate("wordpiece_fit_merges", oracle=_wordpiece_fit_oracle())
+def q_wordpiece_fit_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece tokenizer TRAINING in-engine (operators/wordpiece_train.
+    fit_wordpiece_merges): 8 merge rounds over the distinct-word relation,
+    each picking the pair maximizing the quantized ln-likelihood ratio
+    ln c_ab - ln c_a - ln c_b (micro-nats; (score DESC, a, b) tie-break)
+    — the published WordPiece criterion, with genuine ## continuation
+    symbols so initial and internal occurrences are distinct statistics.
+    Two vocab-sized aggregations + one broadcast join per round; ONE
+    argmax row to the driver.  The oracle replays the ENTIRE fit as
+    chained CTEs, so the trainer is hash-checked like bpe_fit_merges /
+    unigram_fit_replay."""
+    from inferdb_spark.operators.wordpiece_train import fit_wordpiece_merges
+
+    d = load_table(spark, sf_dir, "documents")
+    merges, _ = fit_wordpiece_merges(d, "text", n_merges=WP_N_MERGES)
+    return spark.createDataFrame(
+        [(i, a, b, c, s) for i, (a, b, c, s) in enumerate(merges)],
+        "round: int, a: string, b: string, c: long, score_q: long",
+    )
+
+
+# fixed literal inference vocab: all plain chars, all ## chars EXCEPT
+# '##w' and '##z' (so words with an internal w die to '[UNK]' — the BERT
+# uncovered-character rule fires on real corpus words like 'window'),
+# plus multi-char pieces exercising greedy longest-match at both initial
+# and continuation positions.
+WP_L = 4
+WP_VOCAB: list[str] = (
+    [c for c in "abcdefghijklmnopqrstuvwxyz0123456789"]
+    + [f"##{c}" for c in "abcdefghijklmnopqrstuvxy0123456789"]
+    + ["th", "##he", "the", "lin", "##ine", "win", "##ind", "qu",
+       "##ue", "##ry", "or", "##rder", "##ble", "sc", "##hema"]
+)
+
+_WP_VOCAB_SQL = ", ".join(f"('{p}')" for p in sorted(set(WP_VOCAB)))
+
+
+def _wordpiece_segment_oracle() -> str:
+    from inferdb_spark.operators.wordpiece_train import wordpiece_segment_sql
+
+    return (
+        "WITH w AS (SELECT t AS word, CAST(count(*) AS BIGINT) AS cnt FROM ("
+        f"SELECT unnest({_d_tokens('text')}) AS t FROM documents) "
+        f"WHERE length(t) <= {UNI_W} GROUP BY t),\n"
+        f"wpv AS (SELECT * FROM (VALUES {_WP_VOCAB_SQL}) AS t(piece)),\n"
+        + wordpiece_segment_sql("wpv", UNI_W, WP_L)
+        + "\nSELECT word, cnt, pieces, "
+        "CAST(length(string_split(pieces, '/')) AS BIGINT) AS n_pieces "
+        "FROM fin"
+    )
+
+
+@gate("wordpiece_segment_apply", oracle=_wordpiece_segment_oracle())
+def q_wordpiece_segment_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece greedy longest-match-first segmentation with a FIXED
+    literal vocab (operators/wordpiece_train.wordpiece_apply): one
+    aggregate-HOF fold per word — at each position take the longest vocab
+    piece (##-marked when not word-initial) or kill the word to '[UNK]'
+    (the BERT rule; '##w' is deliberately absent from the vocab so it
+    fires).  Map-only at any scale.  The oracle replays the greedy state
+    machine one CTE per character position."""
+    from inferdb_spark.functions.text import tokens as _tokens
+    from inferdb_spark.operators.wordpiece_train import wordpiece_apply
+
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(_tokens(F.col("text"))).alias("word"))
+        .where(F.length("word") <= UNI_W)
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    from inferdb_spark.functions.text import bind_once
+
+    # bind the fold once — array_join and size would otherwise each
+    # re-evaluate the whole greedy DP (projection-collapse inlining)
+    out = bind_once(
+        wordpiece_apply(F.col("word"), WP_VOCAB, WP_L),
+        lambda t: F.struct(
+            F.array_join(t, "/").alias("pieces"),
+            F.size(t).cast("long").alias("n_pieces"),
+        ),
+    )
+    return words.select("word", "cnt", out.alias("_o")).select(
+        "word", "cnt", F.col("_o.pieces"), F.col("_o.n_pieces")
+    )
+
+
 # ---------------------------------------------------------------------------
 # stupid-backoff trigram LM (KenLM-lite corpus quality filter; Brants 2007)
 # train on doc_id % 10 != 0, score the held-out split so every backoff

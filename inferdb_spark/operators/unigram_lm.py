@@ -157,12 +157,16 @@ def fit_unigram_lm(
     max_piece_len: int = 4,
     seed_multi: int = 24,
     target_multi: int = 12,
+    max_word_len: int | None = None,
 ) -> list[tuple[str, int, int]]:
     """Full unigram-LM fit: seed (all single chars + the `seed_multi`
     highest-weighted substrings of length 2..max_piece_len), then
     `n_rounds` of EM with pruning — after each round the multi-char
     inventory keeps the top max(target_multi, ceil(3/4·current)) pieces
     by (n DESC, piece ASC); single chars are never pruned (coverage).
+    `max_word_len` drops longer words from the (word, cnt) relation —
+    the bound `fit_unigram_sql` unrolls its per-position DP to (and, at
+    real scale, the SentencePiece `max_sentencepiece_length` analog).
 
     Returns the final piece table [(piece, n, score_q)] ordered
     (n DESC, piece ASC).  Driver traffic: one vocab-sized piece table
@@ -171,9 +175,11 @@ def fit_unigram_lm(
     from inferdb_spark.functions.text import tokens
 
     L = int(max_piece_len)
+    words = df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+    if max_word_len is not None:
+        words = words.where(F.length("word") <= int(max_word_len))
     words = (
-        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
-        .groupBy("word")
+        words.groupBy("word")
         .agg(F.count("*").cast("long").alias("cnt"))
         .localCheckpoint()
     )
@@ -253,40 +259,143 @@ def viterbi_sql(
     max_piece_len: int,
     words_cte: str = "w",
     pieces_cte: str = "ps",
+    prefix: str = "b",
+    fin_name: str = "fin",
 ) -> str:
     """DuckDB CTE chain replaying `unigram_viterbi` exactly: one CTE per
     position (max-plus DP; candidates join `pieces_cte`(piece, score_q)
     on the literal substring; best by ORDER BY q DESC, l DESC), ending in
-    `fin`(word, cnt, q, seg).  Expects `words_cte`(word, cnt) with words
-    of length <= max_word_len.  The fit_bpe_sql / gbt training-replay
-    pattern applied to segmentation."""
+    `fin_name`(word, cnt, q, seg).  Expects `words_cte`(word, cnt) with
+    words of length <= max_word_len.  `prefix`/`fin_name` namespace the
+    CTEs so fit_unigram_sql can chain one full DP per EM round.  The
+    fit_bpe_sql / gbt training-replay pattern applied to segmentation."""
     L = int(max_piece_len)
     W = int(max_word_len)
-    # every b{i} is referenced by up to max_piece_len later positions —
-    # MATERIALIZED is load-bearing (an inlined chain re-expands the whole
-    # DP prefix per reference: exponential; the fit_bpe_sql rule)
+    # every {prefix}{i} is referenced by up to max_piece_len later
+    # positions — MATERIALIZED is load-bearing (an inlined chain
+    # re-expands the whole DP prefix per reference: exponential; the
+    # fit_bpe_sql rule)
     ctes = [
-        f"b0 AS MATERIALIZED (SELECT word, cnt, CAST(0 AS BIGINT) AS q, "
+        f"{prefix}0 AS MATERIALIZED (SELECT word, cnt, CAST(0 AS BIGINT) AS q, "
         f"'' AS seg FROM {words_cte})"
     ]
     for i in range(1, W + 1):
         cands = " UNION ALL ".join(
             f"SELECT b.word, b.cnt, b.q + ps.score_q AS q, {l} AS l, "
             f"b.seg || '/' || substring(b.word, {i - l + 1}, {l}) AS seg "
-            f"FROM b{i - l} b JOIN {pieces_cte} ps "
+            f"FROM {prefix}{i - l} b JOIN {pieces_cte} ps "
             f"ON ps.piece = substring(b.word, {i - l + 1}, {l}) "
             f"WHERE length(b.word) >= {i}"
             for l in range(1, min(L, i) + 1)
         )
         ctes.append(
-            f"b{i} AS MATERIALIZED (SELECT word, cnt, q, seg FROM ("
+            f"{prefix}{i} AS MATERIALIZED (SELECT word, cnt, q, seg FROM ("
             f"SELECT word, cnt, q, seg, row_number() OVER ("
             f"PARTITION BY word ORDER BY q DESC, l DESC) AS rn "
             f"FROM ({cands})) WHERE rn = 1)"
         )
     fin = " UNION ALL ".join(
-        f"SELECT word, cnt, q, seg FROM b{i} WHERE length(word) = {i}"
+        f"SELECT word, cnt, q, seg FROM {prefix}{i} WHERE length(word) = {i}"
         for i in range(1, W + 1)
     )
-    ctes.append(f"fin AS MATERIALIZED ({fin})")
+    ctes.append(f"{fin_name} AS MATERIALIZED ({fin})")
+    return ",\n".join(ctes)
+
+
+def fit_unigram_sql(
+    n_rounds: int,
+    max_word_len: int,
+    max_piece_len: int,
+    seed_multi: int,
+    target_multi: int,
+    words_cte: str = "w",
+) -> str:
+    """DuckDB CTE chain replaying the ENTIRE `fit_unigram_lm` loop —
+    seeding (char weights + top-`seed_multi` substrings), then one full
+    Viterbi DP + count + prune round per EM iteration — ending in
+    `tb{n_rounds}`(piece, n, score_q), the trainer's final piece table.
+    The gbt_train / fit_bpe_sql pattern: the TRAINER itself is
+    hash-checked cross-engine, not just one step.  Expects
+    `words_cte`(word, cnt).  All pruning decisions are integer
+    (n DESC, piece ASC) ranks; scores quantize ln differences to
+    micro-nats before any comparison."""
+    L = int(max_piece_len)
+    W = int(max_word_len)
+    R = int(n_rounds)
+    ctes: list[str] = []
+    # seeding: per-char weights (chw doubles as the never-pruned char set)
+    ctes.append(
+        "chw AS MATERIALIZED (SELECT piece, CAST(sum(cnt) AS BIGINT) AS wt "
+        "FROM (SELECT cnt, unnest(list_transform(generate_series(1, "
+        f"length(word)), i -> substring(word, i, 1))) AS piece FROM {words_cte}) "
+        "GROUP BY piece)"
+    )
+    ctes.append(
+        "sbw AS MATERIALIZED (SELECT piece, wt FROM ("
+        "SELECT piece, CAST(sum(cnt) AS BIGINT) AS wt, "
+        "row_number() OVER (ORDER BY sum(cnt) DESC, piece) AS rn "
+        "FROM (SELECT cnt, unnest(flatten(list_transform("
+        "generate_series(1, length(word)), i -> list_transform("
+        f"generate_series(2, {L}), l -> CASE WHEN i + l - 1 <= length(word) "
+        f"THEN substring(word, i, l) END)))) AS piece FROM {words_cte}) "
+        "WHERE piece IS NOT NULL GROUP BY piece) "
+        f"WHERE rn <= {int(seed_multi)})"
+    )
+    ctes.append(
+        "t0 AS (SELECT (SELECT sum(wt) FROM chw) + (SELECT sum(wt) FROM sbw)"
+        " AS tot)"
+    )
+    ctes.append(
+        "ps0 AS MATERIALIZED (SELECT piece, CAST(floor((ln(CAST(wt AS DOUBLE))"
+        " - ln(CAST(tot AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT) AS score_q "
+        "FROM (SELECT piece, wt FROM chw UNION ALL SELECT piece, wt FROM sbw) "
+        "u, t0)"
+    )
+    qln = (
+        "CAST(floor((ln(CAST({num} AS DOUBLE)) - ln(CAST({den} AS DOUBLE)))"
+        " * 1000000.0 + 0.5) AS BIGINT)"
+    )
+    for r in range(1, R + 1):
+        ctes.append(
+            viterbi_sql(
+                W, L, words_cte=words_cte, pieces_cte=f"ps{r - 1}",
+                prefix=f"r{r}b", fin_name=f"r{r}fin",
+            )
+        )
+        ctes.append(
+            f"c{r} AS MATERIALIZED (SELECT piece, CAST(sum(cnt) AS BIGINT) "
+            "AS n FROM (SELECT cnt, unnest(string_split(substring(seg, 2), "
+            f"'/')) AS piece FROM r{r}fin) GROUP BY piece)"
+        )
+        ctes.append(f"t{r} AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c{r})")
+        # keep_n = max(target_multi, ceil(3/4 * |multi pieces in ps_{r-1}|))
+        ctes.append(
+            f"k{r} AS (SELECT greatest({int(target_multi)}, "
+            f"(3 * (SELECT count(*) FROM ps{r - 1} WHERE length(piece) >= 2)"
+            " + 3) // 4) AS kn)"
+        )
+        ctes.append(
+            f"m{r} AS MATERIALIZED (SELECT piece, n, "
+            + qln.format(num="n", den="tot")
+            + " AS score_q FROM (SELECT piece, n, row_number() OVER ("
+            f"ORDER BY n DESC, piece) AS rn FROM c{r} WHERE "
+            f"length(piece) >= 2), t{r}, k{r} WHERE rn <= kn)"
+        )
+        ctes.append(
+            f"ch{r} AS MATERIALIZED (SELECT cs.piece, "
+            f"CAST(COALESCE(c.n, 0) AS BIGINT) AS n, "
+            "CASE WHEN c.piece IS NOT NULL THEN "
+            + qln.format(num="c.n", den="t.tot")
+            + " ELSE "
+            + qln.format(num="1", den="greatest(t.tot, 1)")
+            + f" END AS score_q FROM chw cs LEFT JOIN c{r} c "
+            f"ON c.piece = cs.piece CROSS JOIN t{r} t)"
+        )
+        ctes.append(
+            f"tb{r} AS MATERIALIZED (SELECT * FROM m{r} "
+            f"UNION ALL SELECT * FROM ch{r})"
+        )
+        ctes.append(
+            f"ps{r} AS MATERIALIZED (SELECT piece, score_q FROM tb{r})"
+        )
     return ",\n".join(ctes)

@@ -236,6 +236,12 @@ def main() -> int:
          and "BroadcastNestedLoopJoin" not in p),
         ("no Python nodes", lambda p: "Python" not in p),
     ])
+    audit("wordpiece_segment_apply", [
+        ("greedy longest-match fold is pure codegen (no Python nodes)",
+         lambda p: "Python" not in p),
+        ("single shuffle (the word-count groupBy), no joins",
+         lambda p: p.count("Exchange") <= 2 and "Join" not in p),
+    ])
 
     print("\n" + ("ALL PLAN CHECKS PASS" if failures == 0 else f"{failures} PLAN CHECKS FAILED"))
     return 1 if failures else 0
