@@ -264,6 +264,8 @@ def main() -> None:
         "wordpiece_fit_merges",
         "trigram_backoff_lm",
         "sq8_quantized_topk",
+        "perplexity_bucket_select",
+        "cluster_balanced_sample",
     ]:
         if name in gq:
             fn = gq[name]

@@ -67,6 +67,7 @@ def _ensure_registered() -> None:
         "inferdb_spark.gate_optbin",
         "inferdb_spark.gate_llm3",
         "inferdb_spark.gate_llm4",
+        "inferdb_spark.gate_curate",
     ):
         try:
             importlib.import_module(mod)
@@ -119,6 +120,8 @@ _PRIORITY: list[str] = [
     "unigram_segment_apply", "unigram_em_round",
     "trigram_backoff_lm", "sq8_quantized_topk", "unigram_fit_replay",
     "wordpiece_fit_merges", "wordpiece_segment_apply",
+    "perplexity_bucket_select", "sharded_export_manifest",
+    "l_diversity_suppress", "cluster_balanced_sample",
 ]
 
 

@@ -1,0 +1,244 @@
+"""Round-4 corpus-curation/release gates: CCNet perplexity bucketing,
+deterministic sharded-export manifest, l-diversity suppression, and
+cluster-balanced subsampling.
+
+Cross-engine discipline: every ranking/bucket decision is integer or
+hash-based (no float ordering anywhere); ntile/row_number run over total
+orders (metric, id); money bands shift to nonnegative before integer
+division (Spark `div` truncates, DuckDB `//` floors — identical on
+nonnegatives)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from inferdb_spark.catalog import load_table
+from inferdb_spark.functions.hashing import duckdb_h52
+from inferdb_spark.gate import gate
+from inferdb_spark.gate_llm4 import _tri_doc_scores_cte
+from inferdb_spark.gate_llm3 import SD_CENTROIDS, SD_DIM, _SD_CENT_SQL
+from inferdb_spark.gate_prep import _d_tokens
+
+# ---------------------------------------------------------------------------
+# CCNet perplexity head/middle/tail bucketing (Wenzek et al. 2020) over the
+# stupid-backoff trigram scores (gate_llm4's shared docsc CTE chain)
+
+PPLB_BUCKETS = 3
+PPLB_KEEP = (1,)
+
+
+@gate(
+    "perplexity_bucket_select",
+    oracle="WITH " + _tri_doc_scores_cte() + f""",
+    base AS (
+      SELECT s.doc_id, d.source, s.n_trigrams, s.score_unats,
+             CAST((-(s.score_unats) * 1000) // s.n_trigrams AS BIGINT)
+                 AS ppl_q
+      FROM docsc s JOIN documents d ON d.doc_id = s.doc_id
+      WHERE s.n_trigrams >= 1
+    ),
+    bk AS (
+      SELECT doc_id, source, ppl_q,
+             CAST(ntile({PPLB_BUCKETS}) OVER (
+                 PARTITION BY source ORDER BY ppl_q, doc_id) AS INT)
+                 AS bucket
+      FROM base
+    )
+    SELECT doc_id, source, ppl_q, bucket,
+           CAST(CASE WHEN bucket IN ({",".join(str(b) for b in PPLB_KEEP)})
+                THEN 1 ELSE 0 END AS INT) AS kept
+    FROM bk
+    """,
+)
+def q_perplexity_bucket_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (operators/textprep.
+    perplexity_bucket_select; Wenzek et al. 2020): score the held-out
+    split with the stupid-backoff trigram LM trained on the 90% split,
+    then ntile each SOURCE into head/middle/tail by integer
+    milli-micro-nats-per-trigram and keep the head.  The ranking key and
+    ntile boundaries are exact integers over a total order, so bucket
+    membership replays bit-identically; one window per source."""
+    from inferdb_spark.operators.textprep import (
+        ngram_lm_counts,
+        perplexity_bucket_select,
+        stupid_backoff_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tri, big, uni, n_tok, vocab = ngram_lm_counts(
+        docs.filter(F.col("doc_id") % 10 != 0)
+    )
+    scored = stupid_backoff_score(
+        docs.filter(F.col("doc_id") % 10 == 0), tri, big, uni, n_tok, vocab
+    ).join(docs.select("doc_id", "source"), "doc_id")
+    out = perplexity_bucket_select(
+        scored, n_buckets=PPLB_BUCKETS, keep_buckets=PPLB_KEEP
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        "ppl_q",
+        F.col("bucket").cast("int").alias("bucket"),
+        F.col("kept").cast("int").alias("kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic sharded-export manifest (operators/export.py)
+
+EXPORT_SHARDS = 16
+
+
+@gate(
+    "sharded_export_manifest",
+    oracle=f"""
+    WITH m AS (
+      SELECT CAST({duckdb_h52("CAST(doc_id AS VARCHAR)")} % {EXPORT_SHARDS}
+                 AS INT) AS shard_id,
+             CAST(length({_d_tokens('text')}) AS BIGINT) AS tok,
+             {duckdb_h52('text')} AS h
+      FROM documents
+    )
+    SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS n_tokens,
+           CAST(bit_xor(h) AS BIGINT) AS checksum
+    FROM m GROUP BY shard_id
+    """,
+)
+def q_sharded_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-manifest aggregation for the deterministic sharded export
+    (operators/export.sharded_export_manifest): shard = portable 52-bit
+    md5 hash of the doc id mod 16, per-shard doc/token counts and an
+    order-independent bit_xor content fingerprint — every column exact
+    integer, so the manifest (and hence the export audit) is reproducible
+    across engines, retries, and partitionings.  One map-side-combinable
+    aggregation at any corpus size."""
+    from inferdb_spark.operators.export import sharded_export_manifest
+
+    d = load_table(spark, sf_dir, "documents")
+    return sharded_export_manifest(
+        d, id_col="doc_id", text_col="text", n_shards=EXPORT_SHARDS
+    )
+
+
+# ---------------------------------------------------------------------------
+# l-diversity suppression audit (operators/validate.l_diversity_suppress)
+
+LDIV_L = 4
+
+
+@gate(
+    "l_diversity_suppress",
+    oracle=f"""
+    WITH b AS (
+      SELECT c_nationkey,
+             (CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + 100000)
+                 // 200000 AS band,
+             c_mktsegment
+      FROM customer
+    ),
+    g AS (
+      SELECT c_nationkey, band, CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS ndv
+      FROM b GROUP BY c_nationkey, band
+    )
+    SELECT CAST(c_nationkey AS BIGINT) AS nation, CAST(band AS BIGINT) AS band,
+           n, ndv,
+           CAST(CASE WHEN ndv >= {LDIV_L} THEN 1 ELSE 0 END AS INT) AS kept
+    FROM g
+    """,
+)
+def q_l_diversity_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity suppression audit (operators/validate.
+    l_diversity_suppress, l=4 over quasi (nation, acctbal band) with
+    sensitive c_mktsegment): per-group distinct-sensitive counts and the
+    keep decision; the operator itself null-safe-semi-joins qualifying
+    groups back onto the rows (pytest asserts row-level equivalence).
+    The acctbal band shifts cents nonnegative before integer division so
+    truncation == floor on both engines."""
+    from inferdb_spark.operators.validate import l_diversity_suppress
+
+    c = load_table(spark, sf_dir, "customer").withColumn(
+        "band",
+        F.expr(
+            "(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + 100000)"
+            " div 200000"
+        ),
+    )
+    kept = l_diversity_suppress(
+        c, ["c_nationkey", "band"], "c_mktsegment", LDIV_L
+    )
+    g_all = c.groupBy("c_nationkey", "band").agg(
+        F.count("*").cast("long").alias("n"),
+        F.countDistinct("c_mktsegment").cast("long").alias("ndv"),
+    )
+    g_kept = kept.groupBy("c_nationkey", "band").agg(
+        F.count("*").alias("_nk")
+    )
+    return (
+        g_all.join(g_kept, ["c_nationkey", "band"], "left")
+        .select(
+            F.col("c_nationkey").cast("long").alias("nation"),
+            F.col("band").cast("long").alias("band"),
+            "n",
+            "ndv",
+            F.when(F.col("_nk").isNotNull(), 1).otherwise(0).cast("int")
+            .alias("kept"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# cluster-balanced subsampling (operators/similarity.cluster_balanced_sample)
+
+CBS_QUOTA = 40
+
+
+@gate(
+    "cluster_balanced_sample",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    cl AS (SELECT * FROM (VALUES {_SD_CENT_SQL}) AS t(cid, cv)),
+    d AS (
+      SELECT e.vec_id, cl.cid,
+             list_sum(list_transform(generate_series(1, {SD_DIM}),
+                 i -> (cast(e.embedding[i] as double) - cl.cv[i])
+                    * (cast(e.embedding[i] as double) - cl.cv[i]))) AS dsq
+      FROM e CROSS JOIN cl
+    ),
+    m AS (SELECT vec_id, min(dsq) AS md FROM d GROUP BY vec_id),
+    asg AS (
+      SELECT d.vec_id, min(d.cid) AS cluster
+      FROM d JOIN m ON d.vec_id = m.vec_id AND d.dsq = m.md
+      GROUP BY d.vec_id
+    ),
+    rk AS (
+      SELECT vec_id, cluster,
+             row_number() OVER (PARTITION BY cluster ORDER BY
+                 {duckdb_h52("CAST(vec_id AS VARCHAR)")}, vec_id) AS rk
+      FROM asg
+    )
+    SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cluster AS INT) AS cluster,
+           CAST(rk AS BIGINT) AS rk
+    FROM rk WHERE rk <= {CBS_QUOTA}
+    """,
+)
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced subsampling (operators/similarity.
+    cluster_balanced_sample): map-only nearest-literal-centroid assign
+    (lowest-id tiebreak), then a deterministic per-cluster quota of 40 by
+    (h52(id) ASC, id ASC) hash rank — topic-balanced data selection whose
+    membership is a pure function of the id.  One cluster-keyed shuffle;
+    the oracle replays the argmin and the hash rank exactly."""
+    from inferdb_spark.operators.similarity import cluster_balanced_sample
+
+    e = load_table(spark, sf_dir, "embeddings")
+    out = cluster_balanced_sample(
+        e, "embedding", SD_CENTROIDS, CBS_QUOTA, id_col="vec_id"
+    )
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cluster").cast("int").alias("cluster"),
+        "rk",
+    )

@@ -399,10 +399,14 @@ _BI_STRUCTS = (
 )
 
 
-@gate(
-    "trigram_backoff_lm",
-    oracle=f"""
-    WITH tok AS (SELECT doc_id, {_d_tokens('text')} AS t FROM documents),
+def _tri_doc_scores_cte() -> str:
+    """Shared CTE chain ending in docsc(doc_id, n_trigrams, n_l3, n_l2,
+    n_l1, score_unats): the per-doc stupid-backoff trigram scores of the
+    held-out split (doc_id % 10 = 0) under counts from the training
+    split — reused by trigram_backoff_lm and perplexity_bucket_select
+    (gate_curate)."""
+    return f"""
+    tok AS (SELECT doc_id, {_d_tokens('text')} AS t FROM documents),
     trw AS (SELECT t FROM tok WHERE doc_id % 10 != 0),
     tew AS (SELECT doc_id, t FROM tok WHERE doc_id % 10 = 0),
     trp AS (
@@ -445,14 +449,22 @@ _BI_STRUCTS = (
       LEFT JOIN (SELECT w AS u2w, c1 AS c2 FROM uni) u2 ON u2.u2w = tp.w2
       LEFT JOIN (SELECT w AS u3w, c1 AS c3 FROM uni) u3 ON u3.u3w = tp.w3
       CROSS JOIN nv
-    )
-    SELECT CAST(doc_id AS BIGINT) AS doc_id,
-           CAST(count(*) AS BIGINT) AS n_trigrams,
-           CAST(sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_l3,
-           CAST(sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_l2,
-           CAST(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_l1,
-           CAST(sum(lp) AS BIGINT) AS score_unats
-    FROM sc GROUP BY doc_id
+    ),
+    docsc AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(count(*) AS BIGINT) AS n_trigrams,
+             CAST(sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_l3,
+             CAST(sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_l2,
+             CAST(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_l1,
+             CAST(sum(lp) AS BIGINT) AS score_unats
+      FROM sc GROUP BY doc_id
+    )"""
+
+
+@gate(
+    "trigram_backoff_lm",
+    oracle="WITH " + _tri_doc_scores_cte() + """
+    SELECT doc_id, n_trigrams, n_l3, n_l2, n_l1, score_unats FROM docsc
     """,
 )
 def q_trigram_backoff_lm(spark: SparkSession, sf_dir: str) -> DataFrame:

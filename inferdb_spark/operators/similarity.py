@@ -757,3 +757,42 @@ def sq8_topk(
         .orderBy(F.desc("dot_q"), F.asc(id_col))
         .limit(k)
     )
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    quota: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Cluster-balanced (topic-balanced) subsampling: assign every vector
+    to its nearest literal centroid (ivf_assign — a map-only argmin, no
+    join), then keep a deterministic pseudo-random `quota` per cluster by
+    ranking on the portable 52-bit hash of the id (h52 ASC, id ASC).
+    The diversity-preserving alternative to uniform sampling for
+    pretraining subsets (head topics can't crowd out the tail — the
+    balanced-sampling step of DoReMi/Cluster-based curation recipes).
+
+    Scale: one shuffle keyed on cluster id for the per-cluster window;
+    parallelism = n_clusters, so size the centroid count to the cluster
+    (the SemDeDup knob), or pre-shard giant clusters by h52(id) % k with
+    quota/k per shard.  Deterministic: hash-rank is a pure function of
+    the id — identical under retries, partitioning, and engines.
+    Output: (id, cluster, rk) for kept rows.
+    """
+    from pyspark.sql import Window
+
+    from inferdb_spark.functions.hashing import h52
+
+    asg = df.select(
+        F.col(id_col),
+        ivf_assign(F.col(vec_col), centroids).alias("cluster"),
+        h52(F.col(id_col).cast("string")).alias("_h"),
+    )
+    w = Window.partitionBy("cluster").orderBy(F.asc("_h"), F.asc(id_col))
+    return (
+        asg.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= int(quota))
+        .select(id_col, "cluster", F.col("rk").cast("long").alias("rk"))
+    )

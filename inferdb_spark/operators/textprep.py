@@ -1235,3 +1235,40 @@ def stupid_backoff_score(
             F.sum("lp").cast("long").alias("score_unats"),
         )
     )
+
+
+def perplexity_bucket_select(
+    scored: DataFrame,
+    part_col: str = "source",
+    score_col: str = "score_unats",
+    n_col: str = "n_trigrams",
+    id_col: str = "doc_id",
+    n_buckets: int = 3,
+    keep_buckets: tuple[int, ...] = (1,),
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020: split each
+    language/source into head/middle/tail by LM perplexity, keep the
+    head): per-`part_col` ntile over the integer per-position score.
+
+    `scored` is the `stupid_backoff_score` output (or any relation with
+    an integer log-score and a position count).  The ranking key is
+    ppl_q = (-score * 1000) div n — milli-micro-nats per trigram; the
+    negation makes both operands nonnegative so integer division is
+    engine-exact (Spark `div` truncates, DuckDB `//` floors: identical
+    on nonnegatives), and (ppl_q ASC, id ASC) is a total order, so the
+    ntile boundaries replay bit-identically.  Docs with no scored
+    position (n = 0) are dropped (no perplexity is defined).
+
+    Scale: one window per source partition — parallelism = #sources,
+    the temperature_mixing/sequence_packing sharding caveat applies for
+    single giant sources (pre-split by h52(id) % k and rescale quotas).
+    Output adds (ppl_q, bucket, kept).
+    """
+    from pyspark.sql import Window
+
+    ppl = F.expr(f"(-({score_col}) * 1000) div {n_col}").cast("long")
+    out = scored.where(F.col(n_col) >= 1).withColumn("ppl_q", ppl)
+    w = Window.partitionBy(part_col).orderBy(F.asc("ppl_q"), F.asc(id_col))
+    out = out.withColumn("bucket", F.ntile(int(n_buckets)).over(w))
+    keep = F.col("bucket").isin(*[int(b) for b in keep_buckets])
+    return out.withColumn("kept", keep.cast("int"))

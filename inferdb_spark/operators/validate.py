@@ -93,3 +93,33 @@ def k_anonymity_suppress(
         e = F.col(c).eqNullSafe(F.col(f"_g_{c}"))
         cond = e if cond is None else cond & e
     return df.join(g, cond, "left_semi")
+
+
+def l_diversity_suppress(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 3,
+) -> DataFrame:
+    """l-diversity enforcement by suppression (Machanavajjhala et al.
+    2007): drop every row whose quasi-identifier group carries fewer
+    than `l` DISTINCT sensitive values — k-anonymity's complement (a
+    large group whose members all share one sensitive value still leaks
+    it; count-distinct is the fix).  Same shape as k_anonymity_suppress:
+    one groupBy + a null-safe semi join of qualifying groups (NULL quasi
+    values form groups of their own and must compare equal in the join).
+    NULL sensitive values are ignored by count(distinct) on both engines
+    — a group of all-NULL sensitives has diversity 0 and is suppressed.
+    Deterministic: membership depends only on exact distinct counts."""
+    groups = (
+        df.groupBy(*quasi_cols)
+        .agg(F.countDistinct(sensitive_col).alias("_l"))
+        .where(F.col("_l") >= int(l))
+        .drop("_l")
+    )
+    g = groups.select(*[F.col(c).alias(f"_g_{c}") for c in quasi_cols])
+    cond = None
+    for c in quasi_cols:
+        e = F.col(c).eqNullSafe(F.col(f"_g_{c}"))
+        cond = e if cond is None else cond & e
+    return df.join(g, cond, "left_semi")

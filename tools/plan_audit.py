@@ -236,6 +236,24 @@ def main() -> int:
          and "BroadcastNestedLoopJoin" not in p),
         ("no Python nodes", lambda p: "Python" not in p),
     ])
+    audit("sharded_export_manifest", [
+        ("single map-side-combinable aggregation (one Exchange), no joins",
+         lambda p: p.count("Exchange") <= 1 and "Join" not in p
+         and "HashAggregate" in p),
+        ("no Python nodes", lambda p: "Python" not in p),
+    ])
+    audit("cluster_balanced_sample", [
+        ("centroid assign is a join-free projection (only the window "
+         "shuffles)", lambda p: "Join" not in p and "CartesianProduct" not in p),
+        ("no Python nodes (argmin over literal centroids is a codegen fold)",
+         lambda p: "Python" not in p),
+    ])
+    audit("perplexity_bucket_select", [
+        ("no cartesian / nested-loop (scoring joins are word-key equi "
+         "joins)", lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("no Python nodes", lambda p: "Python" not in p),
+    ])
     audit("wordpiece_segment_apply", [
         ("greedy longest-match fold is pure codegen (no Python nodes)",
          lambda p: "Python" not in p),
