@@ -266,6 +266,7 @@ def main() -> None:
         "sq8_quantized_topk",
         "perplexity_bucket_select",
         "cluster_balanced_sample",
+        "asof_attribution",
     ]:
         if name in gq:
             fn = gq[name]

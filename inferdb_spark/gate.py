@@ -121,7 +121,7 @@ _PRIORITY: list[str] = [
     "trigram_backoff_lm", "sq8_quantized_topk", "unigram_fit_replay",
     "wordpiece_fit_merges", "wordpiece_segment_apply",
     "perplexity_bucket_select", "sharded_export_manifest",
-    "l_diversity_suppress", "cluster_balanced_sample",
+    "l_diversity_suppress", "cluster_balanced_sample", "asof_attribution",
 ]
 
 

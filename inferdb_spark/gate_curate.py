@@ -242,3 +242,86 @@ def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster").cast("int").alias("cluster"),
         "rk",
     )
+
+
+# ---------------------------------------------------------------------------
+# as-of join (operators/asof.py): purchase <- latest preceding click per user
+
+
+@gate(
+    "asof_attribution",
+    oracle="""
+    WITH l AS (
+      SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+      WHERE event_type = 'purchase'
+    ),
+    r AS (
+      SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+      WHERE event_type = 'click'
+    ),
+    u AS (
+      SELECT user_id, t, 0 AS side, event_id AS seq,
+             CAST(NULL AS BIGINT) AS l_id, event_id AS r_id, t AS r_t
+      FROM r
+      UNION ALL
+      SELECT user_id, t, 1 AS side, 0 AS seq, event_id,
+             CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+      FROM l
+    ),
+    m AS (
+      SELECT user_id, t, side, l_id,
+             last_value(r_id IGNORE NULLS) OVER w AS click_id,
+             last_value(r_t IGNORE NULLS) OVER w AS click_us
+      FROM u
+      WINDOW w AS (PARTITION BY user_id ORDER BY t, side, seq
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(l_id AS BIGINT) AS event_id,
+           CAST(user_id AS BIGINT) AS user_id,
+           CAST(t AS BIGINT) AS purchase_us,
+           CAST(click_id AS BIGINT) AS click_id,
+           CAST(click_us AS BIGINT) AS click_us,
+           CAST(t - click_us AS BIGINT) AS lag_us
+    FROM m WHERE side = 1
+    """,
+)
+def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/relational_ext.asof_join): every purchase
+    matched to the latest preceding-or-simultaneous click by the same
+    user — attribution / point-in-time-correct feature lookup.  Union +
+    ordered-window algorithm: ONE shuffle on user_id, O(n log n) per
+    partition, no range-join pair explosion; the matched row is an
+    atomic payload struct and ties among equal click timestamps break on
+    event_id (greatest wins — right_seq_col).  Unlike asof_join_rates
+    (whose oracle is DuckDB's native ASOF), this oracle replays the
+    identical union/window/frame, pinning duplicate-timestamp ties
+    native ASOF leaves unspecified.  Times are exact integer
+    epoch-micros on both engines."""
+    from inferdb_spark.operators.relational_ext import asof_join
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "t_us", F.unix_micros(F.col("ts"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "t_us"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_event"), "user_id", "t_us"
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="t_us",
+        right_ts="t_us",
+        right_values=["click_event"],
+        right_seq_col="click_event",
+    )
+    return out.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("t_us").cast("long").alias("purchase_us"),
+        F.col("click_event_asof").cast("long").alias("click_id"),
+        F.col("t_us_asof").cast("long").alias("click_us"),
+        (F.col("t_us") - F.col("t_us_asof")).cast("long").alias("lag_us"),
+    )

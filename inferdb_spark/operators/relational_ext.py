@@ -18,46 +18,77 @@ def asof_join(
     right_ts: str,
     right_values: list[str],
     suffix: str = "_asof",
+    right_seq_col: str | None = None,
+    tolerance=None,
 ) -> DataFrame:
     """As-of join: for each left row, the most recent right row with
     right_ts <= left_ts on matching keys (LEFT semantics: no match → NULL).
+    Output: every left column, plus `{v}{suffix}` per right value and
+    `{right_ts}{suffix}` (the matched right timestamp).
 
     Spark has no native as-of join.  The scalable construction (NOT
     per-group pandas merge_asof): tag and union both sides, then one
-    window pass per key ordered by (ts, side) carries the last non-null
-    right value forward — right rows sort before left rows at equal
-    timestamps, giving inclusive `<=` semantics.  One shuffle on the key,
-    linear in |L|+|R|, no row explosion — survives arbitrarily large
-    sides where a range cross-join would not.
+    window pass per key ordered by (ts, side, seq) carries the last
+    non-null right PAYLOAD STRUCT forward — right rows sort before left
+    rows at equal timestamps, giving inclusive `<=` semantics, and the
+    single struct makes the matched row atomic (per-column fills could
+    mix rows under duplicate right timestamps).  `right_seq_col` pins
+    the winner among equal right timestamps (greatest wins — the
+    latest-written record); `tolerance` (same unit as the ts columns —
+    pass integer epochs) nulls matches older than left_ts - tolerance
+    (pandas merge_asof semantics).  One shuffle on the key, linear in
+    |L|+|R|, no row explosion — survives arbitrarily large sides where
+    a range cross-join would not.
     """
     lcols = [c for c in left.columns]
+    seq = F.col(right_seq_col) if right_seq_col else F.lit(0)
+    pay = F.struct(
+        *[F.col(v).alias(v) for v in right_values],
+        F.col(right_ts).alias("_rt"),
+    )
+    r_tagged = right.select(
+        *[F.col(k) for k in on],
+        F.col(right_ts).alias("_asof_t"),
+        F.lit(0).alias("_asof_side"),
+        seq.cast("long").alias("_asof_seq"),
+        pay.alias("_asof_p"),
+    )
+    pay_type = r_tagged.schema["_asof_p"].dataType
     l_tagged = left.select(
         *lcols,
         F.col(left_ts).alias("_asof_t"),
         F.lit(1).alias("_asof_side"),
-        *[F.lit(None).cast(right.schema[v].dataType).alias(f"_r_{v}") for v in right_values],
+        F.lit(0).cast("long").alias("_asof_seq"),
+        F.lit(None).cast(pay_type).alias("_asof_p"),
     )
-    r_tagged = right.select(
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in on],
-        *[F.col(k) for k in on],
-        F.col(right_ts).alias("_asof_t"),
-        F.lit(0).alias("_asof_side"),
-        *[F.col(v).alias(f"_r_{v}") for v in right_values],
-    )
+    for c in lcols:
+        if c not in r_tagged.columns:
+            r_tagged = r_tagged.withColumn(
+                c, F.lit(None).cast(left.schema[c].dataType)
+            )
     u = l_tagged.unionByName(r_tagged.select(*l_tagged.columns))
     w = (
         W.partitionBy(*on)
-        .orderBy(F.col("_asof_t").asc(), F.col("_asof_side").asc())
+        .orderBy(
+            F.col("_asof_t").asc(),
+            F.col("_asof_side").asc(),
+            F.col("_asof_seq").asc(),
+        )
         .rowsBetween(W.unboundedPreceding, 0)
     )
-    filled = u.withColumns(
-        {
-            f"{v}{suffix}": F.last(F.col(f"_r_{v}"), ignorenulls=True).over(w)
-            for v in right_values
-        }
-    )
-    return filled.filter(F.col("_asof_side") == 1).drop(
-        "_asof_t", "_asof_side", *[f"_r_{v}" for v in right_values]
+    out = u.withColumn(
+        "_asof_m", F.last("_asof_p", ignorenulls=True).over(w)
+    ).filter(F.col("_asof_side") == 1)
+    m: Column = F.col("_asof_m")
+    if tolerance is not None:
+        within = m.isNotNull() & (
+            (F.col(left_ts) - m["_rt"]) <= F.lit(tolerance)
+        )
+        m = F.when(within, F.col("_asof_m"))
+    return out.select(
+        *[F.col(c) for c in lcols],
+        *[m[v].alias(f"{v}{suffix}") for v in right_values],
+        m["_rt"].alias(f"{right_ts}{suffix}"),
     )
 
 

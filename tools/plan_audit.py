@@ -254,6 +254,12 @@ def main() -> int:
          and "BroadcastNestedLoopJoin" not in p),
         ("no Python nodes", lambda p: "Python" not in p),
     ])
+    audit("asof_attribution", [
+        ("union+window as-of: NO join operator at all (no range-join "
+         "pair explosion)", lambda p: "Join" not in p
+         and "CartesianProduct" not in p),
+        ("no Python nodes", lambda p: "Python" not in p),
+    ])
     audit("wordpiece_segment_apply", [
         ("greedy longest-match fold is pure codegen (no Python nodes)",
          lambda p: "Python" not in p),
