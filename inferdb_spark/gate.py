@@ -122,6 +122,7 @@ _PRIORITY: list[str] = [
     "wordpiece_fit_merges", "wordpiece_segment_apply",
     "perplexity_bucket_select", "sharded_export_manifest",
     "l_diversity_suppress", "cluster_balanced_sample", "asof_attribution",
+    "stream_dedup_exact",
 ]
 
 

@@ -203,3 +203,55 @@ def q_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_sessions"),
         F.sum("n").cast("long").alias("n_events"),
     )
+
+
+@gate(
+    "stream_dedup_exact",
+    oracle="""
+    SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+           CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_bucket
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup run as a REAL streaming query
+    (streaming.dedup_stream, bounded_state=False — the finite-backfill
+    path): readStream -> dropDuplicates on (user_id, event_type, day) ->
+    memory sink, run to completion; the emitted KEY SET must equal batch
+    DISTINCT no matter how files/triggers interleave (the survivor row's
+    other columns are first-seen and arrival-dependent, so only keys are
+    compared — the deterministic part of the contract).  The production
+    bounded-state variant (dropDuplicatesWithinWatermark) shares the
+    code path and is pytest-covered."""
+    from inferdb_spark.streaming.scoring_stream import dedup_stream
+
+    global _counter
+    _counter += 1
+    name = f"gate_stream_dedup_{_counter}"
+    stage, schema = _stage_events(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    keyed = stream.withColumn(
+        "day_bucket", F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    )
+    dd = dedup_stream(
+        keyed, ["user_id", "event_type", "day_bucket"], bounded_state=False
+    )
+    q = (
+        dd.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql(f"select * from {name}")
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "event_type",
+        F.col("day_bucket"),
+    )

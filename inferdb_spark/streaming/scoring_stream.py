@@ -99,14 +99,26 @@ def dedup_stream(
     id_cols: list[str],
     ts_col: str = "ts",
     watermark: str = "10 minutes",
+    bounded_state: bool = True,
 ) -> DataFrame:
-    """Streaming exact deduplication: dropDuplicatesWithinWatermark keeps
+    """Streaming exact deduplication.  With `bounded_state` (the
+    always-on production path), dropDuplicatesWithinWatermark keeps
     state only for ids seen inside the watermark horizon, so state is
-    BOUNDED — the requirement for an always-on ingest dedup at 100 TB/day
-    (plain dropDuplicates on a stream retains all keys forever)."""
-    return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
-        id_cols
-    )
+    BOUNDED — the requirement for an ingest dedup at 100 TB/day; ids
+    recurring further apart than the horizon re-emit (by design — the
+    horizon is the dedup contract).  `bounded_state=False` uses plain
+    dropDuplicates: exact GLOBAL key dedup with state that grows with
+    |distinct keys| — correct for finite backfills and replays, where
+    run-to-completion output must equal batch DISTINCT regardless of
+    file/trigger arrival order (the gate checks exactly that contract;
+    the surviving row's non-key columns are first-seen and therefore
+    arrival-order-dependent — consumers needing a deterministic survivor
+    should pick it with an explicit argmin downstream)."""
+    if bounded_state:
+        return stream_df.withWatermark(
+            ts_col, watermark
+        ).dropDuplicatesWithinWatermark(id_cols)
+    return stream_df.dropDuplicates(id_cols)
 
 
 def stream_stream_join(
