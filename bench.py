@@ -267,6 +267,7 @@ def main() -> None:
         "perplexity_bucket_select",
         "cluster_balanced_sample",
         "asof_attribution",
+        "split_leakage_audit",
     ]:
         if name in gq:
             fn = gq[name]

@@ -122,7 +122,7 @@ _PRIORITY: list[str] = [
     "wordpiece_fit_merges", "wordpiece_segment_apply",
     "perplexity_bucket_select", "sharded_export_manifest",
     "l_diversity_suppress", "cluster_balanced_sample", "asof_attribution",
-    "stream_dedup_exact",
+    "stream_dedup_exact", "tokenizer_fertility", "split_leakage_audit",
 ]
 
 

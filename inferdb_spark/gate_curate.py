@@ -325,3 +325,137 @@ def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t_us_asof").cast("long").alias("click_us"),
         (F.col("t_us") - F.col("t_us_asof")).cast("long").alias("lag_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# tokenizer fertility eval: per-source tokens-per-word with a fitted BPE
+# merge list applied map-only (operators/bpe_train.bpe_apply)
+
+FERT_MERGES: list[tuple[str, str]] = [
+    ("t", "h"), ("th", "e"), ("e", "r"), ("o", "r"), ("a", "n"), ("i", "n"),
+]
+
+
+def _fert_chain_sql() -> str:
+    seq = "'|' || array_to_string(regexp_extract_all(word, '.'), '||') || '|'"
+    for a, b in FERT_MERGES:
+        seq = f"replace({seq}, '|{a}||{b}|', '|{a}{b}|')"
+    return seq
+
+
+@gate(
+    "tokenizer_fertility",
+    oracle=f"""
+    WITH w AS (
+      SELECT source, t AS word, CAST(count(*) AS BIGINT) AS cnt FROM (
+        SELECT source, unnest({_d_tokens('text')}) AS t FROM documents)
+      GROUP BY source, t
+    ),
+    seg AS (
+      SELECT source, cnt,
+             CAST(length(string_split(trim({_fert_chain_sql()}, '|'), '||'))
+                  AS BIGINT) AS np
+      FROM w
+    )
+    SELECT source,
+           CAST(sum(cnt) AS BIGINT) AS n_words,
+           CAST(sum(cnt * np) AS BIGINT) AS n_pieces,
+           CAST((1000 * sum(cnt * np)) // sum(cnt) AS BIGINT)
+               AS fertility_milli
+    FROM seg GROUP BY source
+    """,
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (pieces per word — the standard tokenizer-
+    quality metric) per source, with a fixed BPE merge list applied via
+    operators/bpe_train.bpe_apply over the DISTINCT-WORD relation
+    weighted by occurrence counts — the corpus is scanned once for the
+    word counts and the segmentation cost is vocabulary-sized, so the
+    eval is corpus-size-independent after one aggregation.  Exact
+    integers end to end (milli-fertility by nonneg integer division)."""
+    from inferdb_spark.functions.text import tokens as _tokens
+    from inferdb_spark.operators.bpe_train import bpe_apply
+
+    d = load_table(spark, sf_dir, "documents")
+    w = (
+        d.select("source", F.explode(_tokens(F.col("text"))).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    seg = w.select(
+        "source",
+        "cnt",
+        F.size(bpe_apply(F.col("word"), FERT_MERGES)).cast("long").alias("np"),
+    )
+    return seg.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("n_words"),
+        F.sum(F.col("cnt") * F.col("np")).cast("long").alias("n_pieces"),
+        F.expr("CAST((1000 * sum(cnt * np)) div sum(cnt) AS BIGINT)").alias(
+            "fertility_milli"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# train/test split-leakage audit (operators/dedup.split_leakage_audit):
+# MinHash band collisions BETWEEN deterministic hash splits
+
+from inferdb_spark.gate_prep import (  # noqa: E402
+    _D_CORPUS,
+    _band_rows,
+    _sig_exprs,
+    _spark_corpus,
+    _d_shingle_hashes,
+)
+
+SPLK_MOD = 10
+
+
+@gate(
+    "split_leakage_audit",
+    oracle=f"""
+    WITH {_D_CORPUS},
+    hashed AS (
+      SELECT doc_id, {_d_shingle_hashes('text', 4)} AS hs FROM corpus
+    ),
+    sig AS (SELECT doc_id, {_sig_exprs} FROM hashed),
+    bands AS ({_band_rows}),
+    sb AS (
+      SELECT doc_id, band_id, band_key,
+             CASE WHEN {duckdb_h52("CAST(doc_id AS VARCHAR)")} % {SPLK_MOD}
+                  = 0 THEN 1 ELSE 0 END AS _test
+      FROM bands
+    ),
+    cands AS (
+      SELECT DISTINCT t.doc_id AS test_id, r.doc_id AS train_id
+      FROM sb t JOIN sb r
+        ON t.band_id = r.band_id AND t.band_key = r.band_key
+       AND t._test = 1 AND r._test = 0
+    )
+    SELECT CAST(test_id AS BIGINT) AS test_id,
+           CAST(count(*) AS BIGINT) AS n_train_cands,
+           CAST(min(train_id) AS BIGINT) AS min_train_id
+    FROM cands GROUP BY test_id
+    """,
+)
+def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test split-leakage audit (operators/dedup.
+    split_leakage_audit; Lee et al. 2022's cross-split contamination
+    concern): deterministic h52(id) % 10 hash split, then MinHash
+    band-bucket collisions BETWEEN splits flag candidate leaks — the
+    LSH dedup machinery re-pointed across the split boundary, so the
+    join shuffles only (band, key, id) triples, never all pairs.  The
+    corpus carries gate_prep's injected near-duplicates, whose clones
+    hash into different splits and MUST be flagged."""
+    from inferdb_spark.operators.dedup import split_leakage_audit
+
+    corpus = _spark_corpus(spark, sf_dir)
+    return split_leakage_audit(
+        corpus, "doc_id", "text",
+        n_hashes=16, bands=4, shingle_n=4, mode="char", seed=42,
+        test_mod=SPLK_MOD,
+    ).select(
+        F.col("test_id").cast("long").alias("test_id"),
+        "n_train_cands",
+        "min_train_id",
+    )

@@ -429,3 +429,54 @@ def prefix_filter_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def split_leakage_audit(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 4,
+    mode: str = "char",
+    seed: int = 42,
+    hash_fn: str = "md5",
+    test_mod: int = 10,
+) -> DataFrame:
+    """Train/test split-leakage audit (the Lee et al. 2022 / GPT-3 app.
+    concern: near-duplicates of eval/test docs inside the training
+    split silently inflate scores).  Split assignment is the
+    deterministic h52(id) % test_mod == 0 hash split; candidates are
+    MinHash band-bucket collisions BETWEEN splits (the exact machinery of
+    minhash_lsh_pairs, so no all-pairs join — the band join only
+    shuffles (band, key, id) triples).  Returns one row per test doc
+    with at least one train-side candidate: (test_id, n_train_cands,
+    min_train_id) — feed flagged pairs to ngram_jaccard for exact
+    verification, then excise or re-split.  Scales like the LSH dedup:
+    corpus-linear."""
+    from inferdb_spark.functions.hashing import h52
+
+    b = lsh_band_relation(
+        df, id_col, text_col, n_hashes, bands, shingle_n, mode, seed, hash_fn
+    ).withColumn(
+        "_test",
+        (h52(F.col(id_col).cast("string")) % test_mod == 0).cast("int"),
+    )
+    test = b.where(F.col("_test") == 1).select(
+        F.col(id_col).alias("test_id"), "band_id", "band_key"
+    )
+    train = b.where(F.col("_test") == 0).select(
+        F.col(id_col).alias("train_id"), "band_id", "band_key"
+    )
+    # countDistinct folds the pair dedup into the final aggregate — one
+    # shuffle on test_id instead of distinct-pairs + regroup (the raw
+    # band join emits a (test, train) row per shared band; dense
+    # near-dup corpora make that multiplicity large, so not
+    # materializing the distinct pair relation matters)
+    cands = test.join(train, ["band_id", "band_key"]).select(
+        "test_id", "train_id"
+    )
+    return cands.groupBy("test_id").agg(
+        F.countDistinct("train_id").cast("long").alias("n_train_cands"),
+        F.min("train_id").cast("long").alias("min_train_id"),
+    )

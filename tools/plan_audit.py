@@ -254,6 +254,19 @@ def main() -> int:
          and "BroadcastNestedLoopJoin" not in p),
         ("no Python nodes", lambda p: "Python" not in p),
     ])
+    audit("split_leakage_audit", [
+        ("cross-split candidates via band-key equi join (no cartesian, "
+         "no nested loop)", lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("no Python nodes (minhash fold is codegen)",
+         lambda p: "Python" not in p),
+    ])
+    audit("tokenizer_fertility", [
+        ("segmentation over the distinct-word relation, no joins",
+         lambda p: "Join" not in p),
+        ("no Python nodes (replace chain is codegen)",
+         lambda p: "Python" not in p),
+    ])
     audit("asof_attribution", [
         ("union+window as-of: NO join operator at all (no range-join "
          "pair explosion)", lambda p: "Join" not in p
