@@ -268,6 +268,8 @@ def main() -> None:
         "cluster_balanced_sample",
         "asof_attribution",
         "split_leakage_audit",
+        "char_entropy_quality",
+        "ngram_novelty",
     ]:
         if name in gq:
             fn = gq[name]

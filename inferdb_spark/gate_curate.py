@@ -459,3 +459,107 @@ def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_train_cands",
         "min_train_id",
     )
+
+
+# ---------------------------------------------------------------------------
+# character-entropy quality signal (operators/textprep.char_entropy)
+
+from inferdb_spark.gate_prep import _D_NORM  # noqa: E402
+
+
+@gate(
+    "char_entropy_quality",
+    oracle=f"""
+    WITH nt AS (
+      SELECT doc_id, {_D_NORM.format(c='text')} AS t FROM documents
+    ),
+    ch AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, length(t)),
+                 i -> substring(t, i, 1))) AS ch
+      FROM nt WHERE length(t) >= 1
+    ),
+    cnt AS (
+      SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+      FROM ch GROUP BY doc_id, ch
+    ),
+    per AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(sum(CAST(round(c * ln(CAST(c AS DOUBLE)) * 1000000)
+                           AS BIGINT)) AS BIGINT) AS sq
+      FROM cnt GROUP BY doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, n_chars, n_distinct,
+           CAST(CAST(round(ln(CAST(n_chars AS DOUBLE)) * 1000000) AS BIGINT)
+                - (sq // n_chars) AS BIGINT) AS entropy_micro
+    FROM per
+    """,
+)
+def q_char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution entropy per document (operators/textprep.
+    char_entropy) — the language-agnostic gibberish/template-spam signal.
+    Each transcendental term is quantized to BIGINT micro-nats BEFORE
+    aggregation (order-independent exact integer sums — the gbt_train
+    rule), the final division is nonneg-integer, so the signal replays
+    bit-identically across engines, partitions, and retries."""
+    from inferdb_spark.operators.textprep import char_entropy
+
+    d = load_table(spark, sf_dir, "documents")
+    out = char_entropy(d, "doc_id", "text")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_chars",
+        "n_distinct",
+        F.col("entropy_micro").cast("long").alias("entropy_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-document n-gram novelty (operators/textprep.ngram_novelty)
+
+NOV_N = 8
+
+
+@gate(
+    "ngram_novelty",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_d_tokens('text')} AS t FROM documents),
+    post AS (
+      SELECT DISTINCT doc_id, gh FROM (
+        SELECT doc_id, {duckdb_h52('g')} AS gh FROM (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   range(1, greatest(length(t) - {NOV_N - 2}, 1)),
+                   i -> array_to_string(t[i:i+{NOV_N - 1}], ' '))) AS g
+          FROM tok)
+      )
+    ),
+    dfre AS (SELECT gh, CAST(count(*) AS BIGINT) AS dfr FROM post GROUP BY gh)
+    SELECT CAST(p.doc_id AS BIGINT) AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN d.dfr >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared,
+           CAST((1000 * (count(*) - sum(CASE WHEN d.dfr >= 2 THEN 1 ELSE 0
+                END))) // count(*) AS BIGINT) AS novelty_milli
+    FROM post p JOIN dfre d USING (gh)
+    GROUP BY p.doc_id
+    """,
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document word 8-gram novelty (operators/textprep.
+    ngram_novelty; the Lee et al. 2022 memorization-risk metric):
+    fraction of a doc's n-grams occurring in at least one OTHER doc.
+    Posting relation of 8-byte gram hashes -> one document-frequency
+    groupBy -> hash join back -> per-doc aggregation; exact integers
+    (novelty in milli-units via nonneg integer division)."""
+    from inferdb_spark.operators.textprep import ngram_novelty
+
+    d = load_table(spark, sf_dir, "documents")
+    out = ngram_novelty(d, "doc_id", "text", n=NOV_N)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_grams",
+        "n_shared",
+        "novelty_milli",
+    )

@@ -1272,3 +1272,101 @@ def perplexity_bucket_select(
     out = out.withColumn("bucket", F.ntile(int(n_buckets)).over(w))
     keep = F.col("bucket").isin(*[int(b) for b in keep_buckets])
     return out.withColumn("kept", keep.cast("int"))
+
+
+def char_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document character-distribution entropy — the cheap
+    language-agnostic gibberish/boilerplate signal (low entropy = runs of
+    one symbol / template spam; used alongside the Gopher rules).
+    Output: (id, n_chars, n_distinct, entropy_micro) where entropy is in
+    integer micro-nats, computed ORDER-INDEPENDENTLY:
+
+      H = ln n - (1/n) * sum_c c_i ln c_i
+
+    with each transcendental term quantized to BIGINT micro-nats BEFORE
+    the sum (round(c_i * ln(c_i) * 1e6)), so the aggregation is an exact
+    integer sum — partition order, retries, and engines all agree; the
+    final division is integer (nonnegative operands).  Two shuffles
+    ((doc, char) counts, then per-doc agg); at 100 TB the first groupBy
+    map-side-combines to ~37 rows per doc per partition."""
+    from inferdb_spark.functions.text import bind_once, normalize
+
+    # bind the normalized text once — referencing it inside the
+    # per-character lambda would re-run the two regex passes per char.
+    # The length guard matters: F.sequence(1, 0) DESCENDS ([1, 0]) rather
+    # than yielding empty, so an empty normalized doc would emit two
+    # phantom '' characters without it.
+    ch_arr = bind_once(
+        normalize(F.col(text_col)),
+        lambda nt: F.when(
+            F.length(nt) >= 1,
+            F.transform(
+                F.sequence(F.lit(1), F.length(nt)),
+                lambda i: nt.substr(i, F.lit(1)),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    chars = df.select(F.col(id_col), F.explode(ch_arr).alias("_ch"))
+    cnt = chars.groupBy(id_col, "_ch").agg(
+        F.count("*").cast("long").alias("_c")
+    )
+    term = F.round(
+        F.col("_c").cast("double") * F.log(F.col("_c").cast("double")) * 1e6
+    ).cast("long")
+    per = cnt.groupBy(id_col).agg(
+        F.sum("_c").cast("long").alias("n_chars"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.sum(term).cast("long").alias("_sq"),
+    )
+    return per.select(
+        id_col,
+        "n_chars",
+        "n_distinct",
+        (
+            F.round(F.log(F.col("n_chars").cast("double")) * 1e6).cast("long")
+            - F.expr("_sq div n_chars")
+        ).alias("entropy_micro"),
+    )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Per-document n-gram novelty — the memorization-risk / boilerplate
+    metric of Lee et al. 2022's duplication analyses: what fraction of a
+    document's word n-grams also occur in at least one OTHER document.
+    Output: (id, n_grams, n_shared, novelty_milli) with novelty_milli =
+    (1000 * (n_grams - n_shared)) div n_grams in [0, 1000]; docs with
+    fewer than n tokens are absent (no n-gram is defined).
+
+    Relational shape: the distinct posting relation (ngram_hash_postings
+    — 8-byte gram hashes), ONE groupBy for per-gram document frequency,
+    a hash join back on the gram hash, one per-doc aggregation.  Exact
+    integers end to end.  At 100 TB this is the substring_dedup shuffle
+    profile (corpus-linear, keyed on gram hash; stop-gram skew handled
+    by AQE like the LM count joins)."""
+    p = ngram_hash_postings(df, id_col, text_col, n)
+    dfreq = p.groupBy("gh").agg(F.count("*").cast("long").alias("_df"))
+    joined = p.join(dfreq, "gh")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum((F.col("_df") >= 2).cast("long")).cast("long").alias("n_shared"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_shared",
+            F.expr("(1000 * (n_grams - n_shared)) div n_grams")
+            .cast("long")
+            .alias("novelty_milli"),
+        )
+    )

@@ -127,3 +127,37 @@ def test_cluster_balanced_sample_quota_and_determinism(spark):
     # deterministic across reruns
     again = cluster_balanced_sample(df, "embedding", cents, quota=4).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_char_entropy_ordering_and_twin(spark):
+    import math
+
+    from inferdb_spark.operators.textprep import char_entropy
+
+    docs = [
+        (1, "abcdefgh"),          # 8 distinct chars: max entropy
+        (2, "aabbaabb"),          # 2 symbols
+        (3, "aaaaaaaa"),          # constant: ~0
+        (4, "  "),                # normalizes to empty: dropped
+    ]
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+    got = {r["doc_id"]: r for r in char_entropy(df).collect()}
+    assert 4 not in got
+    assert (
+        got[1]["entropy_micro"] > got[2]["entropy_micro"] > got[3]["entropy_micro"]
+    )
+    assert got[3]["entropy_micro"] in (0, 1)  # integer-division residue
+
+    def twin(text):
+        from collections import Counter
+
+        half_up = lambda x: math.floor(x + 0.5)  # HALF_UP like F.round
+        c = Counter(text)
+        n = sum(c.values())
+        sq = sum(half_up(k * math.log(k) * 1e6) for k in c.values())
+        return (n, len(c), half_up(math.log(n) * 1e6) - sq // n)
+
+    for doc_id, text in docs[:3]:
+        n, nd, e = twin(text)
+        r = got[doc_id]
+        assert (r["n_chars"], r["n_distinct"], r["entropy_micro"]) == (n, nd, e)
