@@ -270,6 +270,7 @@ def main() -> None:
         "split_leakage_audit",
         "char_entropy_quality",
         "ngram_novelty",
+        "e2e_curation_pipeline",
     ]:
         if name in gq:
             fn = gq[name]

@@ -563,3 +563,115 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_shared",
         "novelty_milli",
     )
+
+
+# ---------------------------------------------------------------------------
+# END-TO-END curation pipeline: quality filter -> exact dedup ->
+# decontamination -> per-source token budget, ONE oracle for the whole chain
+
+E2E_MIN_TOKENS = 20
+E2E_DECON_N = 5
+E2E_DECON_SHARED = 3
+E2E_BUDGET = 2000
+
+
+@gate(
+    "e2e_curation_pipeline",
+    oracle=f"""
+    WITH corpus AS (SELECT * FROM documents WHERE doc_id % 50 != 0),
+    ev AS (SELECT doc_id AS eval_id, text FROM documents
+           WHERE doc_id % 50 = 0),
+    s1 AS (
+      SELECT * FROM corpus
+      WHERE length(string_split(text, ' ')) >= {E2E_MIN_TOKENS}
+    ),
+    keep2 AS (SELECT min(doc_id) AS doc_id FROM s1 GROUP BY md5(text)),
+    s2 AS (SELECT s1.* FROM s1 JOIN keep2 USING (doc_id)),
+    cg AS (
+      SELECT DISTINCT doc_id, gh FROM (
+        SELECT doc_id, {duckdb_h52('g')} AS gh FROM (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   range(1, greatest(length(t) - {E2E_DECON_N - 2}, 1)),
+                   i -> array_to_string(t[i:i+{E2E_DECON_N - 1}], ' '))) AS g
+          FROM (SELECT doc_id, {_d_tokens('text')} AS t FROM s2))
+      )
+    ),
+    eg AS (
+      SELECT DISTINCT eval_id, gh FROM (
+        SELECT eval_id, {duckdb_h52('g')} AS gh FROM (
+          SELECT eval_id,
+                 unnest(list_transform(
+                   range(1, greatest(length(t) - {E2E_DECON_N - 2}, 1)),
+                   i -> array_to_string(t[i:i+{E2E_DECON_N - 1}], ' '))) AS g
+          FROM (SELECT eval_id, {_d_tokens('text')} AS t FROM ev))
+      )
+    ),
+    hits AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT cg.doc_id, eg.eval_id, count(*) AS n_shared
+        FROM cg JOIN eg USING (gh)
+        GROUP BY cg.doc_id, eg.eval_id
+        HAVING count(*) >= {E2E_DECON_SHARED})
+    ),
+    s3 AS (
+      SELECT s2.* FROM s2 LEFT JOIN hits ON s2.doc_id = hits.doc_id
+      WHERE hits.doc_id IS NULL
+    ),
+    t AS (
+      SELECT doc_id, source,
+             CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM s3
+    ),
+    r AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(sum(n_tokens) OVER (
+                 PARTITION BY source
+                 ORDER BY n_tokens DESC, doc_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens
+      FROM t
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source, n_tokens, cum_tokens
+    FROM r WHERE cum_tokens <= {E2E_BUDGET}
+    """,
+)
+def q_e2e_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus curation as ONE hash-checked relation: quality
+    length filter (>= 20 whitespace tokens) -> exact dedup (lowest-id
+    per md5, operators/dedup.exact_dedup) -> eval-suite decontamination
+    (drop corpus docs sharing >= 3 word-5-grams with the held-out
+    doc_id % 50 = 0 suite, operators/textprep.decontaminate) ->
+    per-source 2000-token budget (operators/textprep.
+    token_budget_per_source).  Four real operators chained exactly as a
+    corpus build runs them; the oracle replays the whole chain, so
+    STAGE COMPOSITION (not just each operator alone) is cross-engine
+    verified.  Plan: each stage's shuffles only — no driver traffic,
+    no recomputation (lazy chaining lets Catalyst pipeline the
+    projections between shuffles)."""
+    from inferdb_spark.operators.dedup import exact_dedup
+    from inferdb_spark.operators.textprep import (
+        decontaminate,
+        token_budget_per_source,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    evald = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    s1 = corpus.where(
+        F.size(F.split(F.col("text"), " ")) >= E2E_MIN_TOKENS
+    )
+    s2 = exact_dedup(s1, ["text"], "doc_id")
+    s3 = decontaminate(
+        s2, evald, n=E2E_DECON_N, min_shared=E2E_DECON_SHARED,
+        corpus_id="doc_id", text_col="text",
+    )
+    out = token_budget_per_source(s3, E2E_BUDGET)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        "n_tokens",
+        "cum_tokens",
+    )

@@ -267,6 +267,12 @@ def main() -> int:
         ("no Python nodes (replace chain is codegen)",
          lambda p: "Python" not in p),
     ])
+    audit("e2e_curation_pipeline", [
+        ("4-stage chain has no cartesian / nested-loop anywhere",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("no Python nodes end to end", lambda p: "Python" not in p),
+    ])
     audit("asof_attribution", [
         ("union+window as-of: NO join operator at all (no range-join "
          "pair explosion)", lambda p: "Join" not in p
