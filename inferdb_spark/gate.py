@@ -84,9 +84,10 @@ def _ensure_registered() -> None:
 # classics (chi2, winsorized mean, kmeans step, linreg, naive bayes, tree
 # scoring), grouping-sets/OLAP, CDC, and sketch-algebra gates.  The first
 # 50 fill this window; the last two (chi2_independence, winsorized_mean)
-# plus the round-4 additions (hard_negative_mining_ivf, substring_dedup,
-# unigram_segment_apply, unigram_em_round — judge-run verify covers them
-# this round) lead the round-5 rotation.
+# plus ALL round-4 additions (the tokenizer-trainer triad, curation/
+# release gates, as-of attribution, streaming dedup, the e2e pipeline —
+# every one green in this round's judge-run verify at sf0.001/0.01/sf1)
+# lead the round-5 rotation, in the order listed after the boundary.
 _PRIORITY: list[str] = [
     # never driver-checked: OLAP / relational-algebra shapes
     "rollup_revenue", "intersect_except", "range_join_bands", "cube_volume",
