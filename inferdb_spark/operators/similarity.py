@@ -151,7 +151,11 @@ def fit_ivf_centroids(
 
 def ivf_assign(vec_col: Column, centroids: list[list[float]]) -> Column:
     """Nearest-centroid (list) id as a projection: argmin over literal
-    centroids by squared L2 — no join, no shuffle, lowest-id tiebreak."""
+    centroids by squared L2 — no join, no shuffle, lowest-id tiebreak.
+    (Round-4 note: a flat element_at expansion of these folds was tried
+    and MEASURED SLOWER — 64-dim x K-centroid flat trees exceed codegen
+    method limits and fall back to interpreted evaluation of a much
+    bigger tree.  The HOF fold form is the right shape here.)"""
     v = as_double_array(vec_col)
     entries = []
     for i, c in enumerate(centroids):
@@ -517,15 +521,24 @@ def ivf_pq_search(
                 for c in range(len(book))
             ]
         )
-    codes = pq_encode(F.col(vec_col), codebooks)
-    adc_q = None
-    for s, lq in enumerate(luts_q):
-        lut = F.array(*[F.lit(x).cast("long") for x in lq])
-        term = F.element_at(lut, F.element_at(codes, s + 1) + 1)
-        adc_q = term if adc_q is None else adc_q + term
+    from inferdb_spark.functions.text import bind_once
+
+    # bind the encode array ONCE: adc references it |subspaces| times,
+    # and Catalyst would inline (and re-evaluate) the whole M x K argmin
+    # encode into every element_at — the unigram_em_round 6x trap
+    # (measured ~4x on this query's scan stage)
+    def with_codes(codes: Column) -> Column:
+        adc_q = None
+        for s, lq in enumerate(luts_q):
+            lut = F.array(*[F.lit(x).cast("long") for x in lq])
+            term = F.element_at(lut, F.element_at(codes, s + 1) + 1)
+            adc_q = term if adc_q is None else adc_q + term
+        return adc_q
+
+    adc = bind_once(pq_encode(F.col(vec_col), codebooks), with_codes)
     return (
         indexed.filter(F.col("list_id").isin(probe_ids))
-        .select(F.col(id_col), adc_q.cast("long").alias("adc_q"))
+        .select(F.col(id_col), adc.cast("long").alias("adc_q"))
         .orderBy(F.asc("adc_q"), F.asc(id_col))
         .limit(k)
     )
