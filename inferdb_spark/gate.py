@@ -125,6 +125,7 @@ _PRIORITY: list[str] = [
     "l_diversity_suppress", "cluster_balanced_sample", "asof_attribution",
     "stream_dedup_exact", "tokenizer_fertility", "split_leakage_audit",
     "char_entropy_quality", "ngram_novelty", "e2e_curation_pipeline",
+    "semantic_dedup_incremental",
 ]
 
 

@@ -675,3 +675,94 @@ def q_e2e_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         "cum_tokens",
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental SemDeDup (operators/similarity.semantic_dedup_incremental):
+# new-batch dedup against an immutable kept corpus
+
+from inferdb_spark.gate_llm3 import SD_THRESHOLD, _d_cos  # noqa: E402
+
+
+@gate(
+    "semantic_dedup_incremental",
+    oracle=f"""
+    WITH b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
+    ex AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 1),
+    cl AS (SELECT * FROM (VALUES {_SD_CENT_SQL}) AS t(cid, cv)),
+    db AS (
+      SELECT b.vec_id, b.embedding, cl.cid,
+             list_sum(list_transform(generate_series(1, {SD_DIM}),
+                 i -> (cast(b.embedding[i] as double) - cl.cv[i])
+                    * (cast(b.embedding[i] as double) - cl.cv[i]))) AS dsq,
+             {_d_cos('b.embedding', 'cl.cv')} AS ccos
+      FROM b CROSS JOIN cl
+    ),
+    mb AS (SELECT vec_id, min(dsq) AS md FROM db GROUP BY vec_id),
+    asgb0 AS (
+      SELECT db.vec_id, min(db.cid) AS cluster
+      FROM db JOIN mb ON db.vec_id = mb.vec_id AND db.dsq = mb.md
+      GROUP BY db.vec_id
+    ),
+    asgb AS (
+      SELECT a0.vec_id, a0.cluster,
+             CAST(floor(d.ccos * 1000000.0 + 0.5) AS BIGINT) AS ccos_q,
+             d.embedding
+      FROM asgb0 a0 JOIN db d
+        ON d.vec_id = a0.vec_id AND d.cid = a0.cluster
+    ),
+    de AS (
+      SELECT ex.vec_id, ex.embedding, cl.cid,
+             list_sum(list_transform(generate_series(1, {SD_DIM}),
+                 i -> (cast(ex.embedding[i] as double) - cl.cv[i])
+                    * (cast(ex.embedding[i] as double) - cl.cv[i]))) AS dsq
+      FROM ex CROSS JOIN cl
+    ),
+    me AS (SELECT vec_id, min(dsq) AS md FROM de GROUP BY vec_id),
+    asge AS (
+      SELECT de.vec_id, min(de.cid) AS cluster, any_value(de.embedding)
+                 AS embedding
+      FROM de JOIN me ON de.vec_id = me.vec_id AND de.dsq = me.md
+      GROUP BY de.vec_id
+    ),
+    l1 AS (
+      SELECT DISTINCT x.vec_id
+      FROM asgb x JOIN asge e ON x.cluster = e.cluster
+      WHERE {_d_cos('x.embedding', 'e.embedding')} >= {SD_THRESHOLD!r}
+    ),
+    l2 AS (
+      SELECT DISTINCT x.vec_id
+      FROM asgb x JOIN asgb y
+        ON x.cluster = y.cluster AND x.vec_id <> y.vec_id
+       AND (y.ccos_q < x.ccos_q
+            OR (y.ccos_q = x.ccos_q AND y.vec_id < x.vec_id))
+      WHERE {_d_cos('x.embedding', 'y.embedding')} >= {SD_THRESHOLD!r}
+    )
+    SELECT a.vec_id, CAST(a.cluster AS INT) AS cluster, a.ccos_q
+    FROM asgb a
+    LEFT JOIN l1 ON a.vec_id = l1.vec_id
+    LEFT JOIN l2 ON a.vec_id = l2.vec_id
+    WHERE l1.vec_id IS NULL AND l2.vec_id IS NULL
+    """,
+)
+def q_semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup (operators/similarity.
+    semantic_dedup_incremental): the vec_id % 5 = 0 ingest batch deduped
+    against the immutable % 5 = 1 kept corpus — existing docs always
+    win, batch-internal duplicates fall to semantic_dedup's greedy
+    (ccos_q, id) rule, so ingest never re-pairs the corpus.  Both joins
+    shuffle on cluster id only; reduces to plain semantic_dedup when the
+    kept corpus is empty (pytest-asserted)."""
+    from inferdb_spark.operators.similarity import semantic_dedup_incremental
+
+    e = load_table(spark, sf_dir, "embeddings")
+    batch = e.filter(F.col("vec_id") % 5 == 0)
+    existing = e.filter(F.col("vec_id") % 5 == 1)
+    out = semantic_dedup_incremental(
+        existing, batch, "embedding", SD_CENTROIDS, threshold=SD_THRESHOLD
+    )
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cluster").cast("int").alias("cluster"),
+        F.col("ccos_q").cast("long").alias("ccos_q"),
+    )

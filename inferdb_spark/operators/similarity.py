@@ -840,3 +840,93 @@ def cluster_balanced_sample(
         .where(F.col("rk") <= int(quota))
         .select(id_col, "cluster", F.col("rk").cast("long").alias("rk"))
     )
+
+
+def semantic_dedup_incremental(
+    existing: DataFrame,
+    batch: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Incremental SemDeDup — dedup a NEW ingest batch against an
+    immutable already-kept corpus without re-pairing the corpus (the
+    incremental_lsh_candidates pattern applied to semantic dedup).
+
+    A batch vector x is dropped iff (a) some EXISTING vector in x's
+    cluster is a semantic duplicate (cosine >= threshold; existing
+    always wins — the kept corpus is append-only), or (b) some BATCH
+    vector in x's cluster duplicates it and ranks below it by
+    (centroid-cosine micro-units, id) — exactly `semantic_dedup`'s
+    greedy keep rule, so with an empty `existing` this reduces to
+    semantic_dedup(batch) (pytest-asserted).
+
+    Plan: map-only assigns on both sides; both duplicate joins shuffle
+    keyed on cluster id only; per-pair work is one dot fold (per-row
+    norms hoisted).  At 100 TB the kept corpus is stored pre-assigned
+    and bucketed by cluster, so each ingest batch touches only its
+    clusters' buckets.  Returns batch survivors (id, cluster, ccos_q).
+    """
+    from inferdb_spark.functions.vector import l2_norm
+
+    def _prep(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.col(id_col),
+                as_double_array(F.col(vec_col)).alias("_v"),
+                assign_with_centroid_cosine(
+                    F.col(vec_col), centroids
+                ).alias("_asg"),
+            )
+            .select(
+                F.col(id_col),
+                F.col("_v"),
+                l2_norm(F.col("_v")).alias("_n"),
+                F.col("_asg.cluster").alias("cluster"),
+                F.col("_asg.ccos_q").alias("ccos_q"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    b = _prep(batch)
+    ex = _prep(existing)
+
+    def _close(xs: str, ys: str) -> Column:
+        return (
+            F.when(
+                (F.col(f"{xs}._n") > 0) & (F.col(f"{ys}._n") > 0),
+                dot(F.col(f"{xs}._v"), F.col(f"{ys}._v"))
+                / (F.col(f"{xs}._n") * F.col(f"{ys}._n")),
+            ).otherwise(F.lit(0.0))
+            >= F.lit(float(threshold))
+        )
+
+    x, y, e = b.alias("x"), b.alias("y"), ex.alias("e")
+    lose_ex = (
+        x.join(
+            e,
+            (F.col("x.cluster") == F.col("e.cluster")) & _close("x", "e"),
+        )
+        .select(F.col(f"x.{id_col}").alias(id_col))
+        .distinct()
+    )
+    better = (F.col("y.ccos_q") < F.col("x.ccos_q")) | (
+        (F.col("y.ccos_q") == F.col("x.ccos_q"))
+        & (F.col(f"y.{id_col}") < F.col(f"x.{id_col}"))
+    )
+    lose_batch = (
+        x.join(
+            y,
+            (F.col("x.cluster") == F.col("y.cluster"))
+            & (F.col(f"x.{id_col}") != F.col(f"y.{id_col}"))
+            & better
+            & _close("x", "y"),
+        )
+        .select(F.col(f"x.{id_col}").alias(id_col))
+        .distinct()
+    )
+    losers = lose_ex.unionByName(lose_batch).distinct()
+    return b.join(losers, id_col, "left_anti").select(
+        id_col, "cluster", "ccos_q"
+    )

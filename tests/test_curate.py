@@ -161,3 +161,44 @@ def test_char_entropy_ordering_and_twin(spark):
         n, nd, e = twin(text)
         r = got[doc_id]
         assert (r["n_chars"], r["n_distinct"], r["entropy_micro"]) == (n, nd, e)
+
+
+def test_semantic_dedup_incremental_reductions(spark):
+    from inferdb_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_incremental,
+    )
+
+    cents = [[0.0, 0.0], [10.0, 10.0]]
+    # cluster 0: three near-identical vectors + one orthogonal-ish
+    batch_rows = [
+        (1, [1.0, 0.0]), (2, [0.999, 0.01]), (3, [0.99, 0.02]),
+        (4, [0.0, 1.2]),
+        (10, [10.0, 10.0]),
+    ]
+    batch = spark.createDataFrame(
+        batch_rows, "vec_id: long, embedding: array<double>"
+    )
+    empty = spark.createDataFrame([], "vec_id: long, embedding: array<double>")
+    # empty kept corpus -> identical to plain semantic_dedup
+    inc = sorted(
+        map(tuple, semantic_dedup_incremental(
+            empty, batch, "embedding", cents, threshold=0.95
+        ).collect())
+    )
+    full = sorted(
+        map(tuple, semantic_dedup(
+            batch, "embedding", cents, threshold=0.95
+        ).collect())
+    )
+    assert inc == full
+    # an existing duplicate of vec 1's group kills ALL its batch dups
+    # (existing always wins), but not the dissimilar vec 4 / cluster-1 vec
+    existing = spark.createDataFrame(
+        [(100, [1.0, 0.001])], "vec_id: long, embedding: array<double>"
+    )
+    inc2 = {r["vec_id"] for r in semantic_dedup_incremental(
+        existing, batch, "embedding", cents, threshold=0.95
+    ).collect()}
+    assert 1 not in inc2 and 2 not in inc2 and 3 not in inc2
+    assert 4 in inc2 and 10 in inc2
