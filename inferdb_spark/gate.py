@@ -78,45 +78,18 @@ def _ensure_registered() -> None:
 # Names listed here are emitted FIRST by queries()/oracle_sql().  The driver
 # hash-checks only the first 50 declared queries per round, so each round's
 # window is drawn from the least-previously-driver-checked gates (the full
-# registry is still verified locally by tools/verify_local.py).  Round 4:
-# the verdict's explicit ask — the 52 gates no driver window (r01/r02/r03)
-# ever hash-checked: the TPC-H battery (q3-q21, gate_dss2), the stats/ML
-# classics (chi2, winsorized mean, kmeans step, linreg, naive bayes, tree
-# scoring), grouping-sets/OLAP, CDC, and sketch-algebra gates.  The first
-# 50 fill this window; the last two (chi2_independence, winsorized_mean)
-# plus ALL round-4 additions (the tokenizer-trainer triad, curation/
-# release gates, as-of attribution, streaming dedup, the e2e pipeline —
-# every one green in this round's judge-run verify at sf0.001/0.01/sf1)
-# lead the round-5 rotation, in the order listed after the boundary.
+# registry is still verified locally by tools/verify_local.py; the window
+# composition is checked by tools/driver_window_check.py).  Round 5: the
+# verdict's #1 ask — the 23 gates no driver window (r01-r04) ever
+# hash-checked (all round-4 additions: tokenizer trainers, substring/
+# split-leakage dedup, SQ8, as-of, the e2e curation chain) lead the window;
+# next come the round-5 additions (logreg replay, binned Spearman, PNG
+# decode, streaming curation parity — never checked by construction); the
+# remainder of the 50 slots back-fill with r01-only stale gates, oldest
+# coverage first (the core learned-index path).
 _PRIORITY: list[str] = [
-    # never driver-checked: OLAP / relational-algebra shapes
-    "rollup_revenue", "intersect_except", "range_join_bands", "cube_volume",
-    "window_value_functions", "correlated_above_avg", "full_outer_reconcile",
-    "null_safe_join", "grouping_sets_mix", "cdc_apply_changes",
-    "morton_zorder_key", "column_profile", "mad_outliers",
-    "try_safe_arithmetic",
-    # never driver-checked: stats / ML scoring classics
-    "knn_classify", "naive_bayes_model", "naive_bayes_score", "tree_score",
-    "gbt_score_sigmoid", "linreg_gram", "kmeans_lloyd_step",
-    "covariance_moments",
-    # never driver-checked: decorrelated-subquery / aggregation shapes
-    "min_acctbal_supplier_per_nation", "having_fraction_of_total",
-    "customer_order_distribution", "large_volume_orders",
-    "inactive_high_balance_customers", "multi_count_distinct",
-    "cumulative_distinct_users", "group_exact_quartiles",
-    "width_bucket_histogram",
-    # never driver-checked: the TPC-H battery
-    "q3_shipping_priority", "q4_order_priority", "q5_local_supplier_volume",
-    "q7_volume_shipping", "q9_product_profit", "q10_returned_items",
-    "q12_late_shipment_priority", "q14_promo_effect", "q15_top_supplier",
-    "q16_parts_supplier_count", "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue", "q20_excess_volume_suppliers",
-    "q21_waiting_suppliers", "q6_forecast_revenue", "q8_market_share",
-    # never driver-checked: sketch algebra / retrieval
-    "kmv_merge_rollup", "bm25_ranked_retrieval", "kmv_pairwise_overlap",
-    # ---- 50-gate window boundary ----
+    # never driver-checked (r01-r04): the 23 from the round-4 verdict
     "chi2_independence", "winsorized_mean",
-    # round-4 additions (head of the round-5 rotation)
     "hard_negative_mining_ivf", "substring_dedup",
     "unigram_segment_apply", "unigram_em_round",
     "trigram_backoff_lm", "sq8_quantized_topk", "unigram_fit_replay",
@@ -126,6 +99,29 @@ _PRIORITY: list[str] = [
     "stream_dedup_exact", "tokenizer_fertility", "split_leakage_audit",
     "char_entropy_quality", "ngram_novelty", "e2e_curation_pipeline",
     "semantic_dedup_incremental",
+    # round-5 additions (never checked by construction)
+    "logreg_train_replay", "spearman_binned", "media_png_decode",
+    "stream_curation_chain",
+    # back-fill to 50: stale gates last checked in the r01 window only —
+    # the core learned-index path plus the dedup/ANN/text headliners
+    "index_translate", "index_kv_build", "index_score", "index_score_rmsle",
+    "woe_iv", "mlp_relational", "linear_score_coo", "multiclass_argmax",
+    "cluster_assign", "dedup_exact", "minhash_lsh_pairs",
+    "simhash_fingerprint", "ngram_jaccard_verify", "prefix_filter_jaccard_join",
+    "embedding_cosine_topk", "ivf_search", "lang_id", "text_quality",
+    "eval_decontamination", "mixture_sampling", "bpe_token_count",
+    "pricing_summary", "classification_metrics",
+    # ---- 50-gate window boundary ----
+    # next-stalest r01 gates continue the rotation for round 6
+    "impute_mean", "robust_scale", "one_hot_encode", "coo_sparsify",
+    "crazy_exp_sigmoid", "datetime_extract", "geo_distance",
+    "linear_score_dense", "topk_orders", "join_enrich_revenue",
+    "semi_anti_customers", "cross_join_domains", "group_mode_majority",
+    "window_topk_per_group", "argmax_price_part", "filter_project",
+    "doc_fingerprint", "embedding_lsh_buckets", "vocab_id_assignment",
+    "feature_hashing", "bigram_lm_score", "doc_chunking",
+    "gopher_repetition", "reservoir_group_sample", "boilerplate_ngrams",
+    "priority_weighted_sample", "embedding_label_centroids",
 ]
 
 

@@ -15,6 +15,7 @@ from inferdb_spark.catalog import load_table
 from inferdb_spark.gate import gate
 from inferdb_spark.operators import cluster as CL
 from inferdb_spark.operators import linreg as LR
+from inferdb_spark.operators import logreg as LG
 from inferdb_spark.operators import gbt_train as GT
 from inferdb_spark.operators import trees as T
 
@@ -299,4 +300,65 @@ def q_gbt_train_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("row_id"),
         F.round(model.expression(), 6).cast("double").alias("prediction"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# native logistic-regression training replay (round-4 verdict item 2): the
+# last asymmetry in the in-engine trainer family — LR was previously fit
+# only through the MLlib bridge while OLS/GBT/kmeans/tokenizers all replay
+# their full fit in DuckDB.  Reference anchor: PGML logistic train
+# (src/transpiler.py:2032-2101) and madlib.logregr_train (:2382-2466).
+
+LOGREG_FEATS = ["qn", "l_discount", "l_tax"]  # qn = l_quantity*0.02 ~ [0,1]
+LOGREG_FEAT_SQLS = [
+    "l_quantity * CAST(0.02 AS DOUBLE)",
+    "l_discount",
+    "l_tax",
+]
+LOGREG_STEPS = 8
+LOGREG_LR = 1.0
+LOGREG_SCALE = 10_000
+
+
+@gate(
+    "logreg_train_replay",
+    oracle=LG.fit_predict_logreg_sql(
+        LOGREG_FEAT_SQLS,
+        label_sql="CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END",
+        row_id_sql="l_orderkey * 10 + l_linenumber",
+        n_steps=LOGREG_STEPS,
+        learning_rate=LOGREG_LR,
+        scale=LOGREG_SCALE,
+    ),
+)
+def q_logreg_train_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native logistic-regression TRAINING (operators/logreg.fit_logreg_gd):
+    8 fixed-step full-batch gradient-descent rounds on returnflag='R', one
+    exact BIGINT aggregation per step (p+2 sums to the driver), then every
+    row scored with the fitted coefficients.  The oracle replays the entire
+    fit as a DuckDB CTE chain — quantize → (gradient → update) × 8 → score —
+    from the same literals, so the driver hash checks the TRAINER itself
+    (the gbt_train_predict standard applied to LR)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .withColumn("qn", F.col("l_quantity") * F.lit(0.02))
+        .withColumn(
+            "y", F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0)
+        )
+    )
+    model = LG.fit_logreg_gd(
+        li,
+        LOGREG_FEATS,
+        "y",
+        n_steps=LOGREG_STEPS,
+        learning_rate=LOGREG_LR,
+        scale=LOGREG_SCALE,
+    )
+    return li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+        .cast("long")
+        .alias("row_id"),
+        model.probability().cast("double").alias("prob"),
+        model.prediction().cast("long").alias("pred"),
     )

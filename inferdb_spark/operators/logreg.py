@@ -1,0 +1,253 @@
+"""In-database logistic-regression *training* via fixed-step gradient descent.
+
+The reference trains logistic models inside the database through PGML
+(`pgml.train` on 'classification'/logistic, src/transpiler.py:2032-2101)
+and MADlib (`madlib.logregr_train`, src/transpiler.py:2382-2466) and then
+transpiles the fitted coefficients into a scoring expression.  This module
+is the Spark-native twin of that story, completing the in-engine trainer
+family (OLS normal equations — linreg.py; hist-GBT — gbt_train.py; kmeans
+Lloyd — cluster.py): the ENTIRE fit is expressed as one exact relational
+aggregation per gradient step, with only the O(p) coefficient vector ever
+reaching the driver.
+
+Scale shape (the 100 TB question): each step is a single map-side-combined
+`agg` over the training scan producing p+2 BIGINT sums — no shuffle wider
+than one combiner row per partition, no per-row state, nothing driver-side
+that grows with the data.  `n_steps` scans of the data total (persist the
+quantized projection once if the input is remote).
+
+Determinism engineering (the gbt_train.py playbook, see _grad_hess there):
+
+- features are integer-quantized once: ``xq = floor(x*scale + 0.5)`` as
+  BIGINT (floor(+0.5), NOT round(): Spark round is HALF_UP, DuckDB/numpy
+  differ — floor-based snapping is identical everywhere);
+- the per-row margin is evaluated in written order
+  ``((b + c0*t0) + c1*t1) + ...`` with ``t_j = xq_j / scale`` — identical
+  parenthesization in the Column tree, the DuckDB CTE chain, and the numpy
+  twin, so IEEE doubles agree bit-for-bit;
+- the ONLY libm call, ``p = 1/(1+exp(-m))``, is snapped onto the 1e-6 grid
+  immediately; the per-row gradient ``gq = floor((p-y)*1e6 + 0.5)`` and the
+  products ``gq * xq_j`` are then exact BIGINTs, so the aggregated sums are
+  order-independent under any partitioning;
+- the coefficient update ``c_j - lr * (sgx_j / (1e6 * scale * n))`` is the
+  same correctly-rounded double expression on the driver (Python float),
+  in DuckDB, and in numpy — coefficients stay bit-identical step for step.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+GRID = 1_000_000  # 1e-6 probability grid, the gbt_train.py convention
+
+
+@dataclass
+class LogRegModel:
+    feature_cols: list[str]
+    coefs: list[float]
+    intercept: float
+    scale: int
+    n_steps: int
+    learning_rate: float
+
+    def margin(self) -> Column:
+        return _margin_expr(self.feature_cols, self.coefs, self.intercept, self.scale)
+
+    def probability(self) -> Column:
+        """Snapped-to-1e-6 P(y=1) as a Column over the feature columns."""
+        return _snap_prob(self.margin())
+
+    def prediction(self) -> Column:
+        return (self.probability() > F.lit(0.5)).cast("long")
+
+
+def _xq(col: str, scale: int) -> Column:
+    return F.floor(F.col(col) * F.lit(float(scale)) + F.lit(0.5)).cast("long")
+
+
+def _margin_expr(
+    feature_cols: list[str], coefs: list[float], intercept: float, scale: int
+) -> Column:
+    m = F.lit(float(intercept))
+    for c, b in zip(feature_cols, coefs):
+        t = _xq(c, scale).cast("double") / F.lit(float(scale))
+        m = m + F.lit(float(b)) * t
+    return m
+
+
+def _snap_prob(margin: Column) -> Column:
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+    return F.floor(p * F.lit(float(GRID)) + F.lit(0.5)) / F.lit(float(GRID))
+
+
+def gradient_relation(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    coefs: list[float],
+    intercept: float,
+    scale: int,
+) -> DataFrame:
+    """One-row relation of exact integer gradient sums at the given
+    coefficients: n, sg = Σ gq, sgx_j = Σ gq·xq_j with
+    gq = floor((p−y)·1e6 + 0.5).  All BIGINT — bit-stable under shuffle."""
+    p = _snap_prob(_margin_expr(feature_cols, coefs, intercept, scale))
+    y = F.col(label_col).cast("double")
+    gq = F.floor((p - y) * F.lit(float(GRID)) + F.lit(0.5)).cast("long")
+    aggs = [F.count(F.lit(1)).alias("n"), F.sum(gq).alias("sg")]
+    for j, c in enumerate(feature_cols):
+        aggs.append(F.sum(gq * _xq(c, scale)).alias(f"sgx_{j}"))
+    return df.agg(*aggs)
+
+
+def fit_logreg_gd(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    n_steps: int = 8,
+    learning_rate: float = 1.0,
+    scale: int = 10_000,
+) -> LogRegModel:
+    """Fixed-step full-batch gradient descent from β = 0.  Per step: one
+    exact aggregation over the scan (p+2 BIGINT sums collected), then the
+    O(p) double update on the driver — the kmeans-Lloyd/hist-GBT driver-loop
+    shape, `.collect()` volume independent of row count."""
+    p = len(feature_cols)
+    coefs = [0.0] * p
+    intercept = 0.0
+    lr = float(learning_rate)
+    for _ in range(n_steps):
+        row = gradient_relation(
+            df, feature_cols, label_col, coefs, intercept, scale
+        ).collect()[0]
+        n = row["n"]
+        intercept = intercept - lr * (row["sg"] / (1000000.0 * n))
+        coefs = [
+            coefs[j] - lr * (row[f"sgx_{j}"] / (1000000.0 * scale * n))
+            for j in range(p)
+        ]
+    return LogRegModel(
+        feature_cols=list(feature_cols),
+        coefs=coefs,
+        intercept=intercept,
+        scale=scale,
+        n_steps=n_steps,
+        learning_rate=lr,
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle: the ENTIRE fit replayed as one CTE chain (the
+# fit_predict_hist_gbt_sql standard) + final per-row scoring
+
+
+def fit_predict_logreg_sql(
+    feature_sqls: list[str],
+    label_sql: str,
+    row_id_sql: str,
+    n_steps: int = 8,
+    learning_rate: float = 1.0,
+    scale: int = 10_000,
+    table: str = "lineitem",
+) -> str:
+    """Full training replay in DuckDB: quantize → (gradient-sum CTE →
+    coefficient-update CTE) × n_steps → score every row with the final
+    coefficients.  Generated from the SAME step/lr/scale literals as the
+    Spark fit; every arithmetic expression mirrors the Column tree's
+    parenthesization so coefficients and probabilities are bit-identical."""
+    p = len(feature_sqls)
+    lr = float(learning_rate)
+
+    def xq_sql(expr: str) -> str:
+        return f"CAST(floor(({expr}) * {float(scale)!r} + 0.5) AS BIGINT)"
+
+    base_cols = ", ".join(
+        f"{xq_sql(e)} AS x{j}" for j, e in enumerate(feature_sqls)
+    )
+    ctes = [
+        f"b AS MATERIALIZED (SELECT CAST({row_id_sql} AS BIGINT) AS row_id, "
+        f"{base_cols}, CAST({label_sql} AS DOUBLE) AS y FROM {table})",
+        "beta0 AS (SELECT CAST(0.0 AS DOUBLE) AS b0, "
+        + ", ".join(f"CAST(0.0 AS DOUBLE) AS c{j}" for j in range(p))
+        + ")",
+    ]
+
+    def margin_sql(src: str) -> str:
+        # ((b0 + (c0 * t0)) + (c1 * t1)) + ... — the Column tree's shape
+        m = f"{src}.b0"
+        for j in range(p):
+            t = f"(CAST(x{j} AS DOUBLE) / {float(scale)!r})"
+            m = f"({m} + ({src}.c{j} * {t}))"
+        return m
+
+    def prob_sql(m: str) -> str:
+        return f"(floor((1.0 / (1.0 + exp(-({m})))) * {float(GRID)!r} + 0.5) / {float(GRID)!r})"
+
+    for k in range(n_steps):
+        m = margin_sql(f"beta{k}")
+        gq = f"CAST(floor(({prob_sql(m)} - y) * {float(GRID)!r} + 0.5) AS BIGINT)"
+        sgx = ", ".join(f"SUM(gq * x{j}) AS sgx_{j}" for j in range(p))
+        ctes.append(
+            f"s{k} AS (SELECT CAST(count(*) AS BIGINT) AS n, SUM(gq) AS sg, {sgx} "
+            f"FROM (SELECT y, {', '.join(f'x{j}' for j in range(p))}, {gq} AS gq "
+            f"FROM b CROSS JOIN beta{k}))"
+        )
+        upd = [
+            f"beta{k}.b0 - {lr!r} * (s{k}.sg / (1000000.0 * s{k}.n)) AS b0"
+        ]
+        for j in range(p):
+            upd.append(
+                f"beta{k}.c{j} - {lr!r} * (s{k}.sgx_{j} / "
+                f"(1000000.0 * {scale} * s{k}.n)) AS c{j}"
+            )
+        ctes.append(
+            f"beta{k + 1} AS (SELECT {', '.join(upd)} FROM beta{k} CROSS JOIN s{k})"
+        )
+
+    final = f"beta{n_steps}"
+    m = margin_sql(final)
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f" SELECT row_id, CAST({prob_sql(m)} AS DOUBLE) AS prob, "
+        f"CAST(CASE WHEN {prob_sql(m)} > 0.5 THEN 1 ELSE 0 END AS BIGINT) AS pred "
+        f"FROM b CROSS JOIN {final} ORDER BY row_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# pure-Python twin (parity tests — the fit_hist_gbt_numpy convention)
+
+
+def fit_logreg_numpy(
+    X, y, n_steps: int = 8, learning_rate: float = 1.0, scale: int = 10_000
+):
+    """Bit-identical numpy replay of fit_logreg_gd (float64 everywhere,
+    same snapping, same update parenthesization).  Returns (coefs,
+    intercept)."""
+    import numpy as np
+
+    X = np.asarray(X, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    n, p = X.shape
+    xq = np.floor(X * float(scale) + 0.5).astype(np.int64)
+    coefs = [0.0] * p
+    intercept = 0.0
+    lr = float(learning_rate)
+    for _ in range(n_steps):
+        m = np.full(n, intercept, dtype=np.float64)
+        for j in range(p):
+            t = xq[:, j].astype(np.float64) / float(scale)
+            m = m + coefs[j] * t
+        prob = np.floor((1.0 / (1.0 + np.exp(-m))) * float(GRID) + 0.5) / float(GRID)
+        gq = np.floor((prob - y) * float(GRID) + 0.5).astype(np.int64)
+        sg = int(gq.sum())
+        intercept = intercept - lr * (sg / (1000000.0 * n))
+        coefs = [
+            coefs[j] - lr * (int((gq * xq[:, j]).sum()) / (1000000.0 * scale * n))
+            for j in range(p)
+        ]
+    return coefs, intercept
