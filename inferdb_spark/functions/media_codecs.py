@@ -28,6 +28,7 @@ from __future__ import annotations
 import io
 import struct
 import wave
+import zlib
 
 import numpy as np
 
@@ -116,6 +117,151 @@ def decode_ppm(data: bytes) -> np.ndarray:
         raise ValueError("only 8-bit PPM supported")
     arr = np.frombuffer(data, dtype=np.uint8, count=h * w * 3, offset=pos)
     return arr.reshape(h, w, 3).copy()
+
+
+# ---------------------------------------------------------------------------
+# PNG (pure stdlib zlib + numpy — no PIL; round-4 verdict item 4)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth_vec(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor (PNG spec §9, filter type 4)."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png(img: np.ndarray, filters: str = "mixed") -> bytes:
+    """Encode HxWx3 uint8 RGB as an 8-bit truecolor PNG (stdlib zlib only).
+
+    filters: 'none' writes every row with filter 0; 'mixed' cycles filter
+    type r % 5 per row — deliberately exercising ALL five unfilter paths
+    on decode, so a round-trip gate covers sub/up/average/paeth too.
+    """
+    img = np.asarray(img, dtype=np.uint8)
+    h, w, c = img.shape
+    if c != 3:
+        raise ValueError("encode_png expects HxWx3 RGB")
+    raw = bytearray()
+    prev = np.zeros(w * 3, dtype=np.int32)
+    for r in range(h):
+        row = img[r].reshape(-1).astype(np.int32)
+        ft = r % 5 if filters == "mixed" else 0
+        left = np.concatenate([np.zeros(3, np.int32), row[:-3]])
+        if ft == 0:
+            filt = row
+        elif ft == 1:
+            filt = (row - left) % 256
+        elif ft == 2:
+            filt = (row - prev) % 256
+        elif ft == 3:
+            filt = (row - (left + prev) // 2) % 256
+        else:
+            upleft = np.concatenate([np.zeros(3, np.int32), prev[:-3]])
+            filt = (row - _paeth_vec(left, prev, upleft)) % 256
+        raw.append(ft)
+        raw += filt.astype(np.uint8).tobytes()
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 9))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode an 8-bit non-interlaced PNG (gray / RGB / RGBA) to HxWx3
+    uint8 RGB — stdlib zlib inflate + numpy per-row unfilter, no PIL.
+
+    Sub/up unfilter vectorize (per-lane cumsum / row add); average and
+    paeth are inherently sequential in x and run as per-byte loops — fine
+    for metadata-scale thumbnails; interlaced (Adam7) and 16-bit inputs
+    raise ValueError naming the limitation.
+    """
+    if data[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = len(_PNG_SIG)
+    w = h = depth = color = interlace = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        typ = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # len + type + data + crc
+        if typ == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif typ == b"IDAT":
+            idat += body
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8 or interlace != 0 or color not in (0, 2, 6):
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, color={color}, "
+            f"interlace={interlace}); only 8-bit non-interlaced gray/RGB/RGBA"
+        )
+    bpp = {0: 1, 2: 3, 6: 4}[color]
+    stride = w * bpp
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    pos = 0
+    for r in range(h):
+        ft = raw[pos]
+        pos += 1
+        filt = np.frombuffer(raw, np.uint8, stride, pos).astype(np.int32)
+        pos += stride
+        if ft == 0:
+            rec = filt
+        elif ft == 2:
+            rec = (filt + prev) % 256
+        elif ft == 1:
+            rec = filt.copy()
+            for lane in range(bpp):  # per-lane cumsum == sequential sub
+                rec[lane::bpp] = np.cumsum(rec[lane::bpp]) % 256
+        elif ft == 3:
+            rec = filt.copy()
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (rec[x] + (a + prev[x]) // 2) % 256
+        elif ft == 4:
+            rec = filt.copy()
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (rec[x] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[r] = rec.astype(np.uint8)
+        prev = rec
+    arr = out.reshape(h, w, bpp)
+    if color == 0:
+        return np.repeat(arr, 3, axis=2).copy()
+    if color == 6:
+        return arr[:, :, :3].copy()
+    return arr.copy()
 
 
 # ---------------------------------------------------------------------------
@@ -208,19 +354,27 @@ def sniff_media_format(data: bytes) -> str:
 def decode_image_any(data: bytes) -> np.ndarray:
     """Decode any supported image payload to HxWx3 uint8 RGB.
 
-    BMP/PPM decode natively (numpy); PNG/JPEG require PIL and raise
+    BMP/PPM/PNG decode natively (numpy + stdlib zlib — PNG joined the
+    always-on path in round 5); JPEG requires PIL and raises
     NotImplementedError when it is absent (the container default).
+    Exotic PNGs (16-bit, interlaced, palette) fall back to PIL too.
     """
     fmt = sniff_media_format(data)
     if fmt == "bmp":
         return decode_bmp(data)
     if fmt == "ppm":
         return decode_ppm(data)
+    if fmt == "png":
+        try:
+            return decode_png(data)
+        except ValueError:
+            if _PILImage is None:
+                raise
     if fmt in ("png", "jpeg"):
         if _PILImage is None:
             raise NotImplementedError(
                 f"{fmt} decode requires PIL (not installed); "
-                "use BMP/PPM payloads or install pillow"
+                "use BMP/PPM/PNG payloads or install pillow"
             )
         img = _PILImage.open(io.BytesIO(data)).convert("RGB")
         return np.asarray(img, dtype=np.uint8)

@@ -256,3 +256,57 @@ def q_media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts_ms").cast("long").alias("ts_ms"),
         F.col("frame_px_sum").cast("long").alias("frame_px_sum"),
     ).orderBy("content_id", "frame_idx")
+
+
+# ---------------------------------------------------------------------------
+# PNG decode: compressed payloads through the pure-stdlib inflate+unfilter
+# codec (round-5: PNG joins BMP/PPM in the always-on path — no PIL)
+# ---------------------------------------------------------------------------
+
+
+@gate(
+    "media_png_decode",
+    oracle=f"""
+WITH ids AS ({_IDS.format(n=110)}),
+dims AS (
+  SELECT content_id,
+         16 + content_id % 16 AS w,
+         12 + content_id % 8  AS h
+  FROM ids
+),
+px AS (
+  SELECT d.content_id, d.w, d.h, c.range AS ch,
+         (d.content_id*7 + i.range*3 + j.range*5 + c.range*11) % 256 AS v
+  FROM dims d, range(20) i, range(32) j, range(3) c
+  WHERE i.range < d.h AND j.range < d.w
+)
+SELECT CAST(content_id AS BIGINT) AS content_id,
+       CAST(any_value(w) AS BIGINT) AS width,
+       CAST(any_value(h) AS BIGINT) AS height,
+       CAST(sum(CASE WHEN ch = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+       CAST(sum(CASE WHEN ch = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+       CAST(sum(CASE WHEN ch = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b
+FROM px
+GROUP BY content_id
+ORDER BY content_id
+""",
+)
+def q_media_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode formula images as REAL compressed PNG bytes on the executors
+    (filters='mixed': row filter r % 5, so sub/up/average/paeth all occur),
+    decode them back with the pure-stdlib zlib+numpy PNG codec
+    (media_codecs.decode_png — no PIL anywhere), and emit exact per-channel
+    pixel sums.  Bit-exact round-trip through DEFLATE + all five PNG row
+    filters, verified against the pure-SQL pixel formula.  Map-only end to
+    end, same 100 TB shape as media_image_decode."""
+    media = MM.synthesize_real_media(spark, _ids(spark, sf_dir, 110), kind="png")
+    stats = MM.image_stats(media)
+    px = F.col("width").cast("long") * F.col("height").cast("long")
+    return stats.select(
+        F.col("content_id").cast("long").alias("content_id"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.round(F.col("mean_r") * px).cast("long").alias("sum_r"),
+        F.round(F.col("mean_g") * px).cast("long").alias("sum_g"),
+        F.round(F.col("mean_b") * px).cast("long").alias("sum_b"),
+    ).orderBy("content_id")

@@ -5,9 +5,11 @@ Round 1 shipped this as schemas + mapInPandas plumbing with the decode
 stubbed (no PIL/ffmpeg in the container).  Round 2 closes that gap with
 pure-numpy/stdlib codecs (functions/media_codecs.py): uncompressed BMP and
 PPM images, RIFF-PCM WAV audio, and RAWV raw-frame video all decode for
-real on the executors; PNG/JPEG additionally decode when PIL is
-importable.  The NotImplementedError branch is now the *fallback* for
-compressed formats without their optional dependency — not the only path.
+real on the executors; round 5 promotes PNG into the same always-on path
+(stdlib zlib inflate + per-row unfilter — no PIL).  JPEG/H.264 still
+decode only when PIL/ffmpeg are importable; their NotImplementedError
+branch is the *fallback* for compressed formats without the optional
+dependency — not the only path.
 The deterministic `fake=True` structural path is kept for dataflow tests.
 
 100 TB design rules (unchanged):
@@ -113,9 +115,11 @@ def synthesize_real_media(
 ) -> DataFrame:
     """Turn a relation with a `content_id` column into real decodable media.
 
-    kind: bmp | ppm | wav | rawv.  Payload bytes are generated on the
-    EXECUTORS (mapInPandas) from the deterministic formula — the driver
-    never materializes blobs, so this scales like any map-only stage.
+    kind: bmp | ppm | png | wav | rawv.  Payload bytes are generated on
+    the EXECUTORS (mapInPandas) from the deterministic formula — the
+    driver never materializes blobs, so this scales like any map-only
+    stage.  PNG uses filters='mixed' (row filter = r % 5) so a decode
+    gate exercises all five unfilter paths.
     """
     import numpy as np
     import pandas as pd
@@ -125,12 +129,15 @@ def synthesize_real_media(
             payloads = []
             for cid in pdf["content_id"]:
                 cid = int(cid)
-                if kind in ("bmp", "ppm"):
+                if kind in ("bmp", "ppm", "png"):
                     w, h = _formula_dims(cid)
                     img = _formula_image(cid, w, h)
-                    payloads.append(
-                        MC.encode_bmp(img) if kind == "bmp" else MC.encode_ppm(img)
-                    )
+                    enc = {
+                        "bmp": MC.encode_bmp,
+                        "ppm": MC.encode_ppm,
+                        "png": MC.encode_png,
+                    }[kind]
+                    payloads.append(enc(img))
                 elif kind == "wav":
                     # integer waveform (no transcendentals): bit-identical
                     # recomputable in ANSI SQL for the oracle
@@ -164,9 +171,10 @@ def synthesize_real_media(
 def image_stats(df: DataFrame, grid: int = 2) -> DataFrame:
     """REAL decode + feature extraction over binary image payloads.
 
-    Decodes BMP/PPM natively (numpy), PNG/JPEG via PIL when importable
-    (NotImplementedError otherwise — the documented optional-dependency
-    fallback).  Emits per-channel means and a grid x grid grayscale
+    Decodes BMP/PPM/PNG natively (numpy + stdlib zlib), JPEG via PIL when
+    importable (NotImplementedError otherwise — the documented
+    optional-dependency fallback).  Emits per-channel means and a grid x
+    grid grayscale
     block-mean feature vector.  Input: (content_id, payload).
     """
     import numpy as np

@@ -330,3 +330,79 @@ def test_session_window_stream_matches_batch(spark):
         assert all(n in (2, 3) for (_, _, n) in got)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# PNG codec (round 5: stdlib zlib + unfilter, no PIL)
+# ---------------------------------------------------------------------------
+
+
+def test_png_roundtrip_all_filters():
+    import numpy as np
+    from inferdb_spark.functions import media_codecs as MC
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(11, 7, 3), dtype=np.uint8)
+    for filters in ("none", "mixed"):
+        data = MC.encode_png(img, filters=filters)
+        assert MC.sniff_media_format(data) == "png"
+        out = MC.decode_png(data)
+        assert out.shape == img.shape
+        assert (out == img).all(), f"filters={filters}"
+    # dispatcher routes PNG natively (no PIL in the container)
+    assert (MC.decode_image_any(MC.encode_png(img)) == img).all()
+
+
+def test_png_gray_and_rgba_decode():
+    """Gray (color 0) and RGBA (color 6) inputs normalize to HxWx3."""
+    import struct
+    import zlib
+
+    import numpy as np
+    from inferdb_spark.functions import media_codecs as MC
+
+    h, w = 5, 4
+    gray = np.arange(h * w, dtype=np.uint8).reshape(h, w)
+    raw = b"".join(b"\x00" + gray[r].tobytes() for r in range(h))
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + MC._png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+        + MC._png_chunk(b"IDAT", zlib.compress(raw))
+        + MC._png_chunk(b"IEND", b"")
+    )
+    out = MC.decode_png(png)
+    assert out.shape == (h, w, 3)
+    assert (out[:, :, 0] == gray).all() and (out[:, :, 2] == gray).all()
+
+    rgba = np.zeros((h, w, 4), dtype=np.uint8)
+    rgba[:, :, 0] = 9
+    rgba[:, :, 3] = 200
+    raw = b"".join(b"\x00" + rgba[r].tobytes() for r in range(h))
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + MC._png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0))
+        + MC._png_chunk(b"IDAT", zlib.compress(raw))
+        + MC._png_chunk(b"IEND", b"")
+    )
+    out = MC.decode_png(png)
+    assert out.shape == (h, w, 3)
+    assert (out[:, :, 0] == 9).all() and (out[:, :, 1] == 0).all()
+
+
+def test_png_unsupported_raises():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from inferdb_spark.functions import media_codecs as MC
+
+    png16 = (
+        b"\x89PNG\r\n\x1a\n"
+        + MC._png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+        + MC._png_chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+        + MC._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="unsupported PNG"):
+        MC.decode_png(png16)
