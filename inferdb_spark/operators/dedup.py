@@ -442,6 +442,7 @@ def split_leakage_audit(
     seed: int = 42,
     hash_fn: str = "md5",
     test_mod: int = 10,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Train/test split-leakage audit (the Lee et al. 2022 / GPT-3 app.
     concern: near-duplicates of eval/test docs inside the training
@@ -453,21 +454,41 @@ def split_leakage_audit(
     with at least one train-side candidate: (test_id, n_train_cands,
     min_train_id) — feed flagged pairs to ngram_jaccard for exact
     verification, then excise or re-split.  Scales like the LSH dedup:
-    corpus-linear."""
+    corpus-linear.
+
+    Round-5 performance shape (measured at sf1, 50k near-dup-dense docs):
+    - the band relation is localCheckpoint'ed before splitting: both join
+      sides filter the SAME relation, and without materialization Spark
+      recomputes the MinHash signature subtree once per side;
+    - signatures are computed at full parallelism (`parallelism` defaults
+      to sparkContext.defaultParallelism) — a document scan often arrives
+      in a handful of input splits, which would serialize the dominant
+      md5-minhash CPU;
+    - both join sides are EXPLICITLY hash-repartitioned on the band key:
+      the band relation's map output is tiny (a few MB), so AQE coalesces
+      the join to 1-2 partitions — but this join EXPLODES (a near-dup-
+      dense corpus emits ~100x its input in candidate pairs), and
+      coalescing serializes the explosion.  Explicit repartition-by-num
+      pins the fan-out across the cluster (AQE honors user repartition
+      counts).  Together: 43.9s -> 7.0s median at sf1 (6.3x)."""
     from inferdb_spark.functions.hashing import h52
 
+    if parallelism is None:
+        parallelism = df.sparkSession.sparkContext.defaultParallelism
     b = lsh_band_relation(
-        df, id_col, text_col, n_hashes, bands, shingle_n, mode, seed, hash_fn
+        df, id_col, text_col, n_hashes, bands, shingle_n, mode, seed, hash_fn,
+        parallelism=parallelism,
     ).withColumn(
         "_test",
         (h52(F.col(id_col).cast("string")) % test_mod == 0).cast("int"),
     )
+    b = b.localCheckpoint(eager=True)
     test = b.where(F.col("_test") == 1).select(
         F.col(id_col).alias("test_id"), "band_id", "band_key"
-    )
+    ).repartition(parallelism, "band_id", "band_key")
     train = b.where(F.col("_test") == 0).select(
         F.col(id_col).alias("train_id"), "band_id", "band_key"
-    )
+    ).repartition(parallelism, "band_id", "band_key")
     # countDistinct folds the pair dedup into the final aggregate — one
     # shuffle on test_id instead of distinct-pairs + regroup (the raw
     # band join emits a (test, train) row per shared band; dense
