@@ -766,3 +766,135 @@ def q_semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster").cast("int").alias("cluster"),
         F.col("ccos_q").cast("long").alias("ccos_q"),
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming curation chain (round-5): the e2e pipeline's stages 1-3 run as
+# a REAL Structured Streaming job; emitted distinct content set == batch
+
+_stream_cur_counter = 0
+
+
+def _stage_documents(spark: SparkSession, sf_dir: str):
+    """Stage the documents table into a /tmp parquet dir (file stream
+    sources need a directory); returns (stage_path, schema)."""
+    import hashlib
+    import os
+
+    d = load_table(spark, sf_dir, "documents")
+    stage = os.path.join(
+        "/tmp",
+        "inferdb_stream_docs_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        d.repartition(4).write.mode("overwrite").parquet(stage)
+    return stage, d.schema
+
+
+@gate(
+    "stream_curation_chain",
+    oracle=f"""
+    WITH corpus AS (SELECT * FROM documents WHERE doc_id % 50 != 0),
+    ev AS (SELECT doc_id AS eval_id, text FROM documents
+           WHERE doc_id % 50 = 0),
+    s1 AS (
+      SELECT * FROM corpus
+      WHERE length(string_split(text, ' ')) >= {E2E_MIN_TOKENS}
+    ),
+    cg AS (
+      SELECT DISTINCT doc_id, gh FROM (
+        SELECT doc_id, {duckdb_h52('g')} AS gh FROM (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   range(1, greatest(length(t) - {E2E_DECON_N - 2}, 1)),
+                   i -> array_to_string(t[i:i+{E2E_DECON_N - 1}], ' '))) AS g
+          FROM (SELECT doc_id, {_d_tokens('text')} AS t FROM s1))
+      )
+    ),
+    eg AS (
+      SELECT DISTINCT eval_id, gh FROM (
+        SELECT eval_id, {duckdb_h52('g')} AS gh FROM (
+          SELECT eval_id,
+                 unnest(list_transform(
+                   range(1, greatest(length(t) - {E2E_DECON_N - 2}, 1)),
+                   i -> array_to_string(t[i:i+{E2E_DECON_N - 1}], ' '))) AS g
+          FROM (SELECT eval_id, {_d_tokens('text')} AS t FROM ev))
+      )
+    ),
+    hits AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT cg.doc_id, eg.eval_id, count(*) AS n_shared
+        FROM cg JOIN eg USING (gh)
+        GROUP BY cg.doc_id, eg.eval_id
+        HAVING count(*) >= {E2E_DECON_SHARED})
+    ),
+    s3 AS (
+      SELECT s1.* FROM s1 LEFT JOIN hits ON s1.doc_id = hits.doc_id
+      WHERE hits.doc_id IS NULL
+    )
+    SELECT DISTINCT md5(text) AS content_h,
+           CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM s3
+    ORDER BY content_h
+    """,
+)
+def q_stream_curation_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation chain run as a REAL streaming query (streaming.
+    curation_stream): readStream over the staged documents dir (1 file
+    per trigger) → stateless quality filter → stateless decontamination
+    against the eval suite's literal gram arrays → stateful
+    dropDuplicates on md5(text) → memory sink, run to completion.  The
+    emitted DISTINCT CONTENT SET must equal the batch chain's (the
+    DuckDB oracle replays quality→decon→DISTINCT content) no matter how
+    files/triggers interleave — stream == batch row-for-row on the
+    content-derived columns, the stream_dedup_exact contract extended to
+    the whole chain.  Dedup-vs-decon order is immaterial for the content
+    set (both are content functions), which is exactly why the chain is
+    safe to run incrementally."""
+    from inferdb_spark.operators.textprep import ngram_hash_postings
+    from inferdb_spark.streaming.scoring_stream import curation_stream
+
+    global _stream_cur_counter
+    _stream_cur_counter += 1
+    name = f"gate_stream_curation_{_stream_cur_counter}"
+
+    docs = load_table(spark, sf_dir, "documents")
+    evald = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    # fixed benchmark suite -> per-eval-doc distinct gram hashes, collected
+    # once at plan time (k-row fit-time collect, the centroid-literal
+    # pattern); at sf0.01 this is ~10 docs
+    eval_grams: dict[int, list[int]] = {}
+    for row in ngram_hash_postings(evald, "eval_id", "text", E2E_DECON_N).collect():
+        eval_grams.setdefault(row["eval_id"], []).append(row["gh"])
+    gram_lists = [sorted(v) for _, v in sorted(eval_grams.items())]
+
+    stage, schema = _stage_documents(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .where(F.col("doc_id") % 50 != 0)
+    )
+    curated = curation_stream(
+        stream,
+        gram_lists,
+        min_tokens=E2E_MIN_TOKENS,
+        n=E2E_DECON_N,
+        min_shared=E2E_DECON_SHARED,
+        bounded_state=False,
+    )
+    q = (
+        curated.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql(f"select * from {name}")
+    return out.select(
+        "content_h",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    ).orderBy("content_h")

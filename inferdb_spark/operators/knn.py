@@ -105,10 +105,20 @@ def _knn_neighbors(
     k: int,
     test_key: str,
     train_key: str,
+    max_probe_rows: int = 100_000,
 ) -> DataFrame:
     """Shared brute-force neighbor search: broadcast the probe side, exact
     integer distances, two-stage salted top-k.  Returns one row per
-    (test key, neighbor) with the neighbor's `value_col` as `_lbl`."""
+    (test key, neighbor) with the neighbor's `value_col` as `_lbl`.
+
+    Guarded: raises if the probe side exceeds `max_probe_rows` — the
+    candidate volume is |test| x |train|, so a corpus-scale probe side
+    must use knn_classify_ivf (list-pruned shortlist) instead."""
+    from inferdb_spark.scale import assert_small_side
+
+    test = assert_small_side(
+        test, max_probe_rows, "knn brute-force probe", "knn.knn_classify_ivf"
+    )
     t = F.broadcast(
         test.select(
             F.col(test_key).alias("_tk"),
@@ -142,13 +152,16 @@ def knn_classify(
     k: int,
     test_key: str,
     train_key: str,
+    max_probe_rows: int = 100_000,
 ) -> DataFrame:
     """Brute-force relational KNN: broadcast the probe side, exact integer
     distances, two-stage top-k, majority vote.  Feature columns must be
     integer-scaled (cast-exact) on both relations.  Returns
-    (test_key, predicted)."""
+    (test_key, predicted).  Probe side guarded by `max_probe_rows`
+    (scale path: knn_classify_ivf)."""
     neighbors = _knn_neighbors(
-        test, train, feature_cols, label_col, k, test_key, train_key
+        test, train, feature_cols, label_col, k, test_key, train_key,
+        max_probe_rows=max_probe_rows,
     )
     return majority_vote(neighbors, "_tk", "_lbl").withColumnRenamed("_tk", test_key)
 
@@ -161,6 +174,7 @@ def knn_regress(
     k: int,
     test_key: str,
     train_key: str,
+    max_probe_rows: int = 100_000,
 ) -> DataFrame:
     """Brute-force relational KNN REGRESSION: identical neighbor search to
     `knn_classify`, but the prediction is the mean of the k neighbors'
@@ -168,7 +182,8 @@ def knn_regress(
     reference src/transpiler.py:2599-2633) instead of a majority vote.
     Returns (test_key, predicted) with predicted rounded to 6dp."""
     neighbors = _knn_neighbors(
-        test, train, feature_cols, target_col, k, test_key, train_key
+        test, train, feature_cols, target_col, k, test_key, train_key,
+        max_probe_rows=max_probe_rows,
     )
     return mean_of_neighbors(neighbors, "_tk", "_lbl").withColumnRenamed(
         "_tk", test_key

@@ -585,6 +585,7 @@ def hard_negative_mining(
     label_col: str = "label",
     id_col: str = "vec_id",
     k: int = 5,
+    max_anchor_rows: int = 100_000,
 ) -> DataFrame:
     """Hard-negative mining for contrastive embedding training: for every
     anchor, the top-k most-similar corpus items with a DIFFERENT label
@@ -595,11 +596,21 @@ def hard_negative_mining(
     (shuffle keyed on anchor id).  Ranking uses the 6dp-rounded cosine
     with id tie-break, so ranks are engine-portable.  At 100 TB replace
     the broadcast-cross candidate step with IVF probing (ivf_build +
-    list_id filter) — the window stage is unchanged."""
+    list_id filter) — the window stage is unchanged.
+
+    Guarded: raises if the anchor side exceeds `max_anchor_rows` (the
+    brute-force candidate volume is |anchors| x |corpus|; past the bound,
+    hard_negative_mining_ivf is the documented path).  Pass a larger
+    bound explicitly only for parity testing."""
     from pyspark.sql.window import Window
 
     from inferdb_spark.functions.vector import l2_norm
+    from inferdb_spark.scale import assert_small_side
 
+    anchors = assert_small_side(
+        anchors, max_anchor_rows, "hard_negative_mining",
+        "similarity.hard_negative_mining_ivf",
+    )
     a = anchors.select(
         F.col(id_col).alias("anchor_id"),
         as_double_array(F.col(vec_col)).alias("_av"),

@@ -112,3 +112,23 @@ def repartition_for_output(
         return df.coalesce(max(1, df.rdd.getNumPartitions()))
     n = max(1, estimated_total_mb // target_file_mb)
     return df.repartition(n)
+
+
+def assert_small_side(
+    df: DataFrame, max_rows: int, caller: str, alternative: str
+) -> DataFrame:
+    """Guard for parity-only brute-force operators (round-4 verdict item
+    7): raise if the side that is about to broadcast/cross-join exceeds
+    `max_rows`, naming the scale-path alternative, so a 100x caller cannot
+    silently pick the O(n·m) variant.
+
+    Cost-bounded even on a huge input: `limit(max_rows + 1).count()` scans
+    at most max_rows + 1 rows — it never pays for the full relation."""
+    n = df.limit(max_rows + 1).count()
+    if n > max_rows:
+        raise ValueError(
+            f"{caller}: the brute-force variant is documented for at most "
+            f"{max_rows} probe/anchor rows (got >{max_rows}); use "
+            f"{alternative} for corpus-scale inputs"
+        )
+    return df

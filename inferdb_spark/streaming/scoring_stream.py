@@ -219,3 +219,72 @@ def session_window_aggregate(
             "total",
         )
     )
+
+
+def curation_stream(
+    stream_df: DataFrame,
+    eval_gram_lists: list[list[int]],
+    min_tokens: int = 20,
+    n: int = 5,
+    min_shared: int = 3,
+    text_col: str = "text",
+    bounded_state: bool = False,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """The e2e curation chain (gate:e2e_curation_pipeline stages 1-3) as a
+    CONTINUOUS streaming job: quality length filter (stateless) →
+    eval-suite decontamination (stateless — the eval suite is a fixed
+    benchmark set, so its per-doc distinct gram hashes are burned into the
+    plan as literal arrays and each incoming doc checks
+    |distinct shared n-grams with ANY eval doc| >= min_shared as a pure
+    Column expression) → exact content dedup (stateful dropDuplicates on
+    md5(text); bounded_state=True switches to the watermark-bounded
+    variant for unbounded ingest, the dedup_stream contract).
+
+    Streaming-equals-batch: stages 1-2 are per-row functions of content,
+    and dedup keys on content, so the emitted DISTINCT CONTENT SET equals
+    the batch chain's regardless of file/trigger interleaving — exactly
+    what gate:stream_curation_chain hash-checks against a DuckDB replay
+    of the batch chain.  (Per-source token budgets are a periodic batch
+    finalization over the curated sink, not a per-event decision — see
+    textprep.token_budget_per_source.)
+
+    100 TB shape: stages 1-2 are map-only; dedup state is one compact
+    md5 key per distinct content (bounded by the watermark horizon in the
+    bounded_state variant).  The eval-literal plan grows with the suite
+    (fine for benchmark suites of ~1e2..1e4 grams; beyond that, decon
+    moves to the broadcast-join form of textprep.decontaminate inside
+    foreachBatch)."""
+    from inferdb_spark.functions.hashing import h52
+    from inferdb_spark.functions.text import bind_once, word_ngrams
+
+    s1 = stream_df.where(
+        F.size(F.split(F.col(text_col), " ")) >= min_tokens
+    )
+    if eval_gram_lists:
+        lits = F.array(
+            *[
+                F.array(*[F.lit(int(g)).cast("long") for g in grams])
+                for grams in eval_gram_lists
+            ]
+        )
+        doc_grams = F.array_distinct(
+            F.transform(word_ngrams(F.col(text_col), n), lambda g: h52(g))
+        )
+        contaminated = bind_once(
+            doc_grams,
+            lambda dg: F.exists(
+                lits,
+                lambda eg: F.size(F.array_intersect(dg, eg))
+                >= F.lit(min_shared),
+            ),
+        )
+        s2 = s1.where(~contaminated)
+    else:
+        s2 = s1
+    keyed = s2.withColumn("content_h", F.md5(F.col(text_col)))
+    return dedup_stream(
+        keyed, ["content_h"], ts_col=ts_col, watermark=watermark,
+        bounded_state=bounded_state,
+    )

@@ -236,3 +236,54 @@ def test_runtime_bloom_filter_pruning(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# ---------------------------------------------------------------------------
+# brute-force size guards (round-5: parity-only variants must refuse
+# corpus-scale probe sides instead of silently going O(n*m))
+# ---------------------------------------------------------------------------
+
+
+def test_assert_small_side_passes_and_raises(spark):
+    import pytest
+
+    from inferdb_spark.scale import assert_small_side
+
+    small = spark.range(10)
+    assert assert_small_side(small, 100, "x", "y").count() == 10
+    big = spark.range(500)
+    with pytest.raises(ValueError, match="use the-ivf-path"):
+        assert_small_side(big, 100, "caller", "the-ivf-path")
+
+
+def test_hard_negative_mining_guard(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from inferdb_spark.operators.similarity import hard_negative_mining
+
+    emb = spark.range(300).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+        (F.col("id") % 2).alias("label"),
+    )
+    with pytest.raises(ValueError, match="hard_negative_mining_ivf"):
+        hard_negative_mining(emb, emb, max_anchor_rows=100)
+    # under the bound it still runs
+    out = hard_negative_mining(emb.limit(5), emb, k=2, max_anchor_rows=100)
+    assert out.count() == 10
+
+
+def test_knn_probe_guard(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from inferdb_spark.operators.knn import knn_classify
+
+    pts = spark.range(300).select(
+        F.col("id").alias("k_"),
+        (F.col("id") % 7).alias("f1"),
+        (F.col("id") % 3).alias("lbl"),
+    )
+    with pytest.raises(ValueError, match="knn_classify_ivf"):
+        knn_classify(pts, pts, ["f1"], "lbl", 3, "k_", "k_", max_probe_rows=100)
