@@ -271,6 +271,11 @@ def main() -> None:
         "char_entropy_quality",
         "ngram_novelty",
         "e2e_curation_pipeline",
+        # round-5 additions: native LR training replay, binned-midrank
+        # Spearman (the scale substitution), stdlib PNG decode
+        "logreg_train_replay",
+        "spearman_binned",
+        "media_png_decode",
     ]:
         if name in gq:
             fn = gq[name]

@@ -68,6 +68,7 @@ def _ensure_registered() -> None:
         "inferdb_spark.gate_llm3",
         "inferdb_spark.gate_llm4",
         "inferdb_spark.gate_curate",
+        "inferdb_spark.gate_r5",
     ):
         try:
             importlib.import_module(mod)
@@ -102,17 +103,19 @@ _PRIORITY: list[str] = [
     # round-5 additions (never checked by construction)
     "logreg_train_replay", "spearman_binned", "media_png_decode",
     "stream_curation_chain",
+    "softmax_train_replay", "mf_train_replay", "mg_heavy_hitters",
+    "cv_leave_fold_out", "conformal_interval", "psi_drift",
     # back-fill to 50: stale gates last checked in the r01 window only —
     # the core learned-index path plus the dedup/ANN/text headliners
     "index_translate", "index_kv_build", "index_score", "index_score_rmsle",
     "woe_iv", "mlp_relational", "linear_score_coo", "multiclass_argmax",
     "cluster_assign", "dedup_exact", "minhash_lsh_pairs",
     "simhash_fingerprint", "ngram_jaccard_verify", "prefix_filter_jaccard_join",
-    "embedding_cosine_topk", "ivf_search", "lang_id", "text_quality",
-    "eval_decontamination", "mixture_sampling", "bpe_token_count",
-    "pricing_summary", "classification_metrics",
+    "embedding_cosine_topk", "ivf_search", "lang_id",
     # ---- 50-gate window boundary ----
     # next-stalest r01 gates continue the rotation for round 6
+    "text_quality", "eval_decontamination", "mixture_sampling",
+    "bpe_token_count", "pricing_summary", "classification_metrics",
     "impute_mean", "robust_scale", "one_hot_encode", "coo_sparsify",
     "crazy_exp_sigmoid", "datetime_extract", "geo_distance",
     "linear_score_dense", "topk_orders", "join_enrich_revenue",

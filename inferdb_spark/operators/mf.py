@@ -1,0 +1,321 @@
+"""In-database matrix-factorization TRAINING (latent-factor recommender).
+
+The reference's in-DB-training story (PGML `pgml.train`,
+src/transpiler.py:2032-2101; MADlib trainers, :2382-2466 — MADlib ships
+`madlib.lmf_igd_run` low-rank matrix factorization) covers models whose
+fit lives inside the engine.  This module is the Spark-native member for
+latent factors: full-batch joint gradient descent on the squared-error
+objective over (user, item, rating) triples, with BOTH factor matrices
+living as relations — nothing model-sized ever reaches the driver, unlike
+the logreg/softmax trainers whose coefficient vector is O(p).
+
+Scale shape (the 100 TB question): per step, ONE equi-join of the rating
+scan against the two factor relations (each join key is the natural
+user/item key — broadcastable when one side is small, shuffle-partitioned
+otherwise) and TWO map-side-combined groupBys (user, item).  Factor state
+is O(users + items) rows, k BIGINT columns; steps are a driver loop but
+`.collect()` never happens — the loop only chains DataFrames with
+localCheckpoint() truncating lineage per step (the graph.py fixpoint
+pattern).
+
+Determinism engineering (cross-engine bit-exactness):
+- factors are STORED as BIGINT micro-units (1e-6): state is exact
+  integers, so there is no float-representation drift between steps;
+- hash-based init: uq_f = h52('u'||key||'_'||f) % 200001 - 100000
+  (±0.1 in micro-units) — portable md5 arithmetic, identical in DuckDB;
+- per-row error e = r - ((u0*v0) + u1*v1 + ...) with u_f = uq_f/1e6
+  evaluated in written order; eq = floor(e*1e6 + 0.5) BIGINT;
+- gradient sums S_uf = SUM(eq * vq_f) are exact BIGINTs (|eq|<2e6,
+  |vq|<~2e6, 60k terms -> well under 2^63);
+- the update  uq_f += floor(lr * S_uf / (1e6 * n_u) + 0.5)  is one
+  double division + floor, identical expression text on both engines;
+- final predictions are pure-integer dots SUM_f uq_f*vq_f (micro^2 units)
+  — the gate hashes BIGINTs, no float in the output at all.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from inferdb_spark.functions.hashing import duckdb_h52, h52
+
+INIT_RANGE = 100_000  # ±0.1 in micro-units
+
+
+def _init_factors(df: DataFrame, key: str, prefix: str, k: int) -> DataFrame:
+    """Distinct keys -> k hash-initialized BIGINT micro-unit factors."""
+    out = df.select(F.col(key).cast("long").alias(key)).distinct()
+    for f in range(k):
+        seed = F.concat(
+            F.lit(prefix), F.col(key).cast("string"), F.lit(f"_{f}")
+        )
+        out = out.withColumn(
+            f"{prefix}q{f}",
+            (h52(seed) % F.lit(2 * INIT_RANGE + 1) - F.lit(INIT_RANGE)).cast("long"),
+        )
+    return out
+
+
+def _error_micro(k: int):
+    """eq = floor((r - pred)*1e6 + 0.5) with pred folded in factor order."""
+    pred = (F.col("uq0").cast("double") / F.lit(1e6)) * (
+        F.col("vq0").cast("double") / F.lit(1e6)
+    )
+    for f in range(1, k):
+        pred = pred + (F.col(f"uq{f}").cast("double") / F.lit(1e6)) * (
+            F.col(f"vq{f}").cast("double") / F.lit(1e6)
+        )
+    return F.floor((F.col("rating") - pred) * F.lit(1e6) + F.lit(0.5)).cast("long")
+
+
+@dataclass
+class MFModel:
+    user_col: str
+    item_col: str
+    k: int
+    user_factors: DataFrame  # (user, uq0..uq{k-1}) BIGINT micro-units
+    item_factors: DataFrame  # (item, vq0..vq{k-1})
+    n_steps: int
+    learning_rate: float
+
+    def predict(self, ratings: DataFrame) -> DataFrame:
+        """Append `pred_micro2` = Σ_f uq_f·vq_f (exact BIGINT, 1e-12 units)."""
+        joined = ratings.join(self.user_factors, self.user_col, "left").join(
+            self.item_factors, self.item_col, "left"
+        )
+        dot = F.col("uq0") * F.col("vq0")
+        for f in range(1, self.k):
+            dot = dot + F.col(f"uq{f}") * F.col(f"vq{f}")
+        return joined.withColumn("pred_micro2", dot.cast("long"))
+
+
+def fit_mf_gd(
+    ratings: DataFrame,
+    user_col: str,
+    item_col: str,
+    rating_col: str,
+    k: int = 2,
+    n_steps: int = 3,
+    learning_rate: float = 1.0,
+) -> MFModel:
+    """Joint full-batch GD.  Per step: join ratings⋈U⋈V -> eq, then both
+    factor relations update from the SAME error snapshot (checkpointed so
+    the join subtree runs once)."""
+    lr = float(learning_rate)
+    r = ratings.select(
+        F.col(user_col).cast("long").alias("u"),
+        F.col(item_col).cast("long").alias("i"),
+        F.col(rating_col).cast("double").alias("rating"),
+    )
+    U = _init_factors(r, "u", "u", k).localCheckpoint(eager=True)
+    V = _init_factors(r, "i", "v", k).localCheckpoint(eager=True)
+    for _ in range(n_steps):
+        E = (
+            r.join(U, "u").join(V, "i")
+            .withColumn("eq", _error_micro(k))
+            .localCheckpoint(eager=True)
+        )
+        u_aggs = [F.count(F.lit(1)).alias("n_u")] + [
+            F.sum(F.col("eq") * F.col(f"vq{f}")).alias(f"s{f}") for f in range(k)
+        ]
+        gu = E.groupBy("u").agg(*u_aggs)
+        U = (
+            U.join(gu, "u", "left")
+            .select(
+                "u",
+                *[
+                    F.when(
+                        F.col("n_u").isNotNull(),
+                        F.col(f"uq{f}")
+                        + F.floor(
+                            F.lit(lr) * F.col(f"s{f}").cast("double")
+                            / (F.lit(1e6) * F.col("n_u").cast("double"))
+                            + F.lit(0.5)
+                        ).cast("long"),
+                    )
+                    .otherwise(F.col(f"uq{f}"))
+                    .alias(f"uq{f}")
+                    for f in range(k)
+                ],
+            )
+            .localCheckpoint(eager=True)
+        )
+        v_aggs = [F.count(F.lit(1)).alias("n_v")] + [
+            F.sum(F.col("eq") * F.col(f"uq{f}")).alias(f"s{f}") for f in range(k)
+        ]
+        gv = E.groupBy("i").agg(*v_aggs)
+        V = (
+            V.join(gv, "i", "left")
+            .select(
+                "i",
+                *[
+                    F.when(
+                        F.col("n_v").isNotNull(),
+                        F.col(f"vq{f}")
+                        + F.floor(
+                            F.lit(lr) * F.col(f"s{f}").cast("double")
+                            / (F.lit(1e6) * F.col("n_v").cast("double"))
+                            + F.lit(0.5)
+                        ).cast("long"),
+                    )
+                    .otherwise(F.col(f"vq{f}"))
+                    .alias(f"vq{f}")
+                    for f in range(k)
+                ],
+            )
+            .localCheckpoint(eager=True)
+        )
+    return MFModel(
+        user_col="u", item_col="i", k=k,
+        user_factors=U, item_factors=V,
+        n_steps=n_steps, learning_rate=lr,
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle: init + every GD step as a CTE chain, final integer dots.
+
+
+def fit_predict_mf_sql(
+    user_sql: str,
+    item_sql: str,
+    rating_sql: str,
+    row_id_sql: str,
+    k: int = 2,
+    n_steps: int = 3,
+    learning_rate: float = 1.0,
+    table: str = "lineitem",
+) -> str:
+    """Replay the ENTIRE MF fit in DuckDB from the same literals: hash
+    init -> (error snapshot -> U update -> V update) × n_steps -> exact
+    BIGINT prediction dot per rating row."""
+    lr = float(learning_rate)
+
+    def init_cols(prefix: str, keycol: str) -> str:
+        cols = []
+        for f in range(k):
+            seed = "'" + prefix + "' || CAST(" + keycol + " AS VARCHAR) || '_" + str(f) + "'"
+            cols.append(
+                f"CAST({duckdb_h52(seed)} % {2 * INIT_RANGE + 1} - {INIT_RANGE} "
+                f"AS BIGINT) AS {prefix}q{f}"
+            )
+        return ", ".join(cols)
+
+    ctes = [
+        f"r AS MATERIALIZED (SELECT CAST({row_id_sql} AS BIGINT) AS row_id, "
+        f"CAST({user_sql} AS BIGINT) AS u, CAST({item_sql} AS BIGINT) AS i, "
+        f"CAST({rating_sql} AS DOUBLE) AS rating FROM {table})",
+        f"u0 AS (SELECT u, {init_cols('u', 'u')} FROM (SELECT DISTINCT u FROM r))",
+        f"v0 AS (SELECT i, {init_cols('v', 'i')} FROM (SELECT DISTINCT i FROM r))",
+    ]
+
+    def pred_sql() -> str:
+        p = "((CAST(uq0 AS DOUBLE) / 1000000.0) * (CAST(vq0 AS DOUBLE) / 1000000.0))"
+        for f in range(1, k):
+            p = (
+                f"({p} + ((CAST(uq{f} AS DOUBLE) / 1000000.0) * "
+                f"(CAST(vq{f} AS DOUBLE) / 1000000.0)))"
+            )
+        return p
+
+    for t in range(n_steps):
+        uq = ", ".join(f"uq{f}" for f in range(k))
+        vq = ", ".join(f"vq{f}" for f in range(k))
+        ctes.append(
+            f"e{t} AS MATERIALIZED (SELECT u, i, {uq}, {vq}, "
+            f"CAST(floor((rating - {pred_sql()}) * 1000000.0 + 0.5) AS BIGINT) AS eq "
+            f"FROM r JOIN u{t} USING (u) JOIN v{t} USING (i))"
+        )
+        su = ", ".join(f"SUM(eq * vq{f}) AS s{f}" for f in range(k))
+        upd_u = ", ".join(
+            f"CASE WHEN g.n_u IS NOT NULL THEN uq{f} + CAST(floor({lr!r} * "
+            f"CAST(g.s{f} AS DOUBLE) / (1000000.0 * CAST(g.n_u AS DOUBLE)) + 0.5) "
+            f"AS BIGINT) ELSE uq{f} END AS uq{f}"
+            for f in range(k)
+        )
+        ctes.append(
+            f"u{t + 1} AS (SELECT u{t}.u, {upd_u} FROM u{t} LEFT JOIN "
+            f"(SELECT u, CAST(count(*) AS BIGINT) AS n_u, {su} FROM e{t} GROUP BY u) g "
+            f"ON u{t}.u = g.u)"
+        )
+        sv = ", ".join(f"SUM(eq * uq{f}) AS s{f}" for f in range(k))
+        upd_v = ", ".join(
+            f"CASE WHEN g.n_v IS NOT NULL THEN vq{f} + CAST(floor({lr!r} * "
+            f"CAST(g.s{f} AS DOUBLE) / (1000000.0 * CAST(g.n_v AS DOUBLE)) + 0.5) "
+            f"AS BIGINT) ELSE vq{f} END AS vq{f}"
+            for f in range(k)
+        )
+        ctes.append(
+            f"v{t + 1} AS (SELECT v{t}.i, {upd_v} FROM v{t} LEFT JOIN "
+            f"(SELECT i, CAST(count(*) AS BIGINT) AS n_v, {sv} FROM e{t} GROUP BY i) g "
+            f"ON v{t}.i = g.i)"
+        )
+
+    dot = " + ".join(f"uq{f} * vq{f}" for f in range(k))
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f" SELECT row_id, CAST(({dot}) AS BIGINT) AS pred_micro2 "
+        f"FROM r JOIN u{n_steps} USING (u) JOIN v{n_steps} USING (i) "
+        f"ORDER BY row_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# pure-Python twin (parity tests)
+
+
+def fit_mf_numpy(
+    triples, k: int = 2, n_steps: int = 3, learning_rate: float = 1.0
+):
+    """Bit-identical dict-based replay of fit_mf_gd.  `triples` is a list of
+    (user, item, rating).  Returns (U, V) dicts key -> [micro-unit ints].
+    Mirrors the hash init via hashlib md5 (the h52 formula)."""
+    import hashlib
+
+    def h52_py(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:13], 16)
+
+    lr = float(learning_rate)
+    users = sorted({u for u, _, _ in triples})
+    items = sorted({i for _, i, _ in triples})
+    U = {
+        u: [h52_py(f"u{u}_{f}") % (2 * INIT_RANGE + 1) - INIT_RANGE for f in range(k)]
+        for u in users
+    }
+    V = {
+        i: [h52_py(f"v{i}_{f}") % (2 * INIT_RANGE + 1) - INIT_RANGE for f in range(k)]
+        for i in items
+    }
+    import math
+
+    for _ in range(n_steps):
+        eqs = []
+        for u, i, r in triples:
+            pred = (U[u][0] / 1e6) * (V[i][0] / 1e6)
+            for f in range(1, k):
+                pred = pred + (U[u][f] / 1e6) * (V[i][f] / 1e6)
+            eqs.append(math.floor((r - pred) * 1e6 + 0.5))
+        new_U = {}
+        for u in users:
+            rows = [(j, it) for j, (uu, it, _) in enumerate(triples) if uu == u]
+            n_u = len(rows)
+            facs = []
+            for f in range(k):
+                s = sum(eqs[j] * V[it][f] for j, it in rows)
+                facs.append(U[u][f] + math.floor(lr * s / (1e6 * n_u) + 0.5))
+            new_U[u] = facs
+        new_V = {}
+        for i in items:
+            rows = [(j, uu) for j, (uu, it, _) in enumerate(triples) if it == i]
+            n_v = len(rows)
+            facs = []
+            for f in range(k):
+                s = sum(eqs[j] * U[uu][f] for j, uu in rows)
+                facs.append(V[i][f] + math.floor(lr * s / (1e6 * n_v) + 0.5))
+            new_V[i] = facs
+        U, V = new_U, new_V
+    return U, V

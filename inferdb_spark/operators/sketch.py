@@ -365,3 +365,78 @@ def cms_estimate(
         .groupBy("probe")
         .agg(F.min("cnt").cast("long").alias("est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries / SpaceSaving heavy hitters as a MERGEABLE relation
+# (Agarwal et al., "Mergeable Summaries", PODS'12).  The reference's
+# frequency questions are exact GROUP BY counts (the class-frequency
+# aggregates behind WoE/IV, src/encoder.py); at 100 TB an exact global
+# term count is a full shuffle of every distinct term.  The MG summary is
+# the deterministic sketch substitute: per logical shard keep only the
+# `capacity` most frequent terms with their counts REDUCED by the
+# (capacity+1)-th count t_s; merging shard summaries by summation yields
+# estimates that undercount by at most Σ_s t_s ≤ Σ_s n_s/(capacity+1) —
+# a bound the summary itself reports.
+#
+# Everything is relational and engine-portable: shards are LOGICAL
+# (h52(row_key) % n_shards, not physical partitions, so an independent
+# oracle reproduces them bit-for-bit), the per-shard reduction is one
+# window over (cnt DESC, term ASC), and the merge is a groupBy sum.
+# Scale: the post-shard relation is ≤ n_shards × capacity rows —
+# broadcastable; the only wide shuffle is the (shard, term) count, which
+# is map-side combined.
+
+
+def mg_shard_summaries(
+    df: DataFrame,
+    shard_key: Column,
+    term_col: Column,
+    n_shards: int,
+    capacity: int,
+) -> DataFrame:
+    """Per-shard Misra-Gries summaries: (shard, term, residual, t_s).
+    residual = cnt − t_s for the top-`capacity` terms of the shard (ties
+    to the lexicographically lowest term), t_s = the (capacity+1)-th
+    count (0 when the shard has ≤ capacity distinct terms)."""
+    shard = (h52(F.concat(F.lit("mg"), shard_key.cast("string"))) % F.lit(n_shards)).alias(
+        "shard"
+    )
+    counts = (
+        df.select(shard, term_col.alias("term"))
+        .groupBy("shard", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("cnt").desc(), F.col("term").asc())
+    ranked = counts.withColumn("rk", F.row_number().over(w))
+    thresholds = ranked.groupBy("shard").agg(
+        F.max(F.when(F.col("rk") == capacity + 1, F.col("cnt")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("t_s")
+    )
+    return (
+        ranked.filter(F.col("rk") <= capacity)
+        .join(thresholds, "shard")
+        .withColumn("residual", (F.col("cnt") - F.col("t_s")).cast("long"))
+        .filter(F.col("residual") > 0)
+        .select("shard", "term", "residual", "t_s")
+    )
+
+
+def mg_heavy_hitters(
+    summaries: DataFrame, thresholds: DataFrame, top_k: int
+) -> DataFrame:
+    """Merge shard summaries into global heavy hitters: est = Σ residual
+    (undercounts by ≤ err_bound = Σ_s t_s, reported alongside), top-k by
+    (est DESC, term ASC).  `thresholds` is the distinct (shard, t_s)
+    relation (pass the summaries themselves — it is deduped here)."""
+    err = thresholds.select("shard", "t_s").distinct().agg(
+        F.sum("t_s").cast("long").alias("err_bound")
+    )
+    return (
+        summaries.groupBy("term")
+        .agg(F.sum("residual").cast("long").alias("est"))
+        .crossJoin(F.broadcast(err))
+        .orderBy(F.col("est").desc(), F.col("term").asc())
+        .limit(top_k)
+    )

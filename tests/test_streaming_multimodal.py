@@ -106,20 +106,29 @@ def test_multimodal_undecodable_payload_raises(spark):
 
 
 def test_multimodal_compressed_needs_optional_dep(spark):
-    """PNG payloads decode via PIL when importable; otherwise the
+    """PNG decodes natively since round 5 (stdlib zlib), so a MALFORMED
+    PNG surfaces the native decoder's error; JPEG still needs PIL and the
     NotImplementedError fallback names the missing dependency."""
     from inferdb_spark.functions import media_codecs as MC
 
-    png_stub = b"\x89PNG\r\n\x1a\n" + bytes(64)
     if MC.pil_available():  # real PIL would fail on the stub body, skip
         return
     import pytest
 
+    png_stub = b"\x89PNG\r\n\x1a\n" + bytes(64)  # magic but no IHDR
     media = spark.createDataFrame(
         [(0, "image", png_stub, (1, 1, None, None, "png"))], MM.MEDIA_SCHEMA
     )
     with pytest.raises(Exception) as ei:
         MM.extract_image_features(media, fake=False).collect()
+    assert "PNG missing IHDR" in str(ei.value)
+
+    jpeg_stub = b"\xff\xd8\xff\xe0" + bytes(64)
+    media_j = spark.createDataFrame(
+        [(0, "image", jpeg_stub, (1, 1, None, None, "jpeg"))], MM.MEDIA_SCHEMA
+    )
+    with pytest.raises(Exception) as ei:
+        MM.extract_image_features(media_j, fake=False).collect()
     assert "requires PIL" in str(ei.value)
 
 
