@@ -105,15 +105,17 @@ _PRIORITY: list[str] = [
     "stream_curation_chain",
     "softmax_train_replay", "mf_train_replay", "mg_heavy_hitters",
     "cv_leave_fold_out", "conformal_interval", "psi_drift",
+    "entity_resolution", "quantile_regression_replay",
     # back-fill to 50: stale gates last checked in the r01 window only —
     # the core learned-index path plus the dedup/ANN/text headliners
     "index_translate", "index_kv_build", "index_score", "index_score_rmsle",
     "woe_iv", "mlp_relational", "linear_score_coo", "multiclass_argmax",
     "cluster_assign", "dedup_exact", "minhash_lsh_pairs",
     "simhash_fingerprint", "ngram_jaccard_verify", "prefix_filter_jaccard_join",
-    "embedding_cosine_topk", "ivf_search", "lang_id",
+    "embedding_cosine_topk",
     # ---- 50-gate window boundary ----
     # next-stalest r01 gates continue the rotation for round 6
+    "ivf_search", "lang_id",
     "text_quality", "eval_decontamination", "mixture_sampling",
     "bpe_token_count", "pricing_summary", "classification_metrics",
     "impute_mean", "robust_scale", "one_hot_encode", "coo_sparsify",

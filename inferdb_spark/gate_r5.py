@@ -517,3 +517,206 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution END-TO-END: the record-linkage composition (Fellegi-
+# Sunter shape: block -> pairwise verify -> cluster -> canonicalize) the
+# dedup family supports one stage at a time.  Dirty twins are derived
+# DETERMINISTICALLY inside the query (portable h52 selects 1/3 of
+# customers; one name character deleted at a hashed position), so both
+# engines construct the same corruption and the whole chain — including
+# the connected-components fixpoint — is cross-engine verified as ONE
+# relation (the e2e_curation_pipeline standard applied to ER).
+
+_ER_H = (
+    "(list_reduce(list_transform(regexp_extract_all(substr(md5("
+    "'er' || CAST(c_custkey AS VARCHAR)),1,13),'.'),"
+    " c -> cast(strpos('0123456789abcdef', c) - 1 as bigint)),"
+    " (a,b) -> a*16+b))"
+)
+_ER_POS = (
+    "(1 + list_reduce(list_transform(regexp_extract_all(substr(md5("
+    "'pos' || CAST(c_custkey AS VARCHAR)),1,13),'.'),"
+    " c -> cast(strpos('0123456789abcdef', c) - 1 as bigint)),"
+    " (a,b) -> a*16+b) % length(c_name))"
+)
+
+
+@gate(
+    "entity_resolution",
+    oracle=f"""
+    WITH RECURSIVE rec AS (
+      SELECT CAST(c_custkey AS BIGINT) AS rec_id, c_name AS name,
+             c_nationkey AS nat,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer
+      UNION ALL
+      SELECT CAST(c_custkey + 1000000 AS BIGINT) AS rec_id,
+             substr(c_name, 1, {_ER_POS} - 1) ||
+               substr(c_name, {_ER_POS} + 1) AS name,
+             c_nationkey AS nat,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer WHERE {_ER_H} % 3 = 0
+    ),
+    blocked AS (
+      -- floor division, NOT '//': DuckDB '//' truncates toward zero, so a
+      -- negative balance would land one band higher than Spark's floor
+      SELECT rec_id, name, nat,
+             CAST(floor(CAST(cents AS DOUBLE) / 100000.0) AS BIGINT) AS band
+      FROM rec
+    ),
+    pairs AS (
+      SELECT a.rec_id AS src, b.rec_id AS dst
+      FROM blocked a JOIN blocked b
+        ON a.nat = b.nat AND a.band = b.band AND a.rec_id < b.rec_id
+      WHERE levenshtein(a.name, b.name) <= 1
+    ),
+    edges AS (
+      SELECT src, dst FROM pairs
+      UNION ALL SELECT dst AS src, src AS dst FROM pairs
+      UNION ALL SELECT rec_id AS src, rec_id AS dst FROM rec
+    ),
+    labels(node, lbl) AS (
+      SELECT rec_id, rec_id FROM rec
+      UNION
+      SELECT e.dst, l.lbl FROM labels l JOIN edges e ON e.src = l.node
+    ),
+    assign AS (
+      SELECT node, CAST(min(lbl) AS BIGINT) AS component
+      FROM labels GROUP BY node
+    )
+    SELECT a.component, CAST(count(*) AS BIGINT) AS size, r.name AS canonical_name
+    FROM assign a JOIN rec r ON a.component = r.rec_id
+    GROUP BY a.component, r.name
+    ORDER BY a.component
+    """,
+)
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage end-to-end (operators/dedup + graph composition):
+    deterministic dirty twins (1/3 of customers, one hashed-position char
+    deleted) → blocking on (nation, $1000 acctbal band) so the pairwise
+    Levenshtein verify is quadratic only WITHIN blocks → edges at
+    distance ≤ 1 → distributed connected components (min-label + path
+    halving) → canonical record = lowest rec_id per cluster.  The oracle
+    replays the identical chain with a recursive-CTE fixpoint.  Scale:
+    blocking bounds the candidate join; everything else is linear."""
+    from inferdb_spark.functions.hashing import h52
+    from inferdb_spark.operators.graph import connected_components
+
+    c = load_table(spark, sf_dir, "customer")
+    base = c.select(
+        F.col("c_custkey").cast("long").alias("rec_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nat"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    hsel = h52(F.concat(F.lit("er"), F.col("c_custkey").cast("string")))
+    pos = (
+        F.lit(1)
+        + h52(F.concat(F.lit("pos"), F.col("c_custkey").cast("string")))
+        % F.length("c_name")
+    )
+    # twin name = original with the pos-th character deleted
+    twins = (
+        c.filter(hsel % 3 == 0)
+        .select(
+            (F.col("c_custkey") + 1000000).cast("long").alias("rec_id"),
+            F.concat(
+                F.substring(F.col("c_name"), F.lit(1), pos - 1),
+                F.col("c_name").substr(pos + 1, F.length("c_name")),
+            ).alias("name"),
+            F.col("c_nationkey").alias("nat"),
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+        )
+    )
+    rec = base.unionByName(twins)
+    blocked = rec.withColumn("band", F.floor(F.col("cents") / 100000).cast("long"))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.nat") == F.col("b.nat"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.rec_id") < F.col("b.rec_id")),
+        )
+        .where(F.levenshtein(F.col("a.name"), F.col("b.name")) <= 1)
+        .select(F.col("a.rec_id").alias("src"), F.col("b.rec_id").alias("dst"))
+    )
+    loops = rec.select(F.col("rec_id").alias("src"), F.col("rec_id").alias("dst"))
+    cc = connected_components(pairs.union(loops), "src", "dst")
+    return (
+        cc.groupBy(F.col("component").cast("long").alias("component"))
+        .agg(F.count(F.lit(1)).cast("long").alias("size"))
+        .join(
+            rec.select(F.col("rec_id").alias("component"), F.col("name").alias("canonical_name")),
+            "component",
+        )
+        .select("component", "size", "canonical_name")
+        .orderBy("component")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantile-regression training replay (pinball loss, transcendental-free).
+
+QR_TAU_MICRO = 900_000  # tau = 0.9
+QR_STEPS = 12
+QR_LR = 1.0
+QR_SCALE = 10_000
+QR_FEATS = ["qn", "l_discount", "l_tax"]
+QR_FEAT_SQLS = [
+    "l_quantity * CAST(0.02 AS DOUBLE)",
+    "l_discount",
+    "l_tax",
+]
+QR_LABEL_SQL = "l_extendedprice * CAST(0.00001 AS DOUBLE)"
+
+
+@gate(
+    "quantile_regression_replay",
+    oracle=None,  # set below to keep the import local
+)
+def q_quantile_regression_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native QUANTILE-regression training (operators/logreg.
+    fit_quantile_gd): 12 fixed-step subgradient rounds on pinball loss at
+    tau=0.9 — the per-row gradient is one of two exact integers, so the
+    entire fit has NO transcendental calls anywhere.  Output: 6dp-rounded
+    P90 prediction per row plus the under-indicator (fraction under ->
+    tau as the fit converges).  Oracle replays the full fit as a CTE
+    chain (the logreg_train_replay standard)."""
+    from inferdb_spark.operators import logreg as LG
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .withColumn("qn", F.col("l_quantity") * F.lit(0.02))
+        .withColumn("yq", F.col("l_extendedprice") * F.lit(0.00001))
+    )
+    model = LG.fit_quantile_gd(
+        li, QR_FEATS, "yq", tau_micro=QR_TAU_MICRO, n_steps=QR_STEPS,
+        learning_rate=QR_LR, scale=QR_SCALE,
+    )
+    m = model.prediction()
+    return li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+        .cast("long")
+        .alias("row_id"),
+        F.round(m, 6).cast("double").alias("qpred"),
+        (F.col("yq") <= m).cast("long").alias("under"),
+    )
+
+
+# register the oracle after the fact (fit_predict_quantile_sql import kept
+# out of the decorator so module import stays cheap)
+from inferdb_spark.operators.logreg import fit_predict_quantile_sql as _qr_sql  # noqa: E402
+from inferdb_spark import gate as _gate_mod  # noqa: E402
+
+_gate_mod._ORACLES["quantile_regression_replay"] = _qr_sql(
+    QR_FEAT_SQLS,
+    label_sql=QR_LABEL_SQL,
+    row_id_sql="l_orderkey * 10 + l_linenumber",
+    tau_micro=QR_TAU_MICRO,
+    n_steps=QR_STEPS,
+    learning_rate=QR_LR,
+    scale=QR_SCALE,
+)

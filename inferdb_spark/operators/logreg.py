@@ -251,3 +251,181 @@ def fit_logreg_numpy(
             for j in range(p)
         ]
     return coefs, intercept
+
+
+# ---------------------------------------------------------------------------
+# QUANTILE regression by the same fixed-step GD harness: pinball loss
+# rho_tau(y - f), whose subgradient wrt f is -tau when y > f and (1-tau)
+# otherwise (the y == f tie takes the (1-tau) branch on both engines).
+# With tau on the 1e-6 grid the per-row gradient is EXACTLY one of two
+# integers {-tau*1e6, (1-tau)*1e6} — no libm at all, so the whole fit is
+# transcendental-free.  Reference anchor: the reference's regression
+# trainers are squared-loss only (PGML regression, src/transpiler.py:
+# 2032-2101); quantile regression extends the family to P50/P90 bands.
+
+
+@dataclass
+class QuantRegModel:
+    feature_cols: list[str]
+    coefs: list[float]
+    intercept: float
+    scale: int
+    tau_micro: int  # tau * 1e6, exact
+    n_steps: int
+    learning_rate: float
+
+    def prediction(self) -> Column:
+        return _margin_expr(self.feature_cols, self.coefs, self.intercept, self.scale)
+
+
+def quantile_gradient_relation(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    coefs: list[float],
+    intercept: float,
+    scale: int,
+    tau_micro: int,
+) -> DataFrame:
+    """One-row relation of exact integer pinball-gradient sums: gq is
+    -tau_micro when y > f else GRID - tau_micro."""
+    m = _margin_expr(feature_cols, coefs, intercept, scale)
+    y = F.col(label_col).cast("double")
+    gq = (
+        F.when(y > m, F.lit(-tau_micro)).otherwise(F.lit(GRID - tau_micro))
+    ).cast("long")
+    aggs = [F.count(F.lit(1)).alias("n"), F.sum(gq).alias("sg")]
+    for j, c in enumerate(feature_cols):
+        aggs.append(F.sum(gq * _xq(c, scale)).alias(f"sgx_{j}"))
+    return df.agg(*aggs)
+
+
+def fit_quantile_gd(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    tau_micro: int = 900_000,
+    n_steps: int = 12,
+    learning_rate: float = 1.0,
+    scale: int = 10_000,
+) -> QuantRegModel:
+    """Fixed-step full-batch subgradient descent from beta = 0 — the
+    fit_logreg_gd loop with the pinball gradient."""
+    p = len(feature_cols)
+    coefs = [0.0] * p
+    intercept = 0.0
+    lr = float(learning_rate)
+    for _ in range(n_steps):
+        row = quantile_gradient_relation(
+            df, feature_cols, label_col, coefs, intercept, scale, tau_micro
+        ).collect()[0]
+        n = row["n"]
+        intercept = intercept - lr * (row["sg"] / (1000000.0 * n))
+        coefs = [
+            coefs[j] - lr * (row[f"sgx_{j}"] / (1000000.0 * scale * n))
+            for j in range(p)
+        ]
+    return QuantRegModel(
+        feature_cols=list(feature_cols), coefs=coefs, intercept=intercept,
+        scale=scale, tau_micro=tau_micro, n_steps=n_steps, learning_rate=lr,
+    )
+
+
+def fit_predict_quantile_sql(
+    feature_sqls: list[str],
+    label_sql: str,
+    row_id_sql: str,
+    tau_micro: int = 900_000,
+    n_steps: int = 12,
+    learning_rate: float = 1.0,
+    scale: int = 10_000,
+    table: str = "lineitem",
+) -> str:
+    """Full quantile-regression training replay in DuckDB (the
+    fit_predict_logreg_sql chain with the pinball gradient), scoring every
+    row with the final coefficients (6dp-rounded predictions)."""
+    p = len(feature_sqls)
+    lr = float(learning_rate)
+
+    def xq_sql(expr: str) -> str:
+        return f"CAST(floor(({expr}) * {float(scale)!r} + 0.5) AS BIGINT)"
+
+    base_cols = ", ".join(
+        f"{xq_sql(e)} AS x{j}" for j, e in enumerate(feature_sqls)
+    )
+    ctes = [
+        f"b AS MATERIALIZED (SELECT CAST({row_id_sql} AS BIGINT) AS row_id, "
+        f"{base_cols}, CAST({label_sql} AS DOUBLE) AS y FROM {table})",
+        "beta0 AS (SELECT CAST(0.0 AS DOUBLE) AS b0, "
+        + ", ".join(f"CAST(0.0 AS DOUBLE) AS c{j}" for j in range(p))
+        + ")",
+    ]
+
+    def margin_sql(src: str) -> str:
+        m = f"{src}.b0"
+        for j in range(p):
+            t = f"(CAST(x{j} AS DOUBLE) / {float(scale)!r})"
+            m = f"({m} + ({src}.c{j} * {t}))"
+        return m
+
+    for k in range(n_steps):
+        m = margin_sql(f"beta{k}")
+        gq = (
+            f"CAST(CASE WHEN y > {m} THEN {-tau_micro} "
+            f"ELSE {GRID - tau_micro} END AS BIGINT)"
+        )
+        sgx = ", ".join(f"SUM(gq * x{j}) AS sgx_{j}" for j in range(p))
+        ctes.append(
+            f"s{k} AS (SELECT CAST(count(*) AS BIGINT) AS n, SUM(gq) AS sg, {sgx} "
+            f"FROM (SELECT y, {', '.join(f'x{j}' for j in range(p))}, {gq} AS gq "
+            f"FROM b CROSS JOIN beta{k}))"
+        )
+        upd = [
+            f"beta{k}.b0 - {lr!r} * (s{k}.sg / (1000000.0 * s{k}.n)) AS b0"
+        ]
+        for j in range(p):
+            upd.append(
+                f"beta{k}.c{j} - {lr!r} * (s{k}.sgx_{j} / "
+                f"(1000000.0 * {scale} * s{k}.n)) AS c{j}"
+            )
+        ctes.append(
+            f"beta{k + 1} AS (SELECT {', '.join(upd)} FROM beta{k} CROSS JOIN s{k})"
+        )
+
+    final = f"beta{n_steps}"
+    m = margin_sql(final)
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f" SELECT row_id, CAST(round({m}, 6) AS DOUBLE) AS qpred, "
+        f"CAST(CASE WHEN y <= {m} THEN 1 ELSE 0 END AS BIGINT) AS under "
+        f"FROM b CROSS JOIN {final} ORDER BY row_id"
+    )
+
+
+def fit_quantile_numpy(
+    X, y, tau_micro: int = 900_000, n_steps: int = 12,
+    learning_rate: float = 1.0, scale: int = 10_000,
+):
+    """Bit-identical numpy replay of fit_quantile_gd."""
+    import numpy as np
+
+    X = np.asarray(X, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    n, p = X.shape
+    xq = np.floor(X * float(scale) + 0.5).astype(np.int64)
+    coefs = [0.0] * p
+    intercept = 0.0
+    lr = float(learning_rate)
+    for _ in range(n_steps):
+        m = np.full(n, intercept, dtype=np.float64)
+        for j in range(p):
+            t = xq[:, j].astype(np.float64) / float(scale)
+            m = m + coefs[j] * t
+        gq = np.where(y > m, -tau_micro, GRID - tau_micro).astype(np.int64)
+        intercept = intercept - lr * (int(gq.sum()) / (1000000.0 * n))
+        coefs = [
+            coefs[j] - lr * (int((gq * xq[:, j]).sum()) / (1000000.0 * scale * n))
+            for j in range(p)
+        ]
+    return coefs, intercept

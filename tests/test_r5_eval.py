@@ -107,3 +107,53 @@ def test_psi_gate_terms_finite_and_sum_positive(spark):
     # each per-bin PSI contribution (p−q)ln(p/q) is individually ≥ 0 up to
     # micro-unit rounding
     assert all(r["psi_term_micro"] >= -1 for r in out)
+
+
+def test_quantile_regression_numpy_parity_and_coverage(spark):
+    """fit_quantile_gd == numpy twin bit-for-bit, and at convergence the
+    under-fraction approaches tau."""
+    from inferdb_spark.operators import logreg as LG
+
+    rows = [(i, (i % 23) / 23.0, ((i * 11) % 19) / 19.0) for i in range(400)]
+    df = spark.createDataFrame(rows, "rid long, x0 double, y double")
+    m = LG.fit_quantile_gd(
+        df, ["x0"], "y", tau_micro=900_000, n_steps=20, learning_rate=1.0
+    )
+    import numpy as np
+
+    coefs, b = LG.fit_quantile_numpy(
+        np.array([[r[1]] for r in rows]), np.array([r[2] for r in rows]),
+        tau_micro=900_000, n_steps=20, learning_rate=1.0,
+    )
+    assert m.coefs == coefs and m.intercept == b
+    under = (
+        df.select((F.col("y") <= m.prediction()).cast("long").alias("u"))
+        .agg(F.avg("u"))
+        .collect()[0][0]
+    )
+    assert 0.8 <= under <= 1.0  # converging toward tau=0.9 from above
+
+
+def test_quantile_regression_no_transcendentals_in_plan(spark):
+    """The pinball gradient aggregation plan contains no exp/log calls."""
+    from inferdb_spark.operators import logreg as LG
+
+    df = spark.createDataFrame([(0.1, 0.2)], "x0 double, y double")
+    rel = LG.quantile_gradient_relation(df, ["x0"], "y", [0.0], 0.0, 10_000, 900_000)
+    plan = rel._jdf.queryExecution().executedPlan().toString()
+    assert "exp(" not in plan.lower() and "log(" not in plan.lower()
+
+
+def test_entity_resolution_twins_resolve(spark):
+    """Every dirty twin lands in the same cluster as its source record:
+    no cluster that contains a twin (rec_id > 1e6) may be a singleton."""
+    from inferdb_spark.gate_r5 import q_entity_resolution
+
+    out = q_entity_resolution(spark, SF_DIR).collect()
+    comp_size = {r["component"]: r["size"] for r in out}
+    # twins exist and every twin-bearing cluster has >= 2 records
+    twin_clusters = [c for c in comp_size if c >= 1000000]
+    # a twin's component label can only exceed 1e6 if the cluster contains
+    # ONLY twins — impossible when its source record matched; so none.
+    assert twin_clusters == []
+    assert sum(comp_size.values()) > len(comp_size)  # some clusters merged
