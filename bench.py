@@ -276,6 +276,14 @@ def main() -> None:
         "logreg_train_replay",
         "spearman_binned",
         "media_png_decode",
+        "softmax_train_replay",
+        "mf_train_replay",
+        "quantile_regression_replay",
+        "mg_heavy_hitters",
+        "item_item_topk",
+        "entity_resolution",
+        "scd2_intervals",
+        "conformal_interval",
     ]:
         if name in gq:
             fn = gq[name]

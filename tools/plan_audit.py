@@ -285,6 +285,48 @@ def main() -> int:
         ("single shuffle (the word-count groupBy), no joins",
          lambda p: p.count("Exchange") <= 2 and "Join" not in p),
     ])
+    # ---- round-5 additions ----
+    audit("item_item_topk", [
+        ("degree-capped co-rating join is an equi join (no cartesian, "
+         "no nested loop)", lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("no Python nodes", lambda p: "Python" not in p),
+    ])
+    audit("conformal_interval", [
+        ("q-hat order statistic via TakeOrdered, never a global sort+"
+         "window", lambda p: "TakeOrderedAndProject" in p
+         and "Window" not in p),
+        ("train stats broadcast to calib/test probes",
+         lambda p: "BroadcastHashJoin" in p and "SortMergeJoin" not in p),
+    ])
+    audit("mg_heavy_hitters", [
+        ("shard summaries merge broadcastably (err-bound scalar is "
+         "broadcast)", lambda p: "CartesianProduct" not in p),
+        ("no Python nodes", lambda p: "Python" not in p),
+    ])
+    audit("ewma_smoothing", [
+        ("recurrence folds in codegen (no Python nodes)",
+         lambda p: "Python" not in p),
+        ("one groupBy shuffle, no joins",
+         lambda p: "Join" not in p),
+    ])
+    audit("entity_resolution", [
+        ("blocking join is an equi join on (nation, band) — no "
+         "cartesian / nested loop", lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("no Python nodes through the CC fixpoint",
+         lambda p: "Python" not in p),
+    ])
+    audit("softmax_train_replay", [
+        ("scoring projection has no Python nodes",
+         lambda p: "Python" not in p),
+    ])
+    audit("mf_train_replay", [
+        ("factor joins are hash equi joins (no nested loop)",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("no Python nodes", lambda p: "Python" not in p),
+    ])
 
     print("\n" + ("ALL PLAN CHECKS PASS" if failures == 0 else f"{failures} PLAN CHECKS FAILED"))
     return 1 if failures else 0
