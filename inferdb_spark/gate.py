@@ -109,14 +109,14 @@ _PRIORITY: list[str] = [
     "entity_resolution", "quantile_regression_replay",
     "scd2_intervals", "item_item_topk", "kaplan_meier",
     "ewma_smoothing", "ab_test_ztest", "jackknife_variance",
+    "power_iteration_eigen",
     # back-fill to 50: stale gates last checked in the r01 window only —
     # the core learned-index path plus the dedup/ANN/text headliners
     "index_translate", "index_kv_build", "index_score", "index_score_rmsle",
     "woe_iv", "mlp_relational", "linear_score_coo", "multiclass_argmax",
-    "cluster_assign",
     # ---- 50-gate window boundary ----
     # next-stalest r01 gates continue the rotation for round 6
-    "dedup_exact", "minhash_lsh_pairs",
+    "cluster_assign", "dedup_exact", "minhash_lsh_pairs",
     "simhash_fingerprint", "ngram_jaccard_verify", "prefix_filter_jaccard_join",
     "embedding_cosine_topk",
     "ivf_search", "lang_id",

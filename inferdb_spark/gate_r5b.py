@@ -579,3 +579,119 @@ def q_jackknife_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("g")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dominant-eigenvector power iteration over the item co-purchase gram —
+# spectral methods as iterative relational linear algebra (the
+# graph.pagerank_integer pattern applied to an eigen problem).  Max-norm
+# normalization keeps every step in exact integer micro-units with ONE
+# double division per item per step (no sqrt anywhere).
+
+PI_STEPS = 3
+PI_MOD = 10  # partkey % PI_MOD == 0 bounds the item set (oracle CTE size)
+
+
+@gate(
+    "power_iteration_eigen",
+    oracle=f"""
+    WITH ratings AS (
+      SELECT o_custkey AS u, l_partkey AS it, CAST(count(*) AS BIGINT) AS cnt
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE l_partkey % {PI_MOD} = 0
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.it AS i, b.it AS j, CAST(sum(a.cnt * b.cnt) AS BIGINT) AS w
+      FROM ratings a JOIN ratings b ON a.u = b.u AND a.it < b.it
+      GROUP BY 1, 2
+    ),
+    diag AS (
+      SELECT it AS i, it AS j, CAST(sum(cnt * cnt) AS BIGINT) AS w
+      FROM ratings GROUP BY it
+    ),
+    gram AS (
+      SELECT i, j, w FROM pairs
+      UNION ALL SELECT j AS i, i AS j, w FROM pairs
+      UNION ALL SELECT i, j, w FROM diag
+    ),
+    items AS (SELECT DISTINCT i AS it FROM gram),
+    v0 AS (SELECT it, CAST(1000000 AS BIGINT) AS vq FROM items),
+    {", ".join(
+        f'''w{t} AS (
+          SELECT g.i AS it, CAST(sum(g.w * v.vq) AS BIGINT) AS wq
+          FROM gram g JOIN v{t} v ON g.j = v.it GROUP BY g.i
+        ),
+        m{t} AS (SELECT max(wq) AS m FROM w{t}),
+        v{t + 1} AS (
+          SELECT it, CAST(floor(CAST(wq AS DOUBLE) * 1000000.0 /
+                                CAST(m.m AS DOUBLE) + 0.5) AS BIGINT) AS vq
+          FROM w{t} CROSS JOIN m{t} m
+        )'''
+        for t in range(PI_STEPS)
+    )}
+    SELECT it, vq FROM v{PI_STEPS} ORDER BY it
+    """,
+)
+def q_power_iteration_eigen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant eigenvector of the item co-purchase gram by {PI_STEPS}
+    power-iteration steps, entirely relational: each step is one
+    matmul-as-join (gram ⋈ vector on the column key, groupBy row key) +
+    a broadcast max-norm scalar; the vector stays in exact BIGINT
+    micro-units (floor-snapped after the single double division).  The
+    spectral sibling of pagerank_supplier_part — eigen-centrality /
+    spectral-embedding coordinates without any linear-algebra runtime.
+    Scale: the gram is sparse and shuffle-partitioned on its keys; the
+    vector is one row per item; steps chain localCheckpoints."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") % PI_MOD == 0
+    )
+    ratings = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy(
+            F.col("o_custkey").alias("u"), F.col("l_partkey").alias("it")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    a, b = ratings.alias("a"), ratings.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.u") == F.col("b.u")) & (F.col("a.it") < F.col("b.it")))
+        .groupBy(F.col("a.it").alias("i"), F.col("b.it").alias("j"))
+        .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).cast("long").alias("w"))
+    )
+    diag = ratings.groupBy(F.col("it").alias("i")).agg(
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("w")
+    ).select("i", F.col("i").alias("j"), "w")
+    gram = (
+        pairs.unionByName(
+            pairs.select(F.col("j").alias("i"), F.col("i").alias("j"), "w")
+        )
+        .unionByName(diag)
+        .localCheckpoint(eager=True)
+    )
+    v = gram.select(F.col("i").alias("it")).distinct().withColumn(
+        "vq", F.lit(1_000_000).cast("long")
+    )
+    for _ in range(PI_STEPS):
+        w = (
+            gram.join(v, gram["j"] == v["it"])
+            .groupBy(F.col("i").alias("nit"))
+            .agg(F.sum(F.col("w") * F.col("vq")).cast("long").alias("wq"))
+        )
+        m = w.agg(F.max("wq").alias("m"))
+        v = (
+            w.crossJoin(F.broadcast(m))
+            .select(
+                F.col("nit").alias("it"),
+                F.floor(
+                    F.col("wq").cast("double") * F.lit(1000000.0)
+                    / F.col("m").cast("double")
+                    + F.lit(0.5)
+                )
+                .cast("long")
+                .alias("vq"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return v.orderBy("it")

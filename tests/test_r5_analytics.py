@@ -162,3 +162,54 @@ def test_jackknife_se_direct(spark):
     tbar = sum(thetas) / G
     var = (G - 1) / G * sum((t - tbar) ** 2 for t in thetas)
     assert abs(rows[0]["se_jack6"] - round(math.sqrt(var), 6)) < 1e-6
+
+
+def test_power_iteration_matches_numpy(spark):
+    """Relational power iteration == numpy replay with identical
+    quantization on a small gram."""
+    import numpy as np
+
+    rows = [
+        (0, 0, 4), (1, 1, 5), (2, 2, 3),
+        (0, 1, 2), (1, 0, 2), (1, 2, 1), (2, 1, 1),
+    ]
+    gram = spark.createDataFrame(rows, "i long, j long, w long")
+    v = (
+        gram.select(F.col("i").alias("it"))
+        .distinct()
+        .withColumn("vq", F.lit(1_000_000).cast("long"))
+    )
+    for _ in range(3):
+        w = (
+            gram.join(v, gram["j"] == v["it"])
+            .groupBy(F.col("i").alias("nit"))
+            .agg(F.sum(F.col("w") * F.col("vq")).cast("long").alias("wq"))
+        )
+        m = w.agg(F.max("wq").alias("m"))
+        v = w.crossJoin(m).select(
+            F.col("nit").alias("it"),
+            F.floor(
+                F.col("wq").cast("double") * 1000000.0 / F.col("m").cast("double")
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("vq"),
+        )
+    got = {r["it"]: r["vq"] for r in v.collect()}
+
+    A = np.zeros((3, 3), dtype=np.int64)
+    for i, j, w_ in rows:
+        A[i, j] = w_
+    vq = np.full(3, 1_000_000, dtype=np.int64)
+    import math
+
+    for _ in range(3):
+        wq = A @ vq
+        mm = wq.max()
+        vq = np.array(
+            [math.floor(float(x) * 1000000.0 / float(mm) + 0.5) for x in wq],
+            dtype=np.int64,
+        )
+    assert got == {i: int(vq[i]) for i in range(3)}
+    # dominant direction: item 1 (largest diagonal + couplings) leads
+    assert got[1] == 1_000_000 and got[1] >= got[0] >= got[2]
