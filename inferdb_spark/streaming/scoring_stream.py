@@ -288,3 +288,41 @@ def curation_stream(
         keyed, ["content_h"], ts_col=ts_col, watermark=watermark,
         bounded_state=bounded_state,
     )
+
+
+def ewma_per_key(
+    stream_df: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "v",
+    order_cols: tuple[str, str] = ("tsu", "event_id"),
+    alpha: float = 0.5,
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Streaming twin of gate_r5b.q_ewma_smoothing: exponential smoothing
+    with O(1) state per key (the running_mean_per_key pattern), versus the
+    batch fold whose state is the whole value list.  Rows are folded in
+    (order_cols) order WITHIN each delivered micro-batch; cross-batch
+    order is the source's delivery contract (the parity test feeds files
+    in timestamp order) — the same in-order requirement every streaming
+    EWMA has.  alpha=0.5 keeps every multiply exact in binary, so
+    run-to-completion output is bit-identical to the batch fold."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    output_schema = f"{key_col} long, n long, ewma double"
+    state_schema = "n long, e double"
+
+    def update(key, pdfs, state: GroupState):
+        n, e = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(list(order_cols))
+            for x in pdf[value_col].astype(float):
+                e = x if n == 0 else alpha * x + (1.0 - alpha) * e
+                n += 1
+        state.update((n, e))
+        yield pd.DataFrame({key_col: [key[0]], "n": [n], "ewma": [e]})
+
+    timeout_conf = getattr(GroupStateTimeout, timeout, GroupStateTimeout.NoTimeout)
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        update, output_schema, state_schema, "update", timeout_conf
+    )
