@@ -70,6 +70,7 @@ def _ensure_registered() -> None:
         "inferdb_spark.gate_curate",
         "inferdb_spark.gate_r5",
         "inferdb_spark.gate_r5b",
+        "inferdb_spark.gate_r5c",
     ):
         try:
             importlib.import_module(mod)
@@ -110,12 +111,15 @@ _PRIORITY: list[str] = [
     "scd2_intervals", "item_item_topk", "kaplan_meier",
     "ewma_smoothing", "ab_test_ztest", "jackknife_variance",
     "power_iteration_eigen",
-    # back-fill to 50: stale gates last checked in the r01 window only —
-    # the core learned-index path plus the dedup/ANN/text headliners
+    # round-5 batch 3 (never checked by construction)
+    "svm_train_replay", "hll_distinct_registers", "assoc_rules_apriori",
+    "autocorrelation_acf", "poisson_bootstrap_ci", "ranking_eval_metrics",
+    "isotonic_calibration", "dbscan_grid",
+    # ---- 50-gate window boundary ----
+    # next-stalest gates continue the rotation for round 6: first the
+    # r01-only core learned-index path, then the dedup/ANN/text headliners
     "index_translate", "index_kv_build", "index_score", "index_score_rmsle",
     "woe_iv", "mlp_relational", "linear_score_coo", "multiclass_argmax",
-    # ---- 50-gate window boundary ----
-    # next-stalest r01 gates continue the rotation for round 6
     "cluster_assign", "dedup_exact", "minhash_lsh_pairs",
     "simhash_fingerprint", "ngram_jaccard_verify", "prefix_filter_jaccard_join",
     "embedding_cosine_topk",

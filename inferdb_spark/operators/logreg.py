@@ -429,3 +429,194 @@ def fit_quantile_numpy(
             for j in range(p)
         ]
     return coefs, intercept
+
+
+# ---------------------------------------------------------------------------
+# LINEAR SVM by the same fixed-step GD harness: L2-regularized hinge loss
+# max(0, 1 - s*f) with s = 2y - 1, whose subgradient wrt f is -s when
+# s*f < 1 and 0 otherwise (the s*f == 1 boundary takes the 0 branch on both
+# engines via a strict <).  The per-row gradient is EXACTLY one of
+# {-GRID, 0, +GRID} — like quantile regression the whole fit is
+# transcendental-free.  The L2 term enters only the driver-side coefficient
+# update (lam * c_j in written-order doubles), so per-step work stays one
+# exact BIGINT aggregation.  Reference anchor: the in-DB classifier-training
+# family (PGML `pgml.train` on 'classification', src/transpiler.py:
+# 2032-2101); SVM extends it past logistic the way MADlib's svm module
+# extends logregr_train.
+
+
+@dataclass
+class SVMModel:
+    feature_cols: list[str]
+    coefs: list[float]
+    intercept: float
+    scale: int
+    lam: float
+    n_steps: int
+    learning_rate: float
+
+    def margin(self) -> Column:
+        return _margin_expr(self.feature_cols, self.coefs, self.intercept, self.scale)
+
+    def prediction(self) -> Column:
+        return (self.margin() > F.lit(0.0)).cast("long")
+
+
+def svm_gradient_relation(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    coefs: list[float],
+    intercept: float,
+    scale: int,
+) -> DataFrame:
+    """One-row relation of exact integer hinge-gradient sums: with
+    s = 2y - 1, gq = -s*GRID when s*f < 1 else 0 (BIGINT, order-free)."""
+    m = _margin_expr(feature_cols, coefs, intercept, scale)
+    s = F.lit(2.0) * F.col(label_col).cast("double") - F.lit(1.0)
+    gq = (
+        F.when((s * m) < F.lit(1.0), (-s) * F.lit(float(GRID))).otherwise(F.lit(0.0))
+    ).cast("long")
+    aggs = [F.count(F.lit(1)).alias("n"), F.sum(gq).alias("sg")]
+    for j, c in enumerate(feature_cols):
+        aggs.append(F.sum(gq * _xq(c, scale)).alias(f"sgx_{j}"))
+    return df.agg(*aggs)
+
+
+def fit_svm_gd(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    lam: float = 0.01,
+    n_steps: int = 12,
+    learning_rate: float = 1.0,
+    scale: int = 10_000,
+) -> SVMModel:
+    """Fixed-step full-batch subgradient descent from beta = 0 — the
+    fit_logreg_gd driver loop with the hinge gradient and an L2 shrink
+    term on the coefficients (intercept unregularized, as usual)."""
+    p = len(feature_cols)
+    coefs = [0.0] * p
+    intercept = 0.0
+    lr = float(learning_rate)
+    lamf = float(lam)
+    for _ in range(n_steps):
+        row = svm_gradient_relation(
+            df, feature_cols, label_col, coefs, intercept, scale
+        ).collect()[0]
+        n = row["n"]
+        intercept = intercept - lr * (row["sg"] / (1000000.0 * n))
+        coefs = [
+            coefs[j]
+            - lr * (row[f"sgx_{j}"] / (1000000.0 * scale * n) + lamf * coefs[j])
+            for j in range(p)
+        ]
+    return SVMModel(
+        feature_cols=list(feature_cols), coefs=coefs, intercept=intercept,
+        scale=scale, lam=lamf, n_steps=n_steps, learning_rate=lr,
+    )
+
+
+def fit_predict_svm_sql(
+    feature_sqls: list[str],
+    label_sql: str,
+    row_id_sql: str,
+    lam: float = 0.01,
+    n_steps: int = 12,
+    learning_rate: float = 1.0,
+    scale: int = 10_000,
+    table: str = "lineitem",
+) -> str:
+    """Full linear-SVM training replay in DuckDB (the fit_predict_logreg_sql
+    chain with the hinge gradient and L2-shrunk coefficient updates),
+    scoring every row with the final hyperplane."""
+    p = len(feature_sqls)
+    lr = float(learning_rate)
+    lamf = float(lam)
+
+    def xq_sql(expr: str) -> str:
+        return f"CAST(floor(({expr}) * {float(scale)!r} + 0.5) AS BIGINT)"
+
+    base_cols = ", ".join(
+        f"{xq_sql(e)} AS x{j}" for j, e in enumerate(feature_sqls)
+    )
+    ctes = [
+        f"b AS MATERIALIZED (SELECT CAST({row_id_sql} AS BIGINT) AS row_id, "
+        f"{base_cols}, (2.0 * CAST({label_sql} AS DOUBLE) - 1.0) AS s FROM {table})",
+        "beta0 AS (SELECT CAST(0.0 AS DOUBLE) AS b0, "
+        + ", ".join(f"CAST(0.0 AS DOUBLE) AS c{j}" for j in range(p))
+        + ")",
+    ]
+
+    def margin_sql(src: str) -> str:
+        m = f"{src}.b0"
+        for j in range(p):
+            t = f"(CAST(x{j} AS DOUBLE) / {float(scale)!r})"
+            m = f"({m} + ({src}.c{j} * {t}))"
+        return m
+
+    for k in range(n_steps):
+        m = margin_sql(f"beta{k}")
+        gq = (
+            f"CAST(CASE WHEN (s * {m}) < 1.0 "
+            f"THEN (-s) * {float(GRID)!r} ELSE 0.0 END AS BIGINT)"
+        )
+        sgx = ", ".join(f"SUM(gq * x{j}) AS sgx_{j}" for j in range(p))
+        ctes.append(
+            f"s{k} AS (SELECT CAST(count(*) AS BIGINT) AS n, SUM(gq) AS sg, {sgx} "
+            f"FROM (SELECT s, {', '.join(f'x{j}' for j in range(p))}, {gq} AS gq "
+            f"FROM b CROSS JOIN beta{k}))"
+        )
+        upd = [
+            f"beta{k}.b0 - {lr!r} * (s{k}.sg / (1000000.0 * s{k}.n)) AS b0"
+        ]
+        for j in range(p):
+            upd.append(
+                f"beta{k}.c{j} - {lr!r} * (s{k}.sgx_{j} / "
+                f"(1000000.0 * {scale} * s{k}.n) + {lamf!r} * beta{k}.c{j}) AS c{j}"
+            )
+        ctes.append(
+            f"beta{k + 1} AS (SELECT {', '.join(upd)} FROM beta{k} CROSS JOIN s{k})"
+        )
+
+    final = f"beta{n_steps}"
+    m = margin_sql(final)
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f" SELECT row_id, CAST(round({m}, 6) AS DOUBLE) AS margin6, "
+        f"CAST(CASE WHEN {m} > 0.0 THEN 1 ELSE 0 END AS BIGINT) AS pred "
+        f"FROM b CROSS JOIN {final} ORDER BY row_id"
+    )
+
+
+def fit_svm_numpy(
+    X, y, lam: float = 0.01, n_steps: int = 12,
+    learning_rate: float = 1.0, scale: int = 10_000,
+):
+    """Bit-identical numpy replay of fit_svm_gd."""
+    import numpy as np
+
+    X = np.asarray(X, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    n, p = X.shape
+    xq = np.floor(X * float(scale) + 0.5).astype(np.int64)
+    s = 2.0 * y - 1.0
+    coefs = [0.0] * p
+    intercept = 0.0
+    lr = float(learning_rate)
+    lamf = float(lam)
+    for _ in range(n_steps):
+        m = np.full(n, intercept, dtype=np.float64)
+        for j in range(p):
+            t = xq[:, j].astype(np.float64) / float(scale)
+            m = m + coefs[j] * t
+        gq = np.where(s * m < 1.0, (-s) * float(GRID), 0.0).astype(np.int64)
+        intercept = intercept - lr * (int(gq.sum()) / (1000000.0 * n))
+        coefs = [
+            coefs[j]
+            - lr * (int((gq * xq[:, j]).sum()) / (1000000.0 * scale * n)
+                    + lamf * coefs[j])
+            for j in range(p)
+        ]
+    return coefs, intercept

@@ -440,3 +440,129 @@ def mg_heavy_hitters(
         .orderBy(F.col("est").desc(), F.col("term").asc())
         .limit(top_k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable HyperLogLog (Flajolet et al. 2007) with EXPLICIT registers.
+#
+# The KMV module header documents why Spark's built-in HLL
+# (`approx_count_distinct`) cannot be oracle-verified: its register layout
+# is engine-internal.  This is the missing half of that story — an HLL
+# whose registers are a plain (bucket, rho) RELATION derived from the
+# md5-portable h52 hash, so any engine recomputes them bit-for-bit:
+#
+#   bucket = h52 % m            (p low-order bits, m = 2^p registers)
+#   rem    = floor(h52 / m)     (the remaining 52-p bits; /2^p is exact
+#                                in doubles since h52 < 2^52)
+#   rho    = leading zeros of rem in a (52-p)-bit window + 1
+#          = (52 - p) - bitlen(rem) + 1      (rem = 0 → 52 - p + 1)
+#
+# bitlen is a descending CASE chain over power-of-two thresholds — pure
+# integer comparisons, no libm.  Registers merge by MAX (associative,
+# idempotent — the same parquet-partials pattern as kmv_merge).  The
+# harmonic sum Σ 2^-rho is kept EXACT by scaling with 2^(52-p+1): every
+# term 2^(52-p+1-rho) is then an integer, so `inv_scaled` is a BIGINT and
+# the raw estimate alpha·m²/S is a single IEEE division — deterministic
+# without any snapping.  Only the small-range correction m·ln(m/V) touches
+# libm and is 6dp-rounded on both engines per the cookbook.
+#
+# Reference anchor: exact-distinct accounting in src/optimizer.py:225-231;
+# HLL is its 100 TB mergeable substitute alongside KMV.
+
+
+def hll_rho(rem: Column, rem_bits: int) -> Column:
+    """rho = leading zeros of `rem` in a rem_bits window + 1, via a
+    descending threshold CASE chain (no libm)."""
+    w = None
+    for k in range(rem_bits - 1, -1, -1):
+        cond = rem >= F.lit(1 << k)
+        val = F.lit(rem_bits - k)
+        w = F.when(cond, val) if w is None else w.when(cond, val)
+    return w.otherwise(F.lit(rem_bits + 1)).cast("long")
+
+
+def duckdb_hll_rho(rem_expr: str, rem_bits: int) -> str:
+    """DuckDB twin of hll_rho."""
+    whens = " ".join(
+        f"WHEN {rem_expr} >= {1 << k} THEN {rem_bits - k}"
+        for k in range(rem_bits - 1, -1, -1)
+    )
+    return f"CAST(CASE {whens} ELSE {rem_bits + 1} END AS BIGINT)"
+
+
+def hll_registers(df: DataFrame, key: Column, p_bits: int = 6) -> DataFrame:
+    """(bucket, rho) register relation of SEEN buckets (max-rho per bucket).
+    `key` must be a string column (hash input).  One shuffle on bucket with
+    map-side-combined MAX — at 100 TB this is the per-partition-partials
+    shape: write these m-row relations per shard and re-merge with
+    hll_merge."""
+    m = 1 << p_bits
+    rem_bits = 52 - p_bits
+    h = h52(key)
+    bucket = (h % F.lit(m)).cast("long")
+    rem = F.floor(h / F.lit(float(m))).cast("long")
+    return (
+        df.select(bucket.alias("bucket"), hll_rho(rem, rem_bits).alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(registers: DataFrame) -> DataFrame:
+    """Merge register relations (union them first): MAX per bucket."""
+    return registers.groupBy("bucket").agg(F.max("rho").alias("rho"))
+
+
+def hll_full_registers(registers: DataFrame, p_bits: int = 6) -> DataFrame:
+    """Left-join the 2^p bucket domain so empty registers appear with
+    rho = 0 (required by both the harmonic sum and the zeros count)."""
+    m = 1 << p_bits
+    spark = registers.sparkSession
+    domain = spark.range(m).select(F.col("id").cast("long").alias("bucket"))
+    return domain.join(F.broadcast(registers), "bucket", "left").select(
+        "bucket", F.coalesce(F.col("rho"), F.lit(0)).cast("long").alias("rho")
+    )
+
+
+def hll_alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_estimate(full_registers: DataFrame, p_bits: int = 6) -> DataFrame:
+    """One-row estimate relation from the FULL (domain-joined) register
+    set: exact-integer harmonic sum, raw alpha·m²/S estimate, 6dp-rounded
+    small-range (linear-counting) correction."""
+    m = 1 << p_bits
+    rem_bits = 52 - p_bits
+    alpha = hll_alpha(m)
+    scale = float(1 << (rem_bits + 1))
+    # exact-integer harmonic term: 2^(rem_bits+1-rho) via a bit shift —
+    # no libm anywhere in the sum (rho ∈ [0, rem_bits+1] → shift ∈ [0, 47])
+    term = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST({rem_bits + 1} - rho AS INT))"
+    )
+    agg = full_registers.agg(
+        F.sum(term).alias("inv_scaled"),
+        F.sum((F.col("rho") == 0).cast("long")).alias("v_zeros"),
+    )
+    raw = (F.lit(alpha * m * m)) / (F.col("inv_scaled").cast("double") / F.lit(scale))
+    corrected = F.when(
+        (F.col("v_zeros") > 0) & (raw <= F.lit(2.5 * m)),
+        F.round(
+            F.lit(float(m))
+            * F.log(F.lit(float(m)) / F.col("v_zeros").cast("double")),
+            6,
+        ),
+    ).otherwise(F.round(raw, 6))
+    return agg.select(
+        F.lit(m).cast("long").alias("m"),
+        F.col("v_zeros").cast("long"),
+        F.col("inv_scaled").cast("long"),
+        corrected.cast("double").alias("est6"),
+    )
