@@ -284,6 +284,16 @@ def main() -> None:
         "entity_resolution",
         "scd2_intervals",
         "conformal_interval",
+        # round-5 batch 3: SVM training replay, portable HLL, Apriori,
+        # one-pass Poisson bootstrap, ranking eval, PAV calibration, DBSCAN
+        "svm_train_replay",
+        "hll_distinct_registers",
+        "assoc_rules_apriori",
+        "autocorrelation_acf",
+        "poisson_bootstrap_ci",
+        "ranking_eval_metrics",
+        "isotonic_calibration",
+        "dbscan_grid",
     ]:
         if name in gq:
             fn = gq[name]

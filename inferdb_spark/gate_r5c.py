@@ -25,6 +25,7 @@ from inferdb_spark.catalog import load_table
 from inferdb_spark.functions.hashing import duckdb_h52, h52
 from inferdb_spark.functions.vector import as_double_array, dot, l2_norm
 from inferdb_spark.gate import gate
+from inferdb_spark.operators import calibrate as CAL
 from inferdb_spark.operators import logreg as LR
 from inferdb_spark.operators import sketch as SK
 
@@ -640,4 +641,134 @@ def q_ranking_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("ap6"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 7. isotonic (PAV) probability calibration — full fit replayed as an
+# unrolled leftmost-merge CTE chain (operators/calibrate.py).
+
+ISO_BINS = 32
+ISO_CENTS_SQL = "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+ISO_LABEL_SQL = "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END"
+
+
+@gate(
+    "isotonic_calibration",
+    oracle=CAL.pav_oracle_sql(ISO_CENTS_SQL, ISO_LABEL_SQL, ISO_BINS),
+)
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration of P(returnflag='R') against the price score
+    (operators/calibrate.py): 32 fixed integer score bins (one map-side
+    groupBy — the only data-sized work), PAV on the 32-row summary with
+    exact BIGINT cross-multiply pooling, fitted step function joined back
+    broadcast.  The oracle replays the ENTIRE fit: bin counts, then 31
+    unrolled leftmost-violator merge rounds — the trainer-replay standard
+    applied to calibration."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    y = (F.col("l_returnflag") == "R").cast("long")
+    mm = li.agg(
+        F.min(cents).alias("mn"), F.max(cents).alias("mx")
+    ).collect()[0]
+    bins = CAL.bin_counts(li, cents, y, ISO_BINS, int(mm["mn"]), int(mm["mx"]))
+    fitted = CAL.fit_isotonic(bins)
+    return fitted.select(
+        "bin",
+        "n_b",
+        "y_b",
+        F.round(F.col("block_y").cast("double") / F.col("block_n"), 6)
+        .cast("double")
+        .alias("calib6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 8. grid-blocked DBSCAN over label-shifted embedding blobs — density
+# clustering with noise, composed from cell-join + connected components
+# (operators/dbscan.py).
+
+DBSCAN_EPS_Q = 30  # cents
+DBSCAN_MIN_PTS = 4
+
+_DBSCAN_PTS_SQL = """
+  SELECT vec_id,
+    CAST(floor((CAST(embedding[1] AS DOUBLE) + (1.5 * (CAST(label AS BIGINT) % 5)))
+               * 100.0 + 0.5) AS BIGINT) AS px,
+    CAST(floor((CAST(embedding[2] AS DOUBLE)
+               + (1.5 * CAST(floor(CAST(label AS DOUBLE) / 5) AS BIGINT)))
+               * 100.0 + 0.5) AS BIGINT) AS py
+  FROM embeddings
+"""
+
+_DBSCAN_ORACLE = f"""
+WITH RECURSIVE pts AS ({_DBSCAN_PTS_SQL}),
+pairs AS (
+  SELECT a.vec_id AS ai, b.vec_id AS bi
+  FROM pts a JOIN pts b
+    ON (a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py)
+       <= {DBSCAN_EPS_Q * DBSCAN_EPS_Q}
+),
+deg AS (SELECT ai, CAST(count(*) AS BIGINT) AS c FROM pairs GROUP BY ai),
+core AS (SELECT ai FROM deg WHERE c >= {DBSCAN_MIN_PTS}),
+eedges AS (
+  SELECT p.ai AS src, p.bi AS dst FROM pairs p
+  WHERE p.ai IN (SELECT ai FROM core) AND p.bi IN (SELECT ai FROM core)
+),
+labels(node, lbl) AS (
+  SELECT ai, ai FROM core
+  UNION
+  SELECT e.dst, l.lbl FROM labels l JOIN eedges e ON e.src = l.node
+),
+comp AS (SELECT node, CAST(min(lbl) AS BIGINT) AS cluster FROM labels GROUP BY node),
+border AS (
+  SELECT p.ai AS node, CAST(min(c2.cluster) AS BIGINT) AS cluster
+  FROM pairs p JOIN comp c2 ON p.bi = c2.node
+  WHERE p.ai NOT IN (SELECT ai FROM core)
+  GROUP BY p.ai
+)
+SELECT pts.vec_id,
+  CAST(CASE WHEN pts.vec_id IN (SELECT ai FROM core) THEN 1 ELSE 0 END AS BIGINT)
+    AS is_core,
+  CAST(COALESCE(comp.cluster, border.cluster, -1) AS BIGINT) AS cluster
+FROM pts
+LEFT JOIN comp ON pts.vec_id = comp.node
+LEFT JOIN border ON pts.vec_id = border.node
+ORDER BY pts.vec_id
+"""
+
+
+@gate("dbscan_grid", oracle=_DBSCAN_ORACLE)
+def q_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN (eps=30 cents, minPts=4) over 10 well-separated gaussian
+    blobs derived from the embeddings (first two dims shifted onto a 5x2
+    label grid — the entity_resolution deterministic-derived-input
+    pattern).  Candidate pairs come from a 3x3 cell EQUI-join (never
+    all-pairs); core test, core-core connected components, and lowest-
+    label border adoption are exact integer relations.  The oracle
+    replays the chain with a recursive-CTE min-label fixpoint."""
+    from inferdb_spark.operators.dbscan import dbscan
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v = as_double_array(F.col("embedding"))
+    px = F.floor(
+        (F.element_at(v, 1) + F.lit(1.5) * (F.col("label").cast("long") % 5))
+        * F.lit(100.0)
+        + F.lit(0.5)
+    ).cast("long")
+    py = F.floor(
+        (
+            F.element_at(v, 2)
+            + F.lit(1.5)
+            * F.floor(F.col("label").cast("double") / F.lit(5.0)).cast("long")
+        )
+        * F.lit(100.0)
+        + F.lit(0.5)
+    ).cast("long")
+    pts = e.select(
+        F.col("vec_id").alias("pid"), px.alias("px"), py.alias("py")
+    )
+    out = dbscan(pts, eps_q=DBSCAN_EPS_Q, min_pts=DBSCAN_MIN_PTS, id_col="pid")
+    return out.select(
+        F.col("pid").alias("vec_id"), "is_core", "cluster"
     )

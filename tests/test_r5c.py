@@ -187,3 +187,82 @@ def test_apriori_brute_force(spark):
                 if i1 < i2:
                     want[(i1, i2)] = want.get((i1, i2), 0) + 1
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# isotonic calibration (PAV)
+
+
+def test_pav_textbook():
+    from inferdb_spark.operators.calibrate import pav_blocks
+
+    # means [1, 0, 1] -> pool first two into 0.5, keep the 1
+    blocks = pav_blocks([(0, 1, 1), (1, 0, 1), (2, 1, 1)])
+    assert blocks == [(0, 1, 2), (2, 1, 1)]
+    # already monotone input is untouched
+    assert pav_blocks([(0, 0, 2), (1, 1, 2), (2, 2, 2)]) == [
+        (0, 0, 2), (1, 1, 2), (2, 2, 2),
+    ]
+
+
+def test_pav_monotone_and_mass_preserving():
+    from inferdb_spark.operators.calibrate import pav_blocks
+
+    bins = [(i, (7 * i) % 11, 10 + (i % 3)) for i in range(20)]
+    blocks = pav_blocks(bins)
+    means = [y / n for _, y, n in blocks]
+    assert all(a <= b + 1e-15 for a, b in zip(means, means[1:]))
+    assert sum(y for _, y, _ in blocks) == sum(y for _, y, _ in bins)
+    assert sum(n for _, _, n in blocks) == sum(n for _, _, n in bins)
+
+
+def test_isotonic_fit_spark(spark):
+    from inferdb_spark.operators.calibrate import fit_isotonic
+
+    bins = spark.createDataFrame(
+        [(0, 4, 3), (1, 4, 1), (2, 4, 2), (5, 4, 4)],
+        "bin long, n_b long, y_b long",
+    )
+    out = {
+        r["bin"]: (r["block_y"], r["block_n"])
+        for r in fit_isotonic(bins).collect()
+    }
+    # means 3/4, 1/4, 2/4, 4/4 -> PAV pools the first two into 4/8 = 0.5;
+    # bin 2 (mean 0.5) ties the pooled block and stays separate (strict >)
+    assert out[0] == (4, 8) and out[1] == (4, 8)
+    assert out[2] == (2, 4)
+    assert out[5] == (4, 4)
+
+
+# ---------------------------------------------------------------------------
+# grid DBSCAN
+
+
+def test_dbscan_toy(spark):
+    from inferdb_spark.operators.dbscan import dbscan
+
+    rows = []
+    # dense cluster A around (0, 0): 6 points within eps of each other
+    for i, (x, y) in enumerate([(0, 0), (5, 0), (0, 5), (5, 5), (2, 2), (7, 3)]):
+        rows.append((i, x, y))
+    # dense cluster B around (1000, 1000)
+    for i, (x, y) in enumerate([(1000, 1000), (1005, 1000), (1000, 1005), (1005, 1005), (1002, 1002)]):
+        rows.append((100 + i, x, y))
+    # border point: within eps of cluster A's core at (7,3) but with few
+    # neighbors of its own (only itself + that one core)
+    rows.append((50, 30, 3))
+    # noise far away
+    rows.append((99, 5000, 5000))
+    pts = spark.createDataFrame(rows, "pid long, px long, py long")
+    out = {r["pid"]: (r["is_core"], r["cluster"]) for r in
+           dbscan(pts, eps_q=25, min_pts=4).collect()}
+    # cluster A: all 6 are cores, lowest id 0
+    for i in range(6):
+        assert out[i] == (1, 0)
+    # cluster B: all 5 cores, lowest id 100
+    for i in range(100, 105):
+        assert out[i] == (1, 100)
+    # border adopts cluster A without being core
+    assert out[50] == (0, 0)
+    # noise
+    assert out[99] == (0, -1)

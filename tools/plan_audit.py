@@ -327,6 +327,42 @@ def main() -> int:
          and "BroadcastNestedLoopJoin" not in p),
         ("no Python nodes", lambda p: "Python" not in p),
     ])
+    audit("svm_train_replay", [
+        ("scoring is a pure projection (zero shuffle)",
+         lambda p: "Exchange" not in p and "Join" not in p),
+        ("no Python nodes", lambda p: "Python" not in p),
+    ])
+    audit("hll_distinct_registers", [
+        ("map-side-combined register MAX (two-phase agg)",
+         lambda p: p.count("HashAggregate") >= 2),
+        ("domain join broadcast", lambda p: "SortMergeJoin" not in p),
+    ])
+    audit("assoc_rules_apriori", [
+        ("pair self-join is a hash equi join (never nested loop)",
+         lambda p: "CartesianProduct" not in p),
+        ("no Python nodes", lambda p: "Python" not in p),
+    ])
+    audit("poisson_bootstrap_ci", [
+        ("one-pass: single scan of orders",
+         lambda p: p.count("orders.parquet") <= 1 or p.count("FileScan") <= 1),
+        ("two-phase aggregation (map-side partials)",
+         lambda p: p.count("HashAggregate") >= 2),
+    ])
+    audit("ranking_eval_metrics", [
+        ("query side broadcast (probe pattern)",
+         lambda p: "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p),
+        ("no Python nodes", lambda p: "Python" not in p),
+    ])
+    audit("dbscan_grid", [
+        ("cell candidates via equi join (never all-pairs cartesian)",
+         lambda p: "CartesianProduct" not in p),
+        ("no Python nodes", lambda p: "Python" not in p),
+    ])
+    audit("isotonic_calibration", [
+        ("fitted blocks broadcast back (no shuffle join)",
+         lambda p: "SortMergeJoin" not in p),
+        ("two-phase bin aggregation", lambda p: p.count("HashAggregate") >= 2),
+    ])
 
     print("\n" + ("ALL PLAN CHECKS PASS" if failures == 0 else f"{failures} PLAN CHECKS FAILED"))
     return 1 if failures else 0
