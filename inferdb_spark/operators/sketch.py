@@ -334,11 +334,23 @@ def cms_build(df: DataFrame, value: Column, depth: int, width: int) -> DataFrame
     (row, col).  Completes the relation-sketch suite: KMV (distinct),
     histogram (quantiles), bloom (membership), CMS (frequency).
     """
-    pos = F.posexplode(F.array(*cms_positions(value, depth, width)))
+    # round-5 cut: hash each DISTINCT value once.  Term-frequency inputs
+    # repeat values heavily (sf1: 25M tokens, ~10^5 distinct), and the
+    # md5-portable positions cost depth hashes per input row — so first
+    # reduce to (value, weight) with one map-side-combined groupBy, then
+    # position only the distinct values and SUM the weights.  The output
+    # relation is bit-identical (exact integer counts either way).
+    counts = df.select(value.alias("_v")).groupBy("_v").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    pos = F.posexplode(F.array(*cms_positions(F.col("_v"), depth, width)))
     return (
-        df.select(pos.alias("row", "col"))
-        .groupBy(F.col("row").cast("long").alias("row"), F.col("col").cast("long").alias("col"))
-        .agg(F.count("*").alias("cnt"))
+        counts.select(pos.alias("row", "col"), "_c")
+        .groupBy(
+            F.col("row").cast("long").alias("row"),
+            F.col("col").cast("long").alias("col"),
+        )
+        .agg(F.sum("_c").cast("long").alias("cnt"))
     )
 
 

@@ -426,25 +426,31 @@ def repetition_features(
 
 
 def ngram_hash_postings(
-    df: DataFrame, id_col: str, text_col: str, n: int
+    df: DataFrame, id_col: str, text_col: str, n: int,
+    hash_fn: str = "md5", distinct: bool = True,
 ) -> DataFrame:
-    """Distinct (id, gram_hash) posting relation of word n-grams.
+    """(id, gram_hash) posting relation of word n-grams.
 
     The join key is the 52-bit portable hash of the n-gram string
     (functions/hashing.h52), so downstream joins shuffle compact BIGINTs
     instead of n-word strings — at 100 TB the shuffle payload per posting
     is 8 bytes, not ~n*8 characters.
+
+    hash_fn: "md5" (h52 — oracle-replayable, the gate default) or
+    "xxhash64" (JVM-intrinsic, the documented cluster default — the same
+    md5/xxhash64 split as minhash_lsh_pairs; only the join key changes,
+    never the output semantics).  distinct=False skips the posting dedup
+    for callers that dedup later in a cheaper place (see ngram_overlap).
     """
     from inferdb_spark.functions.hashing import h52
     from inferdb_spark.functions.text import word_ngrams
 
-    return (
-        df.select(
-            F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("g")
-        )
-        .select(F.col(id_col), h52(F.col("g")).alias("gh"))
-        .distinct()
+    out = df.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("g")
     )
+    gh = h52(F.col("g")) if hash_fn == "md5" else F.xxhash64(F.col("g"))
+    out = out.select(F.col(id_col), gh.alias("gh"))
+    return out.distinct() if distinct else out
 
 
 def ngram_overlap(
@@ -455,6 +461,7 @@ def ngram_overlap(
     corpus_id: str = "doc_id",
     eval_id: str = "eval_id",
     text_col: str = "text",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Train/eval contamination pairs by shared word n-grams.
 
@@ -469,13 +476,22 @@ def ngram_overlap(
     The reference has no corpus tooling (its datasets are pre-split,
     e.g. `experiments/standalone/credit_card_new_pipeline.py:30`); this
     extends its train/test-split hygiene to corpus scale.
+
+    Plan shape (the round-5 cut, ~2x at sf1): the corpus side is NOT
+    deduped up front — that was a full-corpus-postings shuffle.  Raw
+    corpus grams hit the broadcast eval postings map-side FIRST, so only
+    matching grams (a tiny fraction of the corpus) reach the one real
+    shuffle, a countDistinct(gh) per (doc, eval) pair — which computes
+    exactly the distinct-postings count the old plan did.
     """
-    cg = ngram_hash_postings(corpus, corpus_id, text_col, n)
-    eg = ngram_hash_postings(eval_df, eval_id, text_col, n)
+    cg = ngram_hash_postings(
+        corpus, corpus_id, text_col, n, hash_fn=hash_fn, distinct=False
+    )
+    eg = ngram_hash_postings(eval_df, eval_id, text_col, n, hash_fn=hash_fn)
     pairs = (
         cg.join(F.broadcast(eg), "gh")
         .groupBy(corpus_id, eval_id)
-        .agg(F.count("*").cast("long").alias("n_shared"))
+        .agg(F.countDistinct("gh").cast("long").alias("n_shared"))
     )
     return pairs.filter(F.col("n_shared") >= min_shared)
 
@@ -487,12 +503,13 @@ def decontaminate(
     min_shared: int = 1,
     corpus_id: str = "doc_id",
     text_col: str = "text",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Corpus with contaminated docs removed (left_anti against the
     overlap pair relation).  The keep-side twin of ngram_overlap."""
     hits = ngram_overlap(
         corpus, eval_df, n=n, min_shared=min_shared,
-        corpus_id=corpus_id, text_col=text_col,
+        corpus_id=corpus_id, text_col=text_col, hash_fn=hash_fn,
     ).select(corpus_id).distinct()
     return corpus.join(hits, corpus_id, "left_anti")
 

@@ -266,3 +266,43 @@ def test_dbscan_toy(spark):
     assert out[50] == (0, 0)
     # noise
     assert out[99] == (0, -1)
+
+
+# ---------------------------------------------------------------------------
+# streaming HLL: the register build is a plain streaming MAX aggregation —
+# incrementally-maintained registers equal the batch rebuild bit-for-bit
+# (the test_streaming_hist_sketch pattern applied to the new sketch)
+
+
+def test_streaming_hll_registers_match_batch(spark):
+    import shutil
+    import tempfile
+
+    from inferdb_spark.streaming import scoring_stream as SS
+
+    tmp = tempfile.mkdtemp(prefix="inferdb_hll_stream_")
+    try:
+        rows = [(i, f"key-{(i * 13) % 900}") for i in range(3000)]
+        batch = spark.createDataFrame(rows, "i long, k string")
+        batch.coalesce(4).write.mode("overwrite").parquet(tmp)
+        stream = SS.stream_from_parquet_dir(spark, tmp, batch.schema, 2)
+        regs = SK.hll_registers(stream, F.col("k"))
+        q = (
+            regs.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("hll_stream_out")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {
+            (r["bucket"], r["rho"])
+            for r in spark.sql("select * from hll_stream_out").collect()
+        }
+        want = {
+            (r["bucket"], r["rho"])
+            for r in SK.hll_registers(batch, F.col("k")).collect()
+        }
+        assert got == want
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -363,6 +363,19 @@ def main() -> int:
          lambda p: "SortMergeJoin" not in p),
         ("two-phase bin aggregation", lambda p: p.count("HashAggregate") >= 2),
     ])
+    audit("eval_decontamination", [
+        ("eval postings broadcast onto the raw corpus grams (filter "
+         "BEFORE any corpus-side dedup shuffle)",
+         lambda p: "BroadcastHashJoin" in p and "SortMergeJoin" not in p),
+        ("survivors-only shuffle (no full-postings distinct): the eval "
+         "dedup + the countDistinct pair, nothing corpus-sized",
+         lambda p: p.count("Exchange hashpartitioning") <= 3),
+    ])
+    audit("cms_term_frequency", [
+        ("distinct-terms-first build: positions computed after the "
+         "term-count aggregate, never per token instance",
+         lambda p: p.count("HashAggregate") >= 4),
+    ])
 
     print("\n" + ("ALL PLAN CHECKS PASS" if failures == 0 else f"{failures} PLAN CHECKS FAILED"))
     return 1 if failures else 0
