@@ -610,7 +610,7 @@ PI_MOD = 10  # partkey % PI_MOD == 0 bounds the item set (oracle CTE size)
       SELECT it AS i, it AS j, CAST(sum(cnt * cnt) AS BIGINT) AS w
       FROM ratings GROUP BY it
     ),
-    gram AS (
+    gram AS MATERIALIZED (
       SELECT i, j, w FROM pairs
       UNION ALL SELECT j AS i, i AS j, w FROM pairs
       UNION ALL SELECT i, j, w FROM diag
@@ -618,12 +618,12 @@ PI_MOD = 10  # partkey % PI_MOD == 0 bounds the item set (oracle CTE size)
     items AS (SELECT DISTINCT i AS it FROM gram),
     v0 AS (SELECT it, CAST(1000000 AS BIGINT) AS vq FROM items),
     {", ".join(
-        f'''w{t} AS (
+        f'''w{t} AS MATERIALIZED (
           SELECT g.i AS it, CAST(sum(g.w * v.vq) AS BIGINT) AS wq
           FROM gram g JOIN v{t} v ON g.j = v.it GROUP BY g.i
         ),
-        m{t} AS (SELECT max(wq) AS m FROM w{t}),
-        v{t + 1} AS (
+        m{t} AS MATERIALIZED (SELECT max(wq) AS m FROM w{t}),
+        v{t + 1} AS MATERIALIZED (
           SELECT it, CAST(floor(CAST(wq AS DOUBLE) * 1000000.0 /
                                 CAST(m.m AS DOUBLE) + 0.5) AS BIGINT) AS vq
           FROM w{t} CROSS JOIN m{t} m

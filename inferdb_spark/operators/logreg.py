@@ -191,7 +191,7 @@ def fit_predict_logreg_sql(
         gq = f"CAST(floor(({prob_sql(m)} - y) * {float(GRID)!r} + 0.5) AS BIGINT)"
         sgx = ", ".join(f"SUM(gq * x{j}) AS sgx_{j}" for j in range(p))
         ctes.append(
-            f"s{k} AS (SELECT CAST(count(*) AS BIGINT) AS n, SUM(gq) AS sg, {sgx} "
+            f"s{k} AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n, SUM(gq) AS sg, {sgx} "
             f"FROM (SELECT y, {', '.join(f'x{j}' for j in range(p))}, {gq} AS gq "
             f"FROM b CROSS JOIN beta{k}))"
         )
@@ -204,7 +204,7 @@ def fit_predict_logreg_sql(
                 f"(1000000.0 * {scale} * s{k}.n)) AS c{j}"
             )
         ctes.append(
-            f"beta{k + 1} AS (SELECT {', '.join(upd)} FROM beta{k} CROSS JOIN s{k})"
+            f"beta{k + 1} AS MATERIALIZED (SELECT {', '.join(upd)} FROM beta{k} CROSS JOIN s{k})"
         )
 
     final = f"beta{n_steps}"
@@ -376,7 +376,7 @@ def fit_predict_quantile_sql(
         )
         sgx = ", ".join(f"SUM(gq * x{j}) AS sgx_{j}" for j in range(p))
         ctes.append(
-            f"s{k} AS (SELECT CAST(count(*) AS BIGINT) AS n, SUM(gq) AS sg, {sgx} "
+            f"s{k} AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n, SUM(gq) AS sg, {sgx} "
             f"FROM (SELECT y, {', '.join(f'x{j}' for j in range(p))}, {gq} AS gq "
             f"FROM b CROSS JOIN beta{k}))"
         )
@@ -389,7 +389,7 @@ def fit_predict_quantile_sql(
                 f"(1000000.0 * {scale} * s{k}.n)) AS c{j}"
             )
         ctes.append(
-            f"beta{k + 1} AS (SELECT {', '.join(upd)} FROM beta{k} CROSS JOIN s{k})"
+            f"beta{k + 1} AS MATERIALIZED (SELECT {', '.join(upd)} FROM beta{k} CROSS JOIN s{k})"
         )
 
     final = f"beta{n_steps}"
@@ -563,7 +563,7 @@ def fit_predict_svm_sql(
         )
         sgx = ", ".join(f"SUM(gq * x{j}) AS sgx_{j}" for j in range(p))
         ctes.append(
-            f"s{k} AS (SELECT CAST(count(*) AS BIGINT) AS n, SUM(gq) AS sg, {sgx} "
+            f"s{k} AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n, SUM(gq) AS sg, {sgx} "
             f"FROM (SELECT s, {', '.join(f'x{j}' for j in range(p))}, {gq} AS gq "
             f"FROM b CROSS JOIN beta{k}))"
         )
@@ -576,7 +576,7 @@ def fit_predict_svm_sql(
                 f"(1000000.0 * {scale} * s{k}.n) + {lamf!r} * beta{k}.c{j}) AS c{j}"
             )
         ctes.append(
-            f"beta{k + 1} AS (SELECT {', '.join(upd)} FROM beta{k} CROSS JOIN s{k})"
+            f"beta{k + 1} AS MATERIALIZED (SELECT {', '.join(upd)} FROM beta{k} CROSS JOIN s{k})"
         )
 
     final = f"beta{n_steps}"

@@ -208,8 +208,8 @@ def fit_predict_mf_sql(
         f"r AS MATERIALIZED (SELECT CAST({row_id_sql} AS BIGINT) AS row_id, "
         f"CAST({user_sql} AS BIGINT) AS u, CAST({item_sql} AS BIGINT) AS i, "
         f"CAST({rating_sql} AS DOUBLE) AS rating FROM {table})",
-        f"u0 AS (SELECT u, {init_cols('u', 'u')} FROM (SELECT DISTINCT u FROM r))",
-        f"v0 AS (SELECT i, {init_cols('v', 'i')} FROM (SELECT DISTINCT i FROM r))",
+        f"u0 AS MATERIALIZED (SELECT u, {init_cols('u', 'u')} FROM (SELECT DISTINCT u FROM r))",
+        f"v0 AS MATERIALIZED (SELECT i, {init_cols('v', 'i')} FROM (SELECT DISTINCT i FROM r))",
     ]
 
     def pred_sql() -> str:
@@ -237,7 +237,7 @@ def fit_predict_mf_sql(
             for f in range(k)
         )
         ctes.append(
-            f"u{t + 1} AS (SELECT u{t}.u, {upd_u} FROM u{t} LEFT JOIN "
+            f"u{t + 1} AS MATERIALIZED (SELECT u{t}.u, {upd_u} FROM u{t} LEFT JOIN "
             f"(SELECT u, CAST(count(*) AS BIGINT) AS n_u, {su} FROM e{t} GROUP BY u) g "
             f"ON u{t}.u = g.u)"
         )
@@ -249,7 +249,7 @@ def fit_predict_mf_sql(
             for f in range(k)
         )
         ctes.append(
-            f"v{t + 1} AS (SELECT v{t}.i, {upd_v} FROM v{t} LEFT JOIN "
+            f"v{t + 1} AS MATERIALIZED (SELECT v{t}.i, {upd_v} FROM v{t} LEFT JOIN "
             f"(SELECT i, CAST(count(*) AS BIGINT) AS n_v, {sv} FROM e{t} GROUP BY i) g "
             f"ON v{t}.i = g.i)"
         )

@@ -233,7 +233,7 @@ def fit_predict_softmax_sql(
                 sums.append(f"SUM(gq{c} * x{j}) AS sgx_{c}_{j}")
         xs = ", ".join(f"x{j}" for j in range(p))
         ctes.append(
-            f"s{k} AS (SELECT {', '.join(sums)} FROM "
+            f"s{k} AS MATERIALIZED (SELECT {', '.join(sums)} FROM "
             f"(SELECT y, {xs}, {gq_cols} FROM b CROSS JOIN beta{k}))"
         )
         upd = []
@@ -248,7 +248,7 @@ def fit_predict_softmax_sql(
                     f"(1000000.0 * {scale} * s{k}.n)) AS c{c}_{j}"
                 )
         ctes.append(
-            f"beta{k + 1} AS (SELECT {', '.join(upd)} FROM beta{k} CROSS JOIN s{k})"
+            f"beta{k + 1} AS MATERIALIZED (SELECT {', '.join(upd)} FROM beta{k} CROSS JOIN s{k})"
         )
 
     final = f"beta{n_steps}"
