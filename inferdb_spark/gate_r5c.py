@@ -547,14 +547,25 @@ def q_ranking_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     1/rank literal CASE, and AP exact integer precision terms — so the
     only float division per metric is the final 6dp ratio.  The query
     side is a broadcast probe (the documented cosine_topk shape); windows
-    run over top-k lists only (the RRF discipline)."""
+    run over top-k lists only (the RRF discipline).  Exact evaluation is
+    quadratic in queries x corpus BY CONSTRUCTION (sf1: 800 queries x 19k
+    candidates = 136s), so the probe side carries the brute-force size
+    guard — at corpus scale generate the candidate lists with the IVF
+    shortlist (similarity.ivf_search / hard_negative_mining_ivf shape)
+    and feed the same metric relations."""
+    from inferdb_spark.scale import assert_small_side
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.col("label").cast("long").alias("label"),
         as_double_array(F.col("embedding")).alias("v"),
     )
     nb = e.withColumn("nrm", l2_norm(F.col("v")))
-    qs = nb.where(F.col("vec_id") % 25 == 0).select(
+    qs = assert_small_side(
+        nb.where(F.col("vec_id") % 25 == 0),
+        1000,
+        "ranking_eval_metrics",
+        "an IVF-shortlisted candidate stage feeding the same metric relations",
+    ).select(
         F.col("vec_id").alias("qid"),
         F.col("label").alias("qlabel"),
         F.col("v").alias("qv"),
