@@ -757,7 +757,11 @@ def q_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern).  Candidate pairs come from a 3x3 cell EQUI-join (never
     all-pairs); core test, core-core connected components, and lowest-
     label border adoption are exact integer relations.  The oracle
-    replays the chain with a recursive-CTE min-label fixpoint."""
+    replays the chain with a recursive-CTE min-label fixpoint — which is
+    quadratic in clique size (every node accumulates every reachable
+    label), so the ORACLE is gate-scale-only; the Spark side's
+    path-halving CC runs sf1 (20k points, ~22M eps-pairs) in 47 s and is
+    the form that scales."""
     from inferdb_spark.operators.dbscan import dbscan
 
     e = load_table(spark, sf_dir, "embeddings")
