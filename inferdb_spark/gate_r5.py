@@ -561,9 +561,12 @@ _ER_POS = (
     ),
     blocked AS (
       -- floor division, NOT '//': DuckDB '//' truncates toward zero, so a
-      -- negative balance would land one band higher than Spark's floor
+      -- negative balance would land one band higher than Spark's floor.
+      -- $10 bands: twins share the ORIGINAL's exact cents, so any width
+      -- keeps 100% twin recall; narrow bands bound |block|^2 at scale
+      -- (sf1 with $1000 bands was ~2B candidate pairs, $10 bands ~22M)
       SELECT rec_id, name, nat,
-             CAST(floor(CAST(cents AS DOUBLE) / 100000.0) AS BIGINT) AS band
+             CAST(floor(CAST(cents AS DOUBLE) / 1000.0) AS BIGINT) AS band
       FROM rec
     ),
     pairs AS (
@@ -595,7 +598,7 @@ _ER_POS = (
 def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Record linkage end-to-end (operators/dedup + graph composition):
     deterministic dirty twins (1/3 of customers, one hashed-position char
-    deleted) → blocking on (nation, $1000 acctbal band) so the pairwise
+    deleted) → blocking on (nation, $10 acctbal band) so the pairwise
     Levenshtein verify is quadratic only WITHIN blocks → edges at
     distance ≤ 1 → distributed connected components (min-label + path
     halving) → canonical record = lowest rec_id per cluster.  The oracle
@@ -631,7 +634,7 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     rec = base.unionByName(twins)
-    blocked = rec.withColumn("band", F.floor(F.col("cents") / 100000).cast("long"))
+    blocked = rec.withColumn("band", F.floor(F.col("cents") / 1000).cast("long"))
     a, b = blocked.alias("a"), blocked.alias("b")
     pairs = (
         a.join(
