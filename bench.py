@@ -292,7 +292,7 @@ def main() -> None:
         "autocorrelation_acf",
         "poisson_bootstrap_ci",
         "ranking_eval_metrics",
-        "isotonic_calibration",
+        "isotonic_pav_replay",
         "dbscan_grid",
     ]:
         if name in gq:

@@ -114,7 +114,7 @@ _PRIORITY: list[str] = [
     # round-5 batch 3 (never checked by construction)
     "svm_train_replay", "hll_distinct_registers", "assoc_rules_apriori",
     "autocorrelation_acf", "poisson_bootstrap_ci", "ranking_eval_metrics",
-    "isotonic_calibration", "dbscan_grid",
+    "isotonic_pav_replay", "dbscan_grid",
     # ---- 50-gate window boundary ----
     # next-stalest gates continue the rotation for round 6: first the
     # r01-only core learned-index path, then the dedup/ANN/text headliners

@@ -665,10 +665,10 @@ ISO_LABEL_SQL = "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END"
 
 
 @gate(
-    "isotonic_calibration",
+    "isotonic_pav_replay",
     oracle=CAL.pav_oracle_sql(ISO_CENTS_SQL, ISO_LABEL_SQL, ISO_BINS),
 )
-def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_isotonic_pav_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Isotonic calibration of P(returnflag='R') against the price score
     (operators/calibrate.py): 32 fixed integer score bins (one map-side
     groupBy — the only data-sized work), PAV on the 32-row summary with

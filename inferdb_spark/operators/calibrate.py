@@ -6,6 +6,12 @@ need CALIBRATED probabilities.  Isotonic regression is the classic
 in-database-friendly calibrator: bin the score, pool adjacent violators
 (PAV), emit a monotone step function.
 
+Companion module: operators/calibration.py fits the SAME isotonic model
+fully relationally (the minimax characterization, windows over the bin
+relation) — that form is the zero-driver variant; this one trades a
+bounded n_bins-row collect for a trainer-style full-fit SQL replay
+(pav_oracle_sql) and the broadcast step-function join.
+
 Scale shape (the 100 TB question): the data-sized work is ONE groupBy to a
 fixed number of score bins (map-side combined, n_bins rows out); PAV runs
 on that n_bins-row summary — driver-side here (the kmeans-Lloyd bounded

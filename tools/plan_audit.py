@@ -358,7 +358,7 @@ def main() -> int:
          lambda p: "CartesianProduct" not in p),
         ("no Python nodes", lambda p: "Python" not in p),
     ])
-    audit("isotonic_calibration", [
+    audit("isotonic_pav_replay", [
         ("fitted blocks broadcast back (no shuffle join)",
          lambda p: "SortMergeJoin" not in p),
         ("two-phase bin aggregation", lambda p: p.count("HashAggregate") >= 2),
