@@ -37,6 +37,21 @@ _ORACLES: dict[str, str] = {}
 
 def gate(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
+        # registration is last-writer-wins by dict semantics, which once
+        # let a new gate silently SHADOW an existing one of the same name
+        # (round 5: a second isotonic_calibration).  Re-registering the
+        # same function (module re-import) is fine; a DIFFERENT function
+        # claiming a taken name is a hard error.
+        prev = _QUERIES.get(name)
+        if prev is not None and (
+            prev.__module__ != fn.__module__
+            or prev.__qualname__ != fn.__qualname__
+        ):
+            raise ValueError(
+                f"gate name {name!r} already registered by "
+                f"{prev.__module__}.{prev.__qualname__}; "
+                f"{fn.__module__}.{fn.__qualname__} must pick a new name"
+            )
         _QUERIES[name] = fn
         if oracle is not None:
             _ORACLES[name] = oracle

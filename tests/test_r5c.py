@@ -306,3 +306,24 @@ def test_streaming_hll_registers_match_batch(spark):
         assert got == want
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# gate registry collision guard (regression for the shadowed-gate bug)
+
+
+def test_gate_name_collision_raises():
+    import pytest as _pt
+
+    import inferdb_spark.gate as G
+
+    G._ensure_registered()
+
+    with _pt.raises(ValueError, match="already registered"):
+        @G.gate("isotonic_calibration")
+        def q_imposter(spark, sf_dir):  # pragma: no cover
+            raise AssertionError
+
+    # idempotent re-registration of the SAME function is allowed
+    fn = G._QUERIES["dedup_exact"]
+    assert G.gate("dedup_exact")(fn) is fn
