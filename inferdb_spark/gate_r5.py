@@ -320,8 +320,12 @@ def q_cv_leave_fold_out(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Split conformal prediction intervals (Vovk; Lei et al. JASA'18): the
 # distribution-free finite-sample wrapper around the learned index's point
 # predictions.  q̂ is the ⌈(n_c+1)(1−α)⌉-th smallest calibration residual —
-# an exact integer order statistic fetched via orderBy+limit (TakeOrdered,
-# no global window), k from pure integer arithmetic on both sides.
+# an exact integer order statistic.  Because k is ~90% of the calibration
+# split, orderBy+limit(k) (the round-5 form) funnels ~n_c values through
+# one merge task — a scale cliff at billions of calibration rows.  Round 6
+# replaces it with count-bisection over the BIGINT residual domain
+# (operators/order_stats.exact_kth_smallest): O(log_4096(range)) aggregate
+# passes, ≤4096 driver rows per pass, identical value.
 
 CP_ALPHA_NUM = 9  # 1−α = 9/10
 _CP_D_H = (
@@ -378,8 +382,14 @@ def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     test by portable h52 split (60/20/20), q̂ = exact k-th smallest
     calibration residual with k = ⌈(n_c+1)·0.9⌉ computed in integer
     arithmetic, intervals pred ± q̂ on the test split.  ~90% finite-sample
-    coverage guaranteed distribution-free; every output cell is BIGINT."""
+    coverage guaranteed distribution-free; every output cell is BIGINT.
+
+    q̂ is fetched by count-bisection (exact_kth_smallest), never by
+    sorting: k ≈ 0.9·n_c makes TakeOrdered merge ~n_c values in one task,
+    so the selection-by-counting form is the only one that survives a
+    calibration split of billions of rows."""
     from inferdb_spark.functions.hashing import h52
+    from inferdb_spark.operators.order_stats import exact_kth_smallest
 
     li = load_table(spark, sf_dir, "lineitem")
     rid = (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("long")
@@ -406,13 +416,10 @@ def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(model), "key")
         .select("row_id", F.abs(F.col("y_cents") - F.col("pred_cents")).alias("r"))
     )
-    n_c = calib.count()
-    k = (CP_ALPHA_NUM * (n_c + 1) + 9) // 10
-    qhat = (
-        calib.orderBy(F.col("r").asc(), F.col("row_id").asc())
-        .limit(k)
-        .agg(F.max("r").cast("long").alias("q"))
+    q_val = exact_kth_smallest(
+        calib, "r", lambda n_c: (CP_ALPHA_NUM * (n_c + 1) + 9) // 10
     )
+    qhat = spark.range(1).select(F.lit(int(q_val)).cast("long").alias("q"))
     return (
         base.filter(F.col("h") >= 80)
         .join(F.broadcast(model), "key")
