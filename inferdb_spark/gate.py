@@ -42,11 +42,13 @@ def gate(name: str, oracle: str | None = None):
         # (round 5: a second isotonic_calibration).  Re-registering the
         # same function (module re-import) is fine; a DIFFERENT function
         # claiming a taken name is a hard error.
+        # Identity/code compare, not __module__/__qualname__: a different
+        # function can share both (module reload, copy-pasted def), and a
+        # name-only compare would let it silently shadow.  Code objects
+        # compare by value in CPython, so a genuine re-import of the same
+        # unchanged def still passes.
         prev = _QUERIES.get(name)
-        if prev is not None and (
-            prev.__module__ != fn.__module__
-            or prev.__qualname__ != fn.__qualname__
-        ):
+        if prev is not None and prev is not fn and prev.__code__ != fn.__code__:
             raise ValueError(
                 f"gate name {name!r} already registered by "
                 f"{prev.__module__}.{prev.__qualname__}; "
@@ -97,42 +99,16 @@ def _ensure_registered() -> None:
 # hash-checks only the first 50 declared queries per round, so each round's
 # window is drawn from the least-previously-driver-checked gates (the full
 # registry is still verified locally by tools/verify_local.py; the window
-# composition is checked by tools/driver_window_check.py).  Round 5: the
-# verdict's #1 ask — the 23 gates no driver window (r01-r04) ever
-# hash-checked (all round-4 additions: tokenizer trainers, substring/
-# split-leakage dedup, SQ8, as-of, the e2e curation chain) lead the window;
-# next come the round-5 additions (logreg replay, binned Spearman, PNG
-# decode, streaming curation parity — never checked by construction); the
-# remainder of the 50 slots back-fill with r01-only stale gates, oldest
-# coverage first (the core learned-index path).
+# composition — never-checked gates in-window AND oldest-staleness-first —
+# is enforced by tools/driver_window_check.py; regenerate this list with
+# its --emit-priority flag).  Round 7 rotation: rounds 5 and 6 both spent
+# their windows on the round-5 additions, so the r01-era core (last
+# hash-checked in CORRECTNESS_r01: the learned-index path, dedup/ANN/text
+# headliners, TPC-H battery) is now the oldest tier and leads; any gate
+# added this round is never-checked and must be inserted ABOVE this block.
 _PRIORITY: list[str] = [
-    # never driver-checked (r01-r04): the 23 from the round-4 verdict
-    "chi2_independence", "winsorized_mean",
-    "hard_negative_mining_ivf", "substring_dedup",
-    "unigram_segment_apply", "unigram_em_round",
-    "trigram_backoff_lm", "sq8_quantized_topk", "unigram_fit_replay",
-    "wordpiece_fit_merges", "wordpiece_segment_apply",
-    "perplexity_bucket_select", "sharded_export_manifest",
-    "l_diversity_suppress", "cluster_balanced_sample", "asof_attribution",
-    "stream_dedup_exact", "tokenizer_fertility", "split_leakage_audit",
-    "char_entropy_quality", "ngram_novelty", "e2e_curation_pipeline",
-    "semantic_dedup_incremental",
-    # round-5 additions (never checked by construction)
-    "logreg_train_replay", "spearman_binned", "media_png_decode",
-    "stream_curation_chain",
-    "softmax_train_replay", "mf_train_replay", "mg_heavy_hitters",
-    "cv_leave_fold_out", "conformal_interval", "psi_drift",
-    "entity_resolution", "quantile_regression_replay",
-    "scd2_intervals", "item_item_topk", "kaplan_meier",
-    "ewma_smoothing", "ab_test_ztest", "jackknife_variance",
-    "power_iteration_eigen",
-    # round-5 batch 3 (never checked by construction)
-    "svm_train_replay", "hll_distinct_registers", "assoc_rules_apriori",
-    "autocorrelation_acf", "poisson_bootstrap_ci", "ranking_eval_metrics",
-    "isotonic_pav_replay", "dbscan_grid",
-    # ---- 50-gate window boundary ----
-    # next-stalest gates continue the rotation for round 6: first the
-    # r01-only core learned-index path, then the dedup/ANN/text headliners
+    # never driver-checked (round-7 additions go here, above the backfill)
+    # oldest tier: last checked r01
     "index_translate", "index_kv_build", "index_score", "index_score_rmsle",
     "woe_iv", "mlp_relational", "linear_score_coo", "multiclass_argmax",
     "cluster_assign", "dedup_exact", "minhash_lsh_pairs",

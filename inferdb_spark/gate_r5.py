@@ -612,7 +612,11 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the identical chain with a recursive-CTE fixpoint.  Scale:
     blocking bounds the candidate join; everything else is linear."""
     from inferdb_spark.functions.hashing import h52
-    from inferdb_spark.operators.graph import connected_components
+    from inferdb_spark.operators.entity_resolution import (
+        blocked_candidate_pairs,
+        cluster_summary,
+        resolve_entities,
+    )
 
     c = load_table(spark, sf_dir, "customer")
     base = c.select(
@@ -642,28 +646,12 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rec = base.unionByName(twins)
     blocked = rec.withColumn("band", F.floor(F.col("cents") / 1000).cast("long"))
-    a, b = blocked.alias("a"), blocked.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.nat") == F.col("b.nat"))
-            & (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.rec_id") < F.col("b.rec_id")),
-        )
-        .where(F.levenshtein(F.col("a.name"), F.col("b.name")) <= 1)
-        .select(F.col("a.rec_id").alias("src"), F.col("b.rec_id").alias("dst"))
+    pairs = blocked_candidate_pairs(
+        blocked, ["nat", "band"], id_col="rec_id", name_col="name", max_distance=1
     )
-    loops = rec.select(F.col("rec_id").alias("src"), F.col("rec_id").alias("dst"))
-    cc = connected_components(pairs.union(loops), "src", "dst")
-    return (
-        cc.groupBy(F.col("component").cast("long").alias("component"))
-        .agg(F.count(F.lit(1)).cast("long").alias("size"))
-        .join(
-            rec.select(F.col("rec_id").alias("component"), F.col("name").alias("canonical_name")),
-            "component",
-        )
-        .select("component", "size", "canonical_name")
-        .orderBy("component")
+    cc = resolve_entities(rec, pairs, id_col="rec_id")
+    return cluster_summary(rec, cc, id_col="rec_id", name_col="name").orderBy(
+        "component"
     )
 
 

@@ -55,6 +55,8 @@ def _shingle_hashes(
         if mode == "char"
         else word_ngrams(text_col, shingle_n)
     )
+    if hash_fn not in ("md5", "xxhash64"):
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
     if hash_fn == "xxhash64":
         elem = lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_P))  # noqa: E731
     else:

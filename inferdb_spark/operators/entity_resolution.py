@@ -1,0 +1,118 @@
+"""Entity resolution (record linkage) as composable DataFrame stages.
+
+The reference resolves near-duplicate records with in-database string
+matching over its key-value index tables (src/transpiler.py's string
+normalization + the index build's distinct-key discipline); this module
+re-expresses the classic three-stage linkage pipeline Spark-first:
+
+1. **Blocking** — records self-join ONLY within cheap equality blocks
+   (e.g. nation × balance band), so the quadratic verify stage is
+   bounded by Σ_b |b|² instead of n².  Block granularity is the scale
+   knob: at sf1, $1000 bands produced ~2B candidate pairs where $10
+   bands produce ~22M (measured, DESIGN_SCALE.md).
+2. **Verify** — exact Levenshtein on the candidate pairs (JVM
+   ``F.levenshtein``, no Python), keeping pairs at distance ≤ k.
+3. **Cluster** — distributed connected components over the match
+   edges (operators/graph.py min-label propagation, O(log n) rounds,
+   one row of state per record), canonical record = lowest id per
+   component.
+
+Every stage is a plain DataFrame → DataFrame function so callers can
+swap the verify predicate (e.g. jaro-winkler via expr, n-gram overlap
+from operators/dedup) or feed the match edges into a different
+clustering.  The ``entity_resolution`` gate (gate_r5.py) composes all
+three and replays the identical chain as a recursive-CTE DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["blocked_candidate_pairs", "resolve_entities", "cluster_summary"]
+
+
+def blocked_candidate_pairs(
+    records: DataFrame,
+    block_cols: Sequence[str],
+    *,
+    id_col: str = "rec_id",
+    name_col: str = "name",
+    max_distance: int = 1,
+    verify: Column | None = None,
+) -> DataFrame:
+    """Blocking self-join + string verify → match edges (src, dst).
+
+    Joins records to themselves on equality of every ``block_cols``
+    entry with ``a.id < b.id`` (each unordered pair once), then keeps
+    pairs whose names are within Levenshtein ``max_distance`` — or a
+    caller-supplied ``verify`` Column predicate over the ``a``/``b``
+    aliases.  The join is a hash equi join on the block key (plan-audited:
+    never a cartesian), so candidate volume — and the cost of the
+    quadratic verify — is Σ_b |b|², tunable entirely by block
+    granularity.
+    """
+    a, b = records.alias("a"), records.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    for col in block_cols:
+        cond = (F.col(f"a.{col}") == F.col(f"b.{col}")) & cond
+    if verify is None:
+        verify = (
+            F.levenshtein(F.col(f"a.{name_col}"), F.col(f"b.{name_col}"))
+            <= max_distance
+        )
+    return (
+        a.join(b, cond)
+        .where(verify)
+        .select(
+            F.col(f"a.{id_col}").alias("src"), F.col(f"b.{id_col}").alias("dst")
+        )
+    )
+
+
+def resolve_entities(
+    records: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "rec_id",
+) -> DataFrame:
+    """Match edges → (node, component) via min-label connected
+    components.
+
+    Self-loops for every record are unioned in so singletons (records
+    that matched nothing) still receive a component — themselves.  State
+    is one row per record; rounds are O(log n) (operators/graph.py).
+    """
+    from inferdb_spark.operators.graph import connected_components
+
+    loops = records.select(
+        F.col(id_col).alias("src"), F.col(id_col).alias("dst")
+    )
+    return connected_components(pairs.union(loops), "src", "dst")
+
+
+def cluster_summary(
+    records: DataFrame,
+    assignments: DataFrame,
+    *,
+    id_col: str = "rec_id",
+    name_col: str = "name",
+) -> DataFrame:
+    """(component, size, canonical_name): canonical record = the
+    component label itself (min-label CC makes it the lowest id), so the
+    canonical name is one broadcast-eligible join back to records — no
+    per-cluster argmin pass."""
+    return (
+        assignments.groupBy(F.col("component").cast("long").alias("component"))
+        .agg(F.count(F.lit(1)).cast("long").alias("size"))
+        .join(
+            records.select(
+                F.col(id_col).alias("component"),
+                F.col(name_col).alias("canonical_name"),
+            ),
+            "component",
+        )
+        .select("component", "size", "canonical_name")
+    )

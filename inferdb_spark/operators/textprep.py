@@ -448,6 +448,8 @@ def ngram_hash_postings(
     out = df.select(
         F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("g")
     )
+    if hash_fn not in ("md5", "xxhash64"):
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
     gh = h52(F.col("g")) if hash_fn == "md5" else F.xxhash64(F.col("g"))
     out = out.select(F.col(id_col), gh.alias("gh"))
     return out.distinct() if distinct else out

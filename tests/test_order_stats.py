@@ -65,3 +65,40 @@ def test_small_buckets_many_passes(spark):
     for k in [1, 37, 100]:
         assert exact_kth_smallest(df, "v", k, buckets=2) == k
     df.unpersist()
+
+
+def test_nulls_excluded_from_ranks(spark):
+    # ranks are over NON-NULL values (docstring contract): a raw
+    # orderBy.limit(k) would place NULLs first; bisection skips them
+    schema = StructType([StructField("v", LongType())])
+    rows = [(None,), (10,), (None,), (1,), (5,)]
+    df = spark.createDataFrame(rows, schema)
+    assert exact_kth_smallest(df, "v", 1) == 1
+    assert exact_kth_smallest(df, "v", 2) == 5
+    assert exact_kth_smallest(df, "v", 3) == 10
+
+
+def test_long_min_neighborhood(spark):
+    # lo = LONG_MIN used to break the f-string SQL literal (unary-minus
+    # overflow parse); the F.lit form must handle it
+    lm = -(1 << 63)
+    vals = [lm, lm + 3, lm + 7, lm + 7, lm + 100]
+    df = _df(spark, vals).cache()
+    ordered = sorted(vals)
+    for k in [1, 2, 3, 4, 5]:
+        assert exact_kth_smallest(df, "v", k, buckets=4) == ordered[k - 1]
+    df.unpersist()
+
+
+def test_span_overflow_guard(spark):
+    # lo deeply negative AND hi large positive: span > 2^63-1 would wrap
+    # the bucket arithmetic, so it must raise instead
+    df = _df(spark, [-(1 << 63), (1 << 63) - 1, 0])
+    with pytest.raises(ValueError, match="span"):
+        exact_kth_smallest(df, "v", 2)
+
+
+def test_persist_false_path(spark):
+    vals = list(range(100, 0, -1))
+    df = _df(spark, vals)
+    assert exact_kth_smallest(df, "v", 37, persist=False) == 37

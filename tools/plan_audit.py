@@ -293,10 +293,15 @@ def main() -> int:
         ("no Python nodes", lambda p: "Python" not in p),
     ])
     audit("conformal_interval", [
-        ("q-hat order statistic via TakeOrdered, never a global sort+"
-         "window", lambda p: "TakeOrderedAndProject" in p
+        # q-hat is selected by count-bisection at plan-build time and
+        # enters the scoring plan as a broadcast 1-row literal relation:
+        # the plan must contain NO order-statistic machinery at all.
+        ("q-hat via count-bisection: no TakeOrdered, no Window in the "
+         "scoring plan", lambda p: "TakeOrderedAndProject" not in p
          and "Window" not in p),
-        ("train stats broadcast to calib/test probes",
+        ("only the presentation orderBy sorts (no sort feeding the "
+         "selection)", lambda p: p.count("Sort ") <= 1),
+        ("train stats + q-hat broadcast to test probes",
          lambda p: "BroadcastHashJoin" in p and "SortMergeJoin" not in p),
     ])
     audit("mg_heavy_hitters", [
@@ -343,8 +348,8 @@ def main() -> int:
         ("no Python nodes", lambda p: "Python" not in p),
     ])
     audit("poisson_bootstrap_ci", [
-        ("one-pass: single scan of orders",
-         lambda p: p.count("orders.parquet") <= 1 or p.count("FileScan") <= 1),
+        ("one-pass: exactly one file scan in the whole plan",
+         lambda p: p.count("FileScan") == 1),
         ("two-phase aggregation (map-side partials)",
          lambda p: p.count("HashAggregate") >= 2),
     ])
