@@ -108,6 +108,7 @@ def _ensure_registered() -> None:
 # added this round is never-checked and must be inserted ABOVE this block.
 _PRIORITY: list[str] = [
     # never driver-checked (round-7 additions go here, above the backfill)
+    "stream_decon_foreachbatch",
     # oldest tier: last checked r01
     "index_translate", "index_kv_build", "index_score", "index_score_rmsle",
     "woe_iv", "mlp_relational", "linear_score_coo", "multiclass_argmax",

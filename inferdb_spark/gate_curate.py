@@ -908,3 +908,117 @@ def q_stream_curation_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "content_h",
         F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
     ).orderBy("content_h")
+
+# ---------------------------------------------------------------------------
+# Streaming decontamination, UNCAPPED eval suite (the foreachBatch
+# broadcast-join form).  Where stream_curation_chain compiles the (small,
+# capped) eval suite into plan literals, this gate ships the suite as a
+# posting relation broadcast-joined per microbatch — the form that holds at
+# ANY suite size, so the oracle has no doc_id cap.
+
+
+@gate(
+    "stream_decon_foreachbatch",
+    oracle=f"""
+    WITH corpus AS (SELECT * FROM documents WHERE doc_id % 50 != 0),
+    ev AS (SELECT doc_id AS eval_id, text FROM documents
+           WHERE doc_id % 50 = 0),
+    s1 AS (
+      SELECT * FROM corpus
+      WHERE length(string_split(text, ' ')) >= {E2E_MIN_TOKENS}
+    ),
+    cg AS (
+      SELECT DISTINCT doc_id, gh FROM (
+        SELECT doc_id, {duckdb_h52('g')} AS gh FROM (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   range(1, greatest(length(t) - {E2E_DECON_N - 2}, 1)),
+                   i -> array_to_string(t[i:i+{E2E_DECON_N - 1}], ' '))) AS g
+          FROM (SELECT doc_id, {_d_tokens('text')} AS t FROM s1))
+      )
+    ),
+    eg AS (
+      SELECT DISTINCT eval_id, gh FROM (
+        SELECT eval_id, {duckdb_h52('g')} AS gh FROM (
+          SELECT eval_id,
+                 unnest(list_transform(
+                   range(1, greatest(length(t) - {E2E_DECON_N - 2}, 1)),
+                   i -> array_to_string(t[i:i+{E2E_DECON_N - 1}], ' '))) AS g
+          FROM (SELECT eval_id, {_d_tokens('text')} AS t FROM ev))
+      )
+    ),
+    hits AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT cg.doc_id, eg.eval_id, count(*) AS n_shared
+        FROM cg JOIN eg USING (gh)
+        GROUP BY cg.doc_id, eg.eval_id
+        HAVING count(*) >= {E2E_DECON_SHARED})
+    ),
+    s3 AS (
+      SELECT s1.* FROM s1 LEFT JOIN hits ON s1.doc_id = hits.doc_id
+      WHERE hits.doc_id IS NULL
+    )
+    SELECT DISTINCT md5(text) AS content_h,
+           CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM s3
+    ORDER BY content_h
+    """,
+)
+def q_stream_decon_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation chain as a streaming job whose decontamination stage
+    is a per-microbatch BROADCAST JOIN against the FULL eval-suite
+    posting relation (streaming.curation_stream_foreach_batch) — no
+    doc_id cap, no plan literals: the suite-size-independent form.
+    quality filter (stateless) → exact content dedup (stateful, in the
+    streaming graph) → foreachBatch decon anti-join → idempotent
+    per-batch_id parquet partitions.  The emitted distinct content set
+    must equal the batch chain's (DuckDB replays quality→decon→DISTINCT
+    content with NO suite cap) for any file/trigger interleaving —
+    dedup commutes with the content-predicate decon filter."""
+    import os
+    import shutil
+
+    from inferdb_spark.operators.textprep import ngram_hash_postings
+    from inferdb_spark.streaming.scoring_stream import (
+        curation_stream_foreach_batch,
+    )
+
+    global _stream_cur_counter
+    _stream_cur_counter += 1
+    run_dir = f"/tmp/inferdb_stream_decon_fb_{os.getpid()}_{_stream_cur_counter}"
+    shutil.rmtree(run_dir, ignore_errors=True)
+    out_path = os.path.join(run_dir, "out")
+    ckpt = os.path.join(run_dir, "ckpt")
+
+    docs = load_table(spark, sf_dir, "documents")
+    evald = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    eval_postings = ngram_hash_postings(evald, "eval_id", "text", E2E_DECON_N)
+
+    stage, schema = _stage_documents(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .where(F.col("doc_id") % 50 != 0)
+    )
+    q = curation_stream_foreach_batch(
+        stream,
+        eval_postings,
+        out_path,
+        ckpt,
+        min_tokens=E2E_MIN_TOKENS,
+        n=E2E_DECON_N,
+        min_shared=E2E_DECON_SHARED,
+    )
+    q.processAllAvailable()
+    q.stop()
+    return (
+        spark.read.parquet(out_path)
+        .select(
+            "content_h",
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        )
+        .orderBy("content_h")
+    )

@@ -253,9 +253,9 @@ def curation_stream(
     100 TB shape: stages 1-2 are map-only; dedup state is one compact
     md5 key per distinct content (bounded by the watermark horizon in the
     bounded_state variant).  The eval-literal plan grows with the suite
-    (fine for benchmark suites of ~1e2..1e4 grams; beyond that, decon
-    moves to the broadcast-join form of textprep.decontaminate inside
-    foreachBatch)."""
+    (fine for benchmark suites of ~1e2..1e4 grams; beyond that, use
+    curation_stream_foreach_batch, which broadcast-joins the suite as a
+    posting relation per microbatch — suite-size-independent)."""
     from inferdb_spark.functions.hashing import h52
     from inferdb_spark.functions.text import bind_once, word_ngrams
 
@@ -325,4 +325,82 @@ def ewma_per_key(
     timeout_conf = getattr(GroupStateTimeout, timeout, GroupStateTimeout.NoTimeout)
     return stream_df.groupBy(key_col).applyInPandasWithState(
         update, output_schema, state_schema, "update", timeout_conf
+    )
+
+
+def curation_stream_foreach_batch(
+    stream_df: DataFrame,
+    eval_postings: DataFrame,
+    path: str,
+    checkpoint: str,
+    min_tokens: int = 20,
+    n: int = 5,
+    min_shared: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bounded_state: bool = False,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+):
+    """The curation chain with UNCAPPED decontamination: the eval suite
+    is a posting DATAFRAME (eval_id, gh — textprep.ngram_hash_postings
+    output) broadcast-joined against each microbatch inside foreachBatch,
+    instead of being compiled into the stream plan as literal arrays
+    (curation_stream's stateless form, which is the right call only for
+    small fixed suites — an sf1 suite of ~1000 docs made the literal
+    plan pathological).  Nothing here scales with the suite except the
+    broadcast payload, so the suite can be 10 docs or 10M grams.
+
+    Chain: stateless quality length filter → stateful exact content
+    dedup IN THE STREAMING GRAPH (state = one md5 key per distinct
+    content; bounded_state=True switches to the watermark-bounded
+    variant) → per-microbatch decontamination: batch doc grams joined to
+    the broadcast eval postings, pairs sharing ≥ min_shared distinct
+    grams dropped by anti join → idempotent per-batch_id parquet
+    partitions (the foreach_batch_parquet_sink overwrite discipline, so
+    a replayed batch lands in its own partition instead of duplicating).
+
+    Dedup-BEFORE-decon is safe because both stages are pure functions of
+    content: filtering a deduplicated stream by a content predicate
+    yields exactly the batch chain's distinct content set (dedup
+    commutes with content filters) — gate:stream_decon_foreachbatch
+    hash-checks that equality against a DuckDB replay with NO cap on
+    the eval suite.
+
+    Returns the started StreamingQuery.
+    """
+    from inferdb_spark.operators.textprep import ngram_hash_postings
+
+    s1 = stream_df.where(
+        F.size(F.split(F.col(text_col), " ")) >= min_tokens
+    )
+    keyed = s1.withColumn("content_h", F.md5(F.col(text_col)))
+    deduped = dedup_stream(
+        keyed, ["content_h"], ts_col=ts_col, watermark=watermark,
+        bounded_state=bounded_state,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        grams = ngram_hash_postings(batch_df, id_col, text_col, n)
+        hits = (
+            grams.join(F.broadcast(eval_postings), "gh")
+            .groupBy(id_col, "eval_id")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .where(F.col("n_shared") >= min_shared)
+            .select(id_col)
+            .distinct()
+        )
+        (
+            batch_df.join(hits, id_col, "left_anti")
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(path)
+        )
+
+    return (
+        deduped.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
     )

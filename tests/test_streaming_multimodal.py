@@ -415,3 +415,96 @@ def test_png_unsupported_raises():
     )
     with pytest.raises(ValueError, match="unsupported PNG"):
         MC.decode_png(png16)
+
+
+def test_stream_foreachbatch_decon_equals_batch_uncapped(spark, tmp_path):
+    """curation_stream_foreach_batch: stream == batch row-for-row on the
+    distinct content set, with the eval suite as a broadcast posting
+    relation (NO literal-plan cap — the suite here is deliberately larger
+    than the stateless form would comfortably inline)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from inferdb_spark.operators.textprep import ngram_hash_postings
+    from inferdb_spark.streaming.scoring_stream import (
+        curation_stream_foreach_batch,
+    )
+
+    rng = random.Random(11)
+    words = [f"w{i}" for i in range(80)]
+
+    def sentence(k, n=30):
+        r = random.Random(k)
+        return " ".join(r.choice(words) for _ in range(n))
+
+    # 60 eval docs (an "uncapped" suite), 150 corpus docs: ~1/5 of the
+    # corpus copies an eval doc verbatim (contaminated), some corpus docs
+    # duplicate each other, a few are too short for the quality filter
+    eval_rows = [(1000 + i, sentence(1000 + i)) for i in range(60)]
+    corpus_rows = []
+    for i in range(150):
+        if i % 5 == 0:
+            text = eval_rows[rng.randrange(60)][1]       # contaminated
+        elif i % 7 == 0:
+            text = sentence(2000 + (i % 3))              # duplicates
+        elif i % 11 == 0:
+            text = "too short"                           # quality-filtered
+        else:
+            text = sentence(3000 + i)
+        corpus_rows.append((i, text))
+
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    evald = spark.createDataFrame(eval_rows, "eval_id long, text string")
+    eval_postings = ngram_hash_postings(evald, "eval_id", "text", 5)
+
+    stage = str(tmp_path / "stage")
+    corpus.repartition(5).write.parquet(stage)  # 5 files -> 5 triggers
+    out_path, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    stream = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = curation_stream_foreach_batch(
+        stream, eval_postings, out_path, ckpt,
+        min_tokens=10, n=5, min_shared=3,
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["content_h"], r["n_tokens"])
+        for r in spark.read.parquet(out_path)
+        .select(
+            "content_h",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        )
+        .collect()
+    }
+
+    # batch twin: quality -> decon join -> distinct content
+    s1 = corpus.where(F.size(F.split("text", " ")) >= 10)
+    grams = ngram_hash_postings(s1, "doc_id", "text", 5)
+    hits = (
+        grams.join(F.broadcast(eval_postings), "gh")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= 3)
+        .select("doc_id")
+        .distinct()
+    )
+    want = {
+        (r["content_h"], r["n_tokens"])
+        for r in s1.join(hits, "doc_id", "left_anti")
+        .select(
+            F.md5("text").alias("content_h"),
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        )
+        .distinct()
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 50  # the chain actually kept a nontrivial survivor set
+    # and contamination actually removed something
+    assert s1.count() > len(want)
