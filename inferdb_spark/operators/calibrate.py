@@ -6,11 +6,22 @@ need CALIBRATED probabilities.  Isotonic regression is the classic
 in-database-friendly calibrator: bin the score, pool adjacent violators
 (PAV), emit a monotone step function.
 
-Companion module: operators/calibration.py fits the SAME isotonic model
-fully relationally (the minimax characterization, windows over the bin
-relation) — that form is the zero-driver variant; this one trades a
-bounded n_bins-row collect for a trainer-style full-fit SQL replay
-(pav_oracle_sql) and the broadcast step-function join.
+UNIFICATION — the repo ships TWO fits of the SAME isotonic model; both
+are the unique L2 projection onto the monotone cone, so their fitted
+values are IDENTICAL (cross-checked by
+tests/test_calibration.py::test_pav_replay_equals_relational_minimax):
+
+| | calibrate.py (this module) | calibration.py |
+|---|---|---|
+| algorithm | stack PAV on the driver over the ≤n_bins bin summary | minimax iso[i] = max_{j≤i} min_{k≥i} pooled-mean — B³ join over bins |
+| driver traffic | one n_bins-row collect (kmeans-Lloyd bounded pattern) | ZERO — fully relational |
+| arithmetic | exact BIGINT cross-multiply; one division at output | double prefix sums over windows |
+| oracle | full-fit CTE replay (pav_oracle_sql) → gate:isotonic_pav_replay | minimax SQL → gate:isotonic_calibration |
+| pick when | trainer-replay gates; bit-exact integer fit; tiny B | fit must compose inside a larger SQL plan with no driver round-trip |
+| cost in B | O(B) driver, broadcast step join back | O(B³) rows of tiny aggregates (B ≤ ~100 after pre-binning) |
+
+Both run their data-sized work as ONE map-side-combined groupBy to the
+bin relation; neither touches row-scale data after that.
 
 Scale shape (the 100 TB question): the data-sized work is ONE groupBy to a
 fixed number of score bins (map-side combined, n_bins rows out); PAV runs

@@ -17,6 +17,12 @@ sequential-looking PAVA pass happens on the bin relation, not the data.
 
 Weighted: pass n_col as the per-bin weight (count) and s_col the weighted
 target sum.
+
+Companion: operators/calibrate.py fits the SAME model with a driver-side
+stack PAV over the bin summary (exact-integer arithmetic, full-fit SQL
+replay oracle) — see its module docstring for the side-by-side
+unification table; the two fits are value-identical (unique projection),
+cross-checked by tests/test_calibration.py.
 """
 
 from __future__ import annotations

@@ -79,3 +79,38 @@ def test_calibrate_scores_end_to_end(spark):
     assert len(cal) == 5
     assert all(cal[i] <= cal[i + 1] + 1e-12 for i in range(4))  # monotone
     assert out.count() == n  # row-preserving
+
+
+def test_pav_replay_equals_relational_minimax(spark):
+    """The two isotonic fits in the repo (calibrate.py driver-stack PAV,
+    calibration.py relational minimax) are the SAME model: identical
+    fitted values on shared binned data (unique L2 projection onto the
+    monotone cone) — the unification contract in calibrate.py's
+    docstring table."""
+    import random
+
+    from inferdb_spark.operators.calibrate import fit_isotonic
+    from inferdb_spark.operators.calibration import isotonic_fit
+
+    rng = random.Random(3)
+    # (bin, y_sum, n) with deliberate violators and ties
+    rows = [(b, rng.randint(0, 40), rng.randint(1, 50)) for b in range(25)]
+
+    bins_pav = spark.createDataFrame(
+        [(b, y, n) for b, y, n in rows], "bin long, y_b long, n_b long"
+    )
+    pav = {
+        r["bin"]: r["block_y"] / r["block_n"]
+        for r in fit_isotonic(bins_pav).collect()
+    }
+
+    bins_mm = spark.createDataFrame(
+        [(b, n, y) for b, y, n in rows], "bin long, n long, s long"
+    )
+    mm = {r["bin"]: r["iso_rate"] for r in isotonic_fit(bins_mm).collect()}
+
+    assert set(pav) == set(mm)
+    for b in pav:
+        assert abs(pav[b] - mm[b]) < 1e-9, (b, pav[b], mm[b])
+    fitted = [pav[b] for b in sorted(pav)]
+    assert all(a <= b + 1e-12 for a, b in zip(fitted, fitted[1:]))
