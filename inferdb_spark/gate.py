@@ -88,6 +88,7 @@ def _ensure_registered() -> None:
         "inferdb_spark.gate_r5",
         "inferdb_spark.gate_r5b",
         "inferdb_spark.gate_r5c",
+        "inferdb_spark.gate_r7",
     ):
         try:
             importlib.import_module(mod)
@@ -109,6 +110,9 @@ def _ensure_registered() -> None:
 _PRIORITY: list[str] = [
     # never driver-checked (round-7 additions go here, above the backfill)
     "stream_decon_foreachbatch",
+    "kendall_tau_binned", "mann_whitney_binned", "bh_fdr_screen",
+    "seasonal_decompose_monthly", "theil_sen_nation_trend",
+    "pps_systematic_sample", "ams_f2_sketch", "kneser_ney_bigram",
     # oldest tier: last checked r01
     "index_translate", "index_kv_build", "index_score", "index_score_rmsle",
     "woe_iv", "mlp_relational", "linear_score_coo", "multiclass_argmax",
