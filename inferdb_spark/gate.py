@@ -89,6 +89,7 @@ def _ensure_registered() -> None:
         "inferdb_spark.gate_r5b",
         "inferdb_spark.gate_r5c",
         "inferdb_spark.gate_r7",
+        "inferdb_spark.gate_r7b",
     ):
         try:
             importlib.import_module(mod)
@@ -113,6 +114,9 @@ _PRIORITY: list[str] = [
     "kendall_tau_binned", "mann_whitney_binned", "bh_fdr_screen",
     "seasonal_decompose_monthly", "theil_sen_nation_trend",
     "pps_systematic_sample", "ams_f2_sketch", "kneser_ney_bigram",
+    "cmh_stratified_test", "permutation_test_signflip", "cohens_kappa",
+    "page_hinkley_drift", "gini_grouped_revenue", "cuped_adjusted_ab",
+    "changepoint_sse_scan",
     # oldest tier: last checked r01
     "index_translate", "index_kv_build", "index_score", "index_score_rmsle",
     "woe_iv", "mlp_relational", "linear_score_coo", "multiclass_argmax",
