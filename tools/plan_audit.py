@@ -382,6 +382,43 @@ def main() -> int:
          lambda p: p.count("HashAggregate") >= 4),
     ])
 
+    audit("kendall_tau_binned", [
+        ("pair counting on the cell grid via broadcast nested loop "
+         "(bounded by bins^2), never a row-level pair join",
+         lambda p: "BroadcastNestedLoopJoin" in p and "SortMergeJoin" not in p),
+        ("no global sort or window anywhere",
+         lambda p: "Window" not in p),
+    ])
+    audit("mann_whitney_binned", [
+        ("histogram self-join broadcast (domain-bounded), no sort-merge",
+         lambda p: "BroadcastNestedLoopJoin" in p and "SortMergeJoin" not in p),
+        ("no rank window over raw rows", lambda p: "Window" not in p),
+    ])
+    audit("permutation_test_signflip", [
+        ("all 32 permutations in one aggregation pass: no join, no window, "
+         "no per-replica re-scan",
+         lambda p: "Join" not in p and "Window" not in p
+         and p.count("FileScan") == 1),
+    ])
+    audit("pps_systematic_sample", [
+        ("prefix sums partitioned by stratum (every windowspec keys on seg "
+         "— no single-partition global window over customers)",
+         lambda p: "windowspecdefinition(seg" in p
+         and "windowspecdefinition()" not in p),
+    ])
+    audit("page_hinkley_drift", [
+        ("hourly aggregate BELOW the windows (plans print root-first, so "
+         "the deepest HashAggregate must sit under the Window node: windows "
+         "run on the per-hour relation, never raw events)",
+         lambda p: "Window" in p
+         and p.rindex("HashAggregate") > p.index("Window")),
+    ])
+    audit("cuped_adjusted_ab", [
+        ("moment sums from the cached per-customer relation: no window, "
+         "single-row reduces joined broadcast",
+         lambda p: "Window" not in p and "InMemoryTableScan" in p),
+    ])
+
     print("\n" + ("ALL PLAN CHECKS PASS" if failures == 0 else f"{failures} PLAN CHECKS FAILED"))
     return 1 if failures else 0
 
