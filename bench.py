@@ -294,6 +294,15 @@ def main() -> None:
         "ranking_eval_metrics",
         "isotonic_pav_replay",
         "dbscan_grid",
+        # round-7 additions: binned-pair rank statistics, one-pass
+        # permutation test, sequential drift, grouped Gini, KN smoothing
+        "kendall_tau_binned",
+        "mann_whitney_binned",
+        "permutation_test_signflip",
+        "page_hinkley_drift",
+        "gini_grouped_revenue",
+        "cuped_adjusted_ab",
+        "kneser_ney_bigram",
     ]:
         if name in gq:
             fn = gq[name]

@@ -90,6 +90,7 @@ def _ensure_registered() -> None:
         "inferdb_spark.gate_r5c",
         "inferdb_spark.gate_r7",
         "inferdb_spark.gate_r7b",
+        "inferdb_spark.gate_r7c",
     ):
         try:
             importlib.import_module(mod)
@@ -117,6 +118,7 @@ _PRIORITY: list[str] = [
     "cmh_stratified_test", "permutation_test_signflip", "cohens_kappa",
     "page_hinkley_drift", "gini_grouped_revenue", "cuped_adjusted_ab",
     "changepoint_sse_scan",
+    "ece_reliability", "confident_learning_binary", "training_cartography",
     # oldest tier: last checked r01
     "index_translate", "index_kv_build", "index_score", "index_score_rmsle",
     "woe_iv", "mlp_relational", "linear_score_coo", "multiclass_argmax",

@@ -139,6 +139,47 @@ def fit_logreg_gd(
     )
 
 
+def fit_logreg_gd_history(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    n_steps: int = 8,
+    learning_rate: float = 1.0,
+    scale: int = 10_000,
+) -> list[LogRegModel]:
+    """Like fit_logreg_gd but returns the PER-STEP model snapshots
+    beta_1..beta_K (same arithmetic, same gradient_relation aggregates) —
+    the input to dataset-cartography statistics, which need the model's
+    probability trajectory across training steps, not just the final
+    fit.  Driver traffic is still p+2 BIGINT sums per step."""
+    p = len(feature_cols)
+    coefs = [0.0] * p
+    intercept = 0.0
+    lr = float(learning_rate)
+    history: list[LogRegModel] = []
+    for _ in range(n_steps):
+        row = gradient_relation(
+            df, feature_cols, label_col, coefs, intercept, scale
+        ).collect()[0]
+        n = row["n"]
+        intercept = intercept - lr * (row["sg"] / (1000000.0 * n))
+        coefs = [
+            coefs[j] - lr * (row[f"sgx_{j}"] / (1000000.0 * scale * n))
+            for j in range(p)
+        ]
+        history.append(
+            LogRegModel(
+                feature_cols=list(feature_cols),
+                coefs=list(coefs),
+                intercept=intercept,
+                scale=scale,
+                n_steps=n_steps,
+                learning_rate=lr,
+            )
+        )
+    return history
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle: the ENTIRE fit replayed as one CTE chain (the
 # fit_predict_hist_gbt_sql standard) + final per-row scoring
@@ -215,6 +256,116 @@ def fit_predict_logreg_sql(
         + f" SELECT row_id, CAST({prob_sql(m)} AS DOUBLE) AS prob, "
         f"CAST(CASE WHEN {prob_sql(m)} > 0.5 THEN 1 ELSE 0 END AS BIGINT) AS pred "
         f"FROM b CROSS JOIN {final} ORDER BY row_id"
+    )
+
+
+def cartography_sql(
+    feature_sqls: list[str],
+    label_sql: str,
+    row_id_sql: str,
+    n_steps: int = 8,
+    learning_rate: float = 1.0,
+    scale: int = 10_000,
+    table: str = "lineitem",
+    where: str | None = None,
+) -> str:
+    """Dataset-cartography oracle (Swayamdipta et al., EMNLP'20 "Dataset
+    Cartography"): replay the full logreg fit (same CTE chain as
+    fit_predict_logreg_sql), then for EVERY training step k compute each
+    row's snapped true-class probability ptu_k = y*p_k + (1-y)*(1-p_k) in
+    integer micro-units, and report confidence sum_k(ptu_k) and the
+    variability numerator K*sum(ptu^2) - (sum ptu)^2 — both exact
+    BIGINTs (std and mean are monotone in these, so region thresholds
+    compare integers, no float tie-break anywhere)."""
+    p = len(feature_sqls)
+    lr = float(learning_rate)
+    k_steps = n_steps
+
+    def xq_sql(expr: str) -> str:
+        return f"CAST(floor(({expr}) * {float(scale)!r} + 0.5) AS BIGINT)"
+
+    src_where = f" WHERE {where}" if where else ""
+    base_cols = ", ".join(
+        f"{xq_sql(e)} AS x{j}" for j, e in enumerate(feature_sqls)
+    )
+    ctes = [
+        f"b AS MATERIALIZED (SELECT CAST({row_id_sql} AS BIGINT) AS row_id, "
+        f"{base_cols}, CAST({label_sql} AS DOUBLE) AS y FROM {table}{src_where})",
+        "beta0 AS (SELECT CAST(0.0 AS DOUBLE) AS b0, "
+        + ", ".join(f"CAST(0.0 AS DOUBLE) AS c{j}" for j in range(p))
+        + ")",
+    ]
+
+    def margin_sql(src: str) -> str:
+        m = f"{src}.b0"
+        for j in range(p):
+            t = f"(CAST(x{j} AS DOUBLE) / {float(scale)!r})"
+            m = f"({m} + ({src}.c{j} * {t}))"
+        return m
+
+    def prob_sql(m: str) -> str:
+        return (
+            f"(floor((1.0 / (1.0 + exp(-({m})))) * {float(GRID)!r} + 0.5)"
+            f" / {float(GRID)!r})"
+        )
+
+    for k in range(n_steps):
+        m = margin_sql(f"beta{k}")
+        gq = f"CAST(floor(({prob_sql(m)} - y) * {float(GRID)!r} + 0.5) AS BIGINT)"
+        sgx = ", ".join(f"SUM(gq * x{j}) AS sgx_{j}" for j in range(p))
+        ctes.append(
+            f"s{k} AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n, "
+            f"SUM(gq) AS sg, {sgx} "
+            f"FROM (SELECT y, {', '.join(f'x{j}' for j in range(p))}, {gq} AS gq "
+            f"FROM b CROSS JOIN beta{k}))"
+        )
+        upd = [f"beta{k}.b0 - {lr!r} * (s{k}.sg / (1000000.0 * s{k}.n)) AS b0"]
+        for j in range(p):
+            upd.append(
+                f"beta{k}.c{j} - {lr!r} * (s{k}.sgx_{j} / "
+                f"(1000000.0 * {scale} * s{k}.n)) AS c{j}"
+            )
+        ctes.append(
+            f"beta{k + 1} AS MATERIALIZED (SELECT {', '.join(upd)} "
+            f"FROM beta{k} CROSS JOIN s{k})"
+        )
+
+    betas = ", ".join(f"beta{k}" for k in range(1, n_steps + 1))
+    ptus = []
+    for k in range(1, n_steps + 1):
+        pk = prob_sql(margin_sql(f"beta{k}"))
+        pu = f"CAST(round({pk} * {float(GRID)!r}) AS BIGINT)"
+        ptus.append(
+            f"(CASE WHEN y = 1.0 THEN {pu} ELSE {GRID} - {pu} END) AS ptu{k}"
+        )
+    sum_pt = " + ".join(f"ptu{k}" for k in range(1, n_steps + 1))
+    sum_pt2 = " + ".join(f"ptu{k} * ptu{k}" for k in range(1, n_steps + 1))
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f", steps AS (SELECT row_id, CAST(y AS BIGINT) AS label, {', '.join(ptus)} "
+        f"FROM b CROSS JOIN {betas})"
+        f", stats AS (SELECT row_id, label, "
+        f"CAST({sum_pt} AS BIGINT) AS conf_u, "
+        f"CAST({k_steps} * ({sum_pt2}) - ({sum_pt}) * ({sum_pt}) AS BIGINT)"
+        f" AS var_x FROM steps) "
+        f"SELECT row_id, label, conf_u, var_x, "
+        f"(CASE WHEN var_x >= {cartography_thresholds(n_steps)[2]} THEN 'ambiguous' "
+        f"WHEN conf_u >= {cartography_thresholds(n_steps)[0]} THEN 'easy' "
+        f"WHEN conf_u <= {cartography_thresholds(n_steps)[1]} THEN 'hard' "
+        f"ELSE 'mid' END) AS region FROM stats ORDER BY row_id"
+    )
+
+
+def cartography_thresholds(n_steps: int) -> tuple[int, int, int]:
+    """(easy conf_u >=, hard conf_u <=, ambiguous var_x >=) integer
+    thresholds: mean true-class prob 0.75 / 0.25, std 0.15 — the usual
+    cartography region cuts, cross-multiplied onto the exact integer
+    statistics (conf_u = K*mean*1e6; var_x = K^2*std^2*1e12)."""
+    return (
+        (3 * n_steps * GRID) // 4,
+        (n_steps * GRID) // 4,
+        n_steps * n_steps * 22_500_000_000,
     )
 
 
