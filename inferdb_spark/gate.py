@@ -91,6 +91,7 @@ def _ensure_registered() -> None:
         "inferdb_spark.gate_r7",
         "inferdb_spark.gate_r7b",
         "inferdb_spark.gate_r7c",
+        "inferdb_spark.gate_r7d",
     ):
         try:
             importlib.import_module(mod)
@@ -119,6 +120,8 @@ _PRIORITY: list[str] = [
     "page_hinkley_drift", "gini_grouped_revenue", "cuped_adjusted_ab",
     "changepoint_sse_scan",
     "ece_reliability", "confident_learning_binary", "training_cartography",
+    "gamma_somers_d", "cramers_v_theils_u", "decile_lift_table",
+    "brier_decomposition", "mmd_poly_two_sample",
     # oldest tier: last checked r01
     "index_translate", "index_kv_build", "index_score", "index_score_rmsle",
     "woe_iv", "mlp_relational", "linear_score_coo", "multiclass_argmax",
