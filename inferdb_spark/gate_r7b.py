@@ -479,19 +479,19 @@ def q_page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Grouped Gini coefficient (trapezoid Lorenz over a revenue histogram)
 # ---------------------------------------------------------------------------
 
-_GINI_BIN_CENTS = 100_000  # $1,000 revenue bins
+_GINI_BIN_DOLLARS = 1_000  # $1,000 revenue bins
 
 
 @gate(
     "gini_grouped_revenue",
     oracle=f"""
     WITH per_cust AS (
-      SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+      SELECT o_custkey, CAST(sum(CAST(round(o_totalprice) AS BIGINT))
                              AS BIGINT) AS rev
       FROM orders GROUP BY 1
     ),
     hist AS (
-      SELECT rev // {_GINI_BIN_CENTS} AS b,
+      SELECT rev // {_GINI_BIN_DOLLARS} AS b,
              CAST(count(*) AS BIGINT) AS c,
              CAST(sum(rev) AS BIGINT) AS s
       FROM per_cust GROUP BY 1
@@ -523,19 +523,21 @@ def q_gini_grouped_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: with 2*CS - s = CS_{{i-1}} + CS_i, the whole Lorenz sum is
     one BIGINT expression; the single division happens at the end.
+    Gini is scale-invariant, so revenue is held in DOLLARS (not cents):
+    the c*(2*cs) product is bounded by n_bin * 2*total, and cents
+    overflowed BIGINT at the sf10 probe (1.5M customers x $2.3e11 total)
+    — dollars keep it exact past 1e9 customers (kilodollars beyond).
     Scale: per-customer aggregate (row-proportional), then windows over
-    the DOMAIN-BOUNDED bin relation (~thousands of bins, never
-    customer-count rows; c*(2*cs) <= n_bin * 2*total — re-scale to
-    dollars if counts x cents overflow at extreme scale).
+    the DOMAIN-BOUNDED bin relation, never customer-count rows.
     """
     od = load_table(spark, sf_dir, "orders")
     per_cust = od.groupBy("o_custkey").agg(
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        F.sum(F.round(F.col("o_totalprice")).cast("long"))
         .cast("long")
         .alias("rev")
     )
     hist = (
-        per_cust.select(F.expr(f"rev div {_GINI_BIN_CENTS}").alias("b"), "rev")
+        per_cust.select(F.expr(f"rev div {_GINI_BIN_DOLLARS}").alias("b"), "rev")
         .groupBy("b")
         .agg(
             F.count("*").cast("long").alias("c"),

@@ -142,12 +142,14 @@ def test_gini_matches_grouped_reference(spark, sf_dir):
     od = spark.read.parquet(f"{sf_dir}/orders.parquet")
     per = {}
     for r in od.collect():
+        # HALF_UP like Spark F.round / DuckDB round (python round() is
+        # half-to-even and disagrees on .5 boundaries)
         per[r["o_custkey"]] = per.get(r["o_custkey"], 0) + int(
-            round(r["o_totalprice"] * 100)
+            math.floor(r["o_totalprice"] + 0.5)
         )
     hist = {}
     for rev in per.values():
-        b = rev // 100_000
+        b = rev // 1_000
         c, s = hist.get(b, (0, 0))
         hist[b] = (c + 1, s + rev)
     total = sum(s for _, s in hist.values())
