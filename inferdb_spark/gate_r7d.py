@@ -370,8 +370,9 @@ def q_decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     brier AS (
       SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(sum((p_u - 1000000 * y) * (p_u - 1000000 * y)) AS BIGINT)
-               AS se_sum,
+             CAST(sum(CAST(round(CAST((p_u - 1000000 * y) * (p_u - 1000000 * y)
+                                      AS DOUBLE) / 1000000.0) AS BIGINT))
+                  AS BIGINT) AS se_sum_u,
              CAST(sum(y) AS BIGINT) AS pos
       FROM scored
     ),
@@ -399,7 +400,7 @@ def q_decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS res_u
       FROM bins, brier b
     )
-    SELECT round(CAST(se_sum AS DOUBLE) / (CAST(n AS DOUBLE) * 1e12), 6)
+    SELECT round(CAST(se_sum_u AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0), 6)
              AS brier,
            round(CAST(rel_u AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0), 6)
              AS reliability,
@@ -417,10 +418,14 @@ def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ece_reliability: the probabilistic-forecast quality audit (does the
     model's sharpness come from calibration or discrimination?).
 
-    Exactness: the Brier numerator sum((p_u - 1e6*y)^2) is a pure BIGINT
-    (p_u on the micro grid); reliability/resolution per-bin terms are
-    rationals quantized to micro-units before the 10-row sum.  One scan
-    plus a 10-row aggregate — no windows over raw rows.
+    Exactness: the per-row squared error (p_u - 1e6*y)^2 is an exact
+    BIGINT (<= 1e12), quantized to MICRO-UNITS (round(d^2/1e6), an exact
+    double division of integers < 2^53) before the global sum — the raw
+    squared sum overflows BIGINT past ~9M rows (caught at the sf10
+    probe), the micro form is safe to ~1e12 rows with per-row error
+    <= 0.5e-6.  Reliability/resolution per-bin terms quantize the same
+    way over the 10-row bin relation.  One scan plus a 10-row aggregate
+    — no windows over raw rows.
     """
     li = load_table(spark, sf_dir, "lineitem")
     margin = (
@@ -438,7 +443,11 @@ def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = F.col("p_u") - 1_000_000 * F.col("y")
     brier = scored.agg(
         F.count("*").cast("long").alias("n"),
-        F.sum(d * d).cast("long").alias("se_sum"),
+        F.sum(
+            F.round((d * d).cast("double") / F.lit(1_000_000.0)).cast("long")
+        )
+        .cast("long")
+        .alias("se_sum_u"),
         F.sum("y").cast("long").alias("pos"),
     )
     bins = scored.groupBy(
@@ -479,8 +488,8 @@ def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = F.col("pos").cast("double") / F.col("n").cast("double")
     return brier.crossJoin(dec).select(
         F.round(
-            F.col("se_sum").cast("double")
-            / (F.col("n").cast("double") * F.lit(1e12)),
+            F.col("se_sum_u").cast("double")
+            / (F.col("n").cast("double") * F.lit(1_000_000.0)),
             6,
         ).alias("brier"),
         F.round(
@@ -579,6 +588,8 @@ def q_mmd_poly_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(v * v * v).cast("long").alias("s3"),
         F.sum(v * v * v * v).cast("long").alias("s4"),
     )
+    # the x/y branches below would each re-run the scan+aggregate
+    mom.cache()
     x = mom.filter(F.col("g") == 1).alias("x")
     y = mom.filter(F.col("g") == 0).alias("y")
     s2 = F.lit(_MMD_S2)

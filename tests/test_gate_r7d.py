@@ -85,7 +85,9 @@ def test_brier_decomposition_matches_bruteforce(spark, sf_dir):
         m = (_ECE_B0 + (_ECE_BQ * r["l_quantity"])) + (_ECE_BD * r["l_discount"])
         recs.append((_snap_u(m), 1 if r["l_returnflag"] == "R" else 0))
     n = len(recs)
-    brier = sum((p - 1_000_000 * y) ** 2 for p, y in recs) / (n * 1e12)
+    brier = sum(
+        round((p - 1_000_000 * y) ** 2 / 1e6) for p, y in recs
+    ) / (n * 1e6)
     assert row["brier"] == pytest.approx(brier, abs=1e-6)
     pos = sum(y for _, y in recs)
     assert row["uncertainty"] == pytest.approx(
