@@ -123,7 +123,7 @@ _PRIORITY: list[str] = [
     "ece_reliability", "confident_learning_binary", "training_cartography",
     "gamma_somers_d", "cramers_v_theils_u", "decile_lift_table",
     "brier_decomposition", "mmd_poly_two_sample",
-    "sprt_ab_monitor", "eb_shrunk_rates",
+    "sprt_ab_monitor", "eb_shrunk_rates", "stream_page_hinkley",
     # oldest tier: last checked r01
     "index_translate", "index_kv_build", "index_score", "index_score_rmsle",
     "woe_iv", "mlp_relational", "linear_score_coo", "multiclass_argmax",

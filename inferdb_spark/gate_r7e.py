@@ -262,3 +262,91 @@ def q_eb_shrunk_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("shrunk_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Page-Hinkley monitor (fixed-baseline form) == batch replay
+# ---------------------------------------------------------------------------
+
+_SPH_MU0 = 60_000  # baseline hourly value sum, cents
+_SPH_DELTA = 5_000
+_SPH_LAMBDA = 500_000
+_sph_counter = 0
+
+
+@gate(
+    "stream_page_hinkley",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    pre AS (
+      SELECT event_type, h,
+             CAST(sum(x - cnt * {_SPH_MU0 + _SPH_DELTA})
+                    OVER (PARTITION BY event_type ORDER BY h
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS m
+      FROM hourly
+    ),
+    ph AS (
+      SELECT event_type, h,
+             CAST(m - min(m) OVER (PARTITION BY event_type ORDER BY h
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ph
+      FROM pre
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(max(ph) AS BIGINT) AS max_ph,
+           CAST(sum(CASE WHEN ph > {_SPH_LAMBDA} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_alarms,
+           CAST(coalesce(min(CASE WHEN ph > {_SPH_LAMBDA} THEN h END), -1)
+                AS BIGINT) AS first_alarm_h
+    FROM ph GROUP BY event_type
+    """,
+)
+def q_stream_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley drift monitoring as a STREAMING job
+    (streaming.page_hinkley_stream): per-microbatch hourly partials land
+    in batch_id-partitioned state (idempotent under replay), the monitor
+    re-scans the bounded (type, hour) relation and overwrites the
+    per-type summary — against a FIXED baseline mean, the form a
+    production monitor actually deploys (training-time statistics, not
+    the stream's own unknowable final mean).  The emitted summary after
+    the last trigger must equal the batch replay for ANY file/trigger
+    interleaving, because hourly partials re-merge additively.  All
+    increments are exact BIGINTs (x - cnt*(mu0+delta) with integer-cent
+    literals).
+    """
+    import os
+    import shutil
+
+    from inferdb_spark.gate_stream import _stage_events
+    from inferdb_spark.streaming.scoring_stream import page_hinkley_stream
+
+    global _sph_counter
+    _sph_counter += 1
+    run_dir = f"/tmp/inferdb_stream_ph_{os.getpid()}_{_sph_counter}"
+    shutil.rmtree(run_dir, ignore_errors=True)
+    out_path = os.path.join(run_dir, "out")
+    ckpt = os.path.join(run_dir, "ckpt")
+
+    stage, schema = _stage_events(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = page_hinkley_stream(
+        stream,
+        out_path,
+        ckpt,
+        mu0_cents=_SPH_MU0,
+        delta_cents=_SPH_DELTA,
+        lambda_cents=_SPH_LAMBDA,
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.read.parquet(out_path)

@@ -404,3 +404,109 @@ def curation_stream_foreach_batch(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def page_hinkley_stream(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    mu0_cents: int,
+    delta_cents: int,
+    lambda_cents: int,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+):
+    """Streaming Page-Hinkley drift monitor against a FIXED baseline mean
+    mu0 (the production deployment of gate:page_hinkley_drift — online
+    monitors compare against TRAINING-TIME statistics, not the stream's
+    own final mean, which no streaming job can know).  With mu0/delta
+    integer-cent literals the per-hour increment
+    term_h = x_h - cnt_h*(mu0 + delta) is an exact BIGINT, so the running
+    minimum and the alarm compare need no cross-multiplication at all.
+
+    State discipline: each microbatch writes its per-(type, hour)
+    partial aggregates into a batch_id-partitioned parquet state dir
+    (dynamic-overwrite => a REPLAYED batch overwrites its own partition
+    instead of double-counting), then the monitor re-scans the merged
+    hourly relation — which is BOUNDED (types x hours), never
+    event-sized — and overwrites the per-type PH summary at `path`.
+    Microbatch boundaries may split an hour across batches; the merge
+    groupBy re-adds the partials, so the emitted summary equals the
+    batch computation over everything seen so far, for ANY interleaving.
+
+    Returns the started StreamingQuery.
+    """
+    from pyspark.sql import Window
+
+    state = path + "_state"
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        hourly = (
+            batch_df.groupBy(
+                F.col(type_col).alias("event_type"),
+                F.expr(
+                    f"CAST(unix_micros({ts_col}) div 3600000000 AS BIGINT)"
+                ).alias("h"),
+            )
+            .agg(
+                F.sum(F.round(F.col(value_col) * 100).cast("long"))
+                .cast("long")
+                .alias("x"),
+                F.count("*").cast("long").alias("cnt"),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        (
+            hourly.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(state)
+        )
+        merged = (
+            spark.read.parquet(state)
+            .groupBy("event_type", "h")
+            .agg(
+                F.sum("x").cast("long").alias("x"),
+                F.sum("cnt").cast("long").alias("cnt"),
+            )
+        )
+        wc = (
+            Window.partitionBy("event_type")
+            .orderBy("h")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        pre = merged.select(
+            "event_type",
+            "h",
+            F.sum(F.col("x") - F.col("cnt") * F.lit(mu0_cents + delta_cents))
+            .over(wc)
+            .cast("long")
+            .alias("m"),
+        )
+        ph = pre.select(
+            "event_type",
+            "h",
+            (F.col("m") - F.min("m").over(wc)).cast("long").alias("ph"),
+        )
+        out = ph.groupBy("event_type").agg(
+            F.count("*").cast("long").alias("n_hours"),
+            F.max("ph").cast("long").alias("max_ph"),
+            F.sum(F.when(F.col("ph") > lambda_cents, 1).otherwise(0))
+            .cast("long")
+            .alias("n_alarms"),
+            F.coalesce(
+                F.min(F.when(F.col("ph") > lambda_cents, F.col("h"))),
+                F.lit(-1),
+            )
+            .cast("long")
+            .alias("first_alarm_h"),
+        )
+        out.write.mode("overwrite").parquet(path)
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -83,3 +83,63 @@ def test_eb_shrinkage_pulls_toward_mean_and_matches_moments(spark, sf_dir):
         # shrinkage moves every rate strictly toward the prior mean
         lo, hi = sorted((raw, alpha / (alpha + beta)))
         assert lo - 1e-9 <= r["shrunk_rate"] <= hi + 1e-9
+
+
+def test_stream_page_hinkley_equals_batch(spark, sf_dir):
+    """The streaming monitor's final summary must equal the batch
+    computation of the same fixed-baseline PH over the full table."""
+    from inferdb_spark.catalog import load_table
+    from inferdb_spark.gate_r7e import (
+        _SPH_DELTA,
+        _SPH_LAMBDA,
+        _SPH_MU0,
+        q_stream_page_hinkley,
+    )
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    streamed = {
+        r["event_type"]: r for r in q_stream_page_hinkley(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.expr("CAST(unix_micros(ts) div 3600000000 AS BIGINT)").alias("h"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("x"),
+        F.count("*").cast("long").alias("cnt"),
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = hourly.select(
+        "event_type",
+        "h",
+        F.sum(F.col("x") - F.col("cnt") * F.lit(_SPH_MU0 + _SPH_DELTA))
+        .over(wc)
+        .alias("m"),
+    )
+    ph = pre.select(
+        "event_type", "h", (F.col("m") - F.min("m").over(wc)).alias("ph")
+    )
+    batch = {
+        r["event_type"]: r
+        for r in ph.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_hours"),
+            F.max("ph").alias("max_ph"),
+            F.sum(F.when(F.col("ph") > _SPH_LAMBDA, 1).otherwise(0)).alias(
+                "n_alarms"
+            ),
+            F.coalesce(
+                F.min(F.when(F.col("ph") > _SPH_LAMBDA, F.col("h"))), F.lit(-1)
+            ).alias("first_alarm_h"),
+        )
+        .collect()
+    }
+    assert set(streamed) == set(batch)
+    for et in batch:
+        for c in ("n_hours", "max_ph", "n_alarms", "first_alarm_h"):
+            assert streamed[et][c] == batch[et][c], (et, c)
