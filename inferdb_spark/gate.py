@@ -93,6 +93,7 @@ def _ensure_registered() -> None:
         "inferdb_spark.gate_r7c",
         "inferdb_spark.gate_r7d",
         "inferdb_spark.gate_r7e",
+        "inferdb_spark.gate_r7f",
     ):
         try:
             importlib.import_module(mod)
@@ -124,6 +125,7 @@ _PRIORITY: list[str] = [
     "gamma_somers_d", "cramers_v_theils_u", "decile_lift_table",
     "brier_decomposition", "mmd_poly_two_sample",
     "sprt_ab_monitor", "eb_shrunk_rates", "stream_page_hinkley",
+    "heaps_law_curve", "zipf_slope_fit",
     # oldest tier: last checked r01
     "index_translate", "index_kv_build", "index_score", "index_score_rmsle",
     "woe_iv", "mlp_relational", "linear_score_coo", "multiclass_argmax",
