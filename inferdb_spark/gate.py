@@ -125,7 +125,8 @@ _PRIORITY: list[str] = [
     "gamma_somers_d", "cramers_v_theils_u", "decile_lift_table",
     "brier_decomposition", "mmd_poly_two_sample",
     "sprt_ab_monitor", "eb_shrunk_rates", "stream_page_hinkley",
-    "heaps_law_curve", "zipf_slope_fit",
+    "heaps_law_curve", "zipf_slope_fit", "benford_digit_test",
+    "mahalanobis_outliers",
     # oldest tier: last checked r01
     "index_translate", "index_kv_build", "index_score", "index_score_rmsle",
     "woe_iv", "mlp_relational", "linear_score_coo", "multiclass_argmax",

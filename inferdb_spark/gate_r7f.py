@@ -256,3 +256,217 @@ def q_zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pts.crossJoin(F.broadcast(fit)).select(
         "rank", "term", "freq", F.round(slope, 6).alias("zipf_slope")
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit conformity test
+# ---------------------------------------------------------------------------
+
+# log10(1 + 1/d) in integer micro-units, d = 1..9 (Python literals)
+_BENFORD_P_U = [301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757]
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN {p}" for d, p in enumerate(_BENFORD_P_U, start=1)
+)
+
+
+@gate(
+    "benford_digit_test",
+    oracle=f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS d
+      FROM orders WHERE o_totalprice > 0
+    ),
+    hist AS (
+      SELECT d, CAST(count(*) AS BIGINT) AS obs FROM digits GROUP BY d
+    ),
+    ex AS (
+      SELECT d, obs,
+             CAST((CASE d {_BENFORD_CASE} END) AS BIGINT) AS p_u,
+             CAST(sum(obs) OVER () AS BIGINT) AS n
+      FROM hist
+    ),
+    contrib AS (
+      SELECT d, obs, p_u, n,
+             CAST(round((CAST(obs AS DOUBLE)
+                         - CAST(n AS DOUBLE) * CAST(p_u AS DOUBLE) / 1000000.0)
+                        * (CAST(obs AS DOUBLE)
+                           - CAST(n AS DOUBLE) * CAST(p_u AS DOUBLE) / 1000000.0)
+                        / (CAST(n AS DOUBLE) * CAST(p_u AS DOUBLE) / 1000000.0)
+                        * 1000000) AS BIGINT) AS chi_u
+      FROM ex
+    )
+    SELECT d, obs,
+           round(CAST(p_u AS DOUBLE) / 1000000.0, 6) AS expected_p,
+           round(CAST(obs AS DOUBLE) / CAST(n AS DOUBLE), 6) AS observed_p,
+           round(CAST(sum(chi_u) OVER () AS DOUBLE) / 1000000.0, 6) AS chi2
+    FROM contrib
+    """,
+)
+def q_benford_digit_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit conformity of order totals — the
+    classic data-quality / fabrication screen a warehouse runs on any
+    money column.  The leading digit comes from the INTEGER-CENTS
+    string (no per-row log10 — leading digit is scale-invariant, and a
+    transcendental per row would be both slow and non-portable); the
+    expected probabilities log10(1+1/d) are Python micro-unit literals;
+    per-digit chi-square contributions quantize to micro-units before
+    the 9-row window sum.  Scale: one scan to a 9-row histogram.
+    """
+    od = load_table(spark, sf_dir, "orders")
+    digits = od.filter(F.col("o_totalprice") > 0).select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("d")
+    )
+    hist = digits.groupBy("d").agg(F.count("*").cast("long").alias("obs"))
+    p_map = F.create_map(
+        *[x for d, p in enumerate(_BENFORD_P_U, start=1) for x in (F.lit(d), F.lit(p))]
+    )
+    wall = Window.partitionBy()
+    ex = hist.select(
+        "d",
+        "obs",
+        p_map[F.col("d")].cast("long").alias("p_u"),
+        F.sum("obs").over(wall).cast("long").alias("n"),
+    )
+    e = F.col("n").cast("double") * F.col("p_u").cast("double") / F.lit(1_000_000.0)
+    contrib = ex.select(
+        "d",
+        "obs",
+        "p_u",
+        "n",
+        F.round(
+            (F.col("obs").cast("double") - e)
+            * (F.col("obs").cast("double") - e)
+            / e
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("chi_u"),
+    )
+    return contrib.select(
+        "d",
+        "obs",
+        F.round(F.col("p_u").cast("double") / F.lit(1_000_000.0), 6).alias(
+            "expected_p"
+        ),
+        F.round(F.col("obs").cast("double") / F.col("n").cast("double"), 6).alias(
+            "observed_p"
+        ),
+        F.round(
+            F.sum("chi_u").over(wall).cast("double") / F.lit(1_000_000.0), 6
+        ).alias("chi2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mahalanobis outlier top-k from exact moment sums (2-feature closed form)
+# ---------------------------------------------------------------------------
+
+_MAHA_TOP = 20
+
+
+@gate(
+    "mahalanobis_outliers",
+    oracle=f"""
+    WITH base AS (
+      SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS rid,
+             CAST(l_quantity AS BIGINT) AS x,
+             CAST(round(l_extendedprice) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM base
+    ),
+    pars AS (
+      SELECT n,
+             CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx,
+             CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my,
+             (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS vx,
+             (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS vy,
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS cxy
+      FROM mom
+    )
+    SELECT rid, x, y,
+           round(((CAST(x AS DOUBLE) - mx) * (CAST(x AS DOUBLE) - mx) * vy
+                  - 2.0 * (CAST(x AS DOUBLE) - mx) * (CAST(y AS DOUBLE) - my) * cxy
+                  + (CAST(y AS DOUBLE) - my) * (CAST(y AS DOUBLE) - my) * vx)
+                 / (vx * vy - cxy * cxy), 6) AS d2
+    FROM base CROSS JOIN pars
+    ORDER BY d2 DESC, rid LIMIT {_MAHA_TOP}
+    """,
+)
+def q_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 Mahalanobis-distance outliers over (quantity, price) — the
+    covariance-aware anomaly screen (a point can be normal in every
+    marginal yet far from the joint distribution).  The 2x2 covariance
+    inverts in closed form, so d^2 = ((x-mx)^2*vy - 2(x-mx)(y-my)*cxy +
+    (y-my)^2*vx) / det: ONE moment aggregation (exact BIGINT sums in
+    dollars), constants broadcast back, one scoring scan, TakeOrdered
+    top-k — no covariance matrix library, no second pass over data.
+    Ties break on (d2 DESC, rid).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+        .cast("long")
+        .alias("rid"),
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice")).cast("long").alias("y"),
+    )
+    base.cache()
+    mom = base.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    pars = mom.select(
+        (F.col("sx").cast("double") / nd).alias("mx"),
+        (F.col("sy").cast("double") / nd).alias("my"),
+        (
+            (nd * F.col("sxx").cast("double")
+             - F.col("sx").cast("double") * F.col("sx").cast("double"))
+            / (nd * nd)
+        ).alias("vx"),
+        (
+            (nd * F.col("syy").cast("double")
+             - F.col("sy").cast("double") * F.col("sy").cast("double"))
+            / (nd * nd)
+        ).alias("vy"),
+        (
+            (nd * F.col("sxy").cast("double")
+             - F.col("sx").cast("double") * F.col("sy").cast("double"))
+            / (nd * nd)
+        ).alias("cxy"),
+    )
+    dx = F.col("x").cast("double") - F.col("mx")
+    dy = F.col("y").cast("double") - F.col("my")
+    d2 = (
+        dx * dx * F.col("vy")
+        - F.lit(2.0) * dx * dy * F.col("cxy")
+        + dy * dy * F.col("vx")
+    ) / (F.col("vx") * F.col("vy") - F.col("cxy") * F.col("cxy"))
+    return (
+        base.crossJoin(F.broadcast(pars))
+        .select("rid", "x", "y", F.round(d2, 6).alias("d2"))
+        .orderBy(F.col("d2").desc(), "rid")
+        .limit(_MAHA_TOP)
+    )
