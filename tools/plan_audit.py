@@ -413,6 +413,17 @@ def main() -> int:
          lambda p: "Window" in p
          and p.rindex("HashAggregate") > p.index("Window")),
     ])
+    audit("mahalanobis_outliers", [
+        ("moment constants broadcast back onto one scoring scan, top-k "
+         "via TakeOrdered (no global sort, no sort-merge join)",
+         lambda p: "TakeOrderedAndProject" in p
+         and "SortMergeJoin" not in p and "Window" not in p),
+    ])
+    audit("mmd_poly_two_sample", [
+        ("kernel two-sample test without a kernel matrix: no window, "
+         "moment relation read from cache for both branches",
+         lambda p: "Window" not in p and "InMemoryTableScan" in p),
+    ])
     audit("cuped_adjusted_ab", [
         ("moment sums from the cached per-customer relation: no window, "
          "single-row reduces joined broadcast",
