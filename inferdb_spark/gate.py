@@ -126,7 +126,7 @@ _PRIORITY: list[str] = [
     "brier_decomposition", "mmd_poly_two_sample",
     "sprt_ab_monitor", "eb_shrunk_rates", "stream_page_hinkley",
     "heaps_law_curve", "zipf_slope_fit", "benford_digit_test",
-    "mahalanobis_outliers",
+    "mahalanobis_outliers", "decile_lift_histogram",
     # oldest tier: last checked r01
     "index_translate", "index_kv_build", "index_score", "index_score_rmsle",
     "woe_iv", "mlp_relational", "linear_score_coo", "multiclass_argmax",

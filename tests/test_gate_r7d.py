@@ -141,3 +141,34 @@ def test_mmd_matches_pairwise_kernel(spark, sf_dir):
         row["kxx"] + row["kyy"] - 2 * row["kxy"], abs=3e-6
     )
     assert row["nx"] == len(xs) and row["ny"] == len(ys)
+
+
+def test_decile_lift_histogram_consistent_with_exact(spark, sf_dir):
+    """The histogram form must agree with the exact-ntile form on totals
+    and converge to the same deciles up to score-tie bucket granularity."""
+    from inferdb_spark.gate_r7d import q_decile_lift_histogram
+
+    hrows = sorted(
+        q_decile_lift_histogram(spark, sf_dir).collect(), key=lambda r: r["decile"]
+    )
+    erows = sorted(
+        q_decile_lift_table(spark, sf_dir).collect(), key=lambda r: r["decile"]
+    )
+    assert [r["decile"] for r in hrows] == list(range(1, 11))
+    assert sum(r["n_d"] for r in hrows) == sum(r["n_d"] for r in erows)
+    assert sum(r["resp"] for r in hrows) == sum(r["resp"] for r in erows)
+    # full-population cumulative lift is exactly 1 in both forms
+    assert hrows[-1]["cum_lift"] == pytest.approx(1.0, abs=1e-6)
+    # decile sizes differ from n/10 only by bucket granularity (max
+    # count of a single tied score value)
+    n = sum(r["n_d"] for r in hrows)
+    from collections import Counter
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect()
+    pc = Counter(
+        _snap_u((_ECE_B0 + (_ECE_BQ * r["l_quantity"])) + (_ECE_BD * r["l_discount"]))
+        for r in li
+    )
+    max_bucket = max(pc.values())
+    for r in hrows:
+        assert abs(r["n_d"] - n / 10) <= max_bucket
