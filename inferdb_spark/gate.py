@@ -94,6 +94,7 @@ def _ensure_registered() -> None:
         "inferdb_spark.gate_r7d",
         "inferdb_spark.gate_r7e",
         "inferdb_spark.gate_r7f",
+        "inferdb_spark.gate_r7g",
     ):
         try:
             importlib.import_module(mod)

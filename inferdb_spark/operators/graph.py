@@ -278,3 +278,48 @@ def pagerank_integer(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    n_rounds: int,
+    u: str = "u",
+    v: str = "v",
+) -> DataFrame:
+    """k-core decomposition by iterative peeling: drop every node whose
+    degree is < k, delete its edges, repeat.  Returns the surviving
+    oriented edge list (u < v as given by the caller) after exactly
+    `n_rounds` rounds — rounds past the fixpoint are no-ops, so running a
+    FIXED count is deterministic and lets an oracle unroll the same
+    rounds as materialized CTEs (the dbscan-gate precedent for
+    fixpoint-shaped operators).
+
+    Scale: state is the edge relation itself, monotonically shrinking;
+    each round is one degree aggregation (map-side combinable — an edge
+    contributes to exactly two nodes) plus two left-semi joins against
+    the surviving-node set.  No per-node adjacency lists, no driver data
+    beyond the loop counter; lineage is truncated every round via
+    localCheckpoint exactly as :func:`connected_components` does.  The
+    classic peeling bound applies: the number of NON-no-op rounds is at
+    most the graph's degeneracy, which for the co-occurrence graphs this
+    engine builds is small; callers that need a guaranteed fixpoint can
+    compare edge counts across rounds and stop early.
+    """
+    e = edges.select(F.col(u).alias("u"), F.col(v).alias("v")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(n_rounds):
+        deg = (
+            e.select(F.col("u").alias("n"))
+            .unionByName(e.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count("*").alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("n")
+        e = (
+            e.join(keep, e["u"] == keep["n"], "left_semi")
+            .join(keep, F.col("v") == keep["n"], "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return e

@@ -124,3 +124,107 @@ def binary_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
         F.col("n_pos").cast("long").alias("n_pos"),
         F.col("n_neg").cast("long").alias("n_neg"),
     )
+
+
+def average_precision(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """Average precision (area under the precision-recall curve, step
+    interpolation at unique thresholds — the sklearn definition) as one
+    row (ap, n_pos, n_neg).
+
+    Same two-phase shape as :func:`binary_auc`: rows are first grouped by
+    score (distributed, map-side combinable), then ONE cumulative window
+    runs over the DISTINCT-score relation descending — bounded by score
+    cardinality, never by row count.  Precision at each threshold is
+    quantized to integer micro-units before the weighted sum, so the
+    final aggregation is a BIGINT sum (order-independent, bit-exact
+    across engines); the only float steps are one division per distinct
+    score and the final normalization.  Complements the reference's
+    accuracy/F1 set (src/transpiler.py:241-377) with the PR-curve metric
+    used to evaluate retrieval/filtering stages of a curation pipeline.
+    """
+    from pyspark.sql import Window
+
+    g = df.groupBy(F.col(score_col).alias("s")).agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col(label_col).cast("long")).alias("pos"),
+    )
+    w = Window.orderBy(F.desc("s")).rowsBetween(Window.unboundedPreceding, 0)
+    ranked = g.select(
+        "pos",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum_cnt"),
+        F.sum("pos").over(w).alias("cum_pos"),
+    )
+    prec_u = F.round(
+        F.col("cum_pos").cast("double") / F.col("cum_cnt") * 1000000
+    ).cast("long")
+    agg = ranked.agg(
+        F.sum(F.col("pos") * prec_u).alias("wsum_u"),
+        F.sum("pos").alias("n_pos"),
+        F.sum(F.col("cnt") - F.col("pos")).alias("n_neg"),
+    )
+    return agg.select(
+        F.round(F.col("wsum_u").cast("double") / 1000000.0 / F.col("n_pos"), 6)
+        .cast("double")
+        .alias("ap"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+    )
+
+
+def youden_threshold(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """Optimal decision threshold by Youden's J (max TPR − FPR over all
+    unique score thresholds; ties break to the LOWEST threshold) — one
+    row (thr, j, tpr, fpr, n_pos, n_neg).
+
+    The argmax runs on the margin in INTEGER form, m = cum_pos·N −
+    cum_neg·P (exact BIGINTs — no float comparison can flip the winner),
+    over the grouped distinct-score relation; the chosen row is fetched
+    back with a 1-row broadcast join.  Products stay under 2^63 while
+    rows·scores < ~3·10^9; beyond that, pre-scale counts to per-million
+    rates (noted rather than hidden — the gate scale never approaches
+    it).  This is the threshold-selection step a scoring pipeline runs
+    after :func:`binary_auc` says the ranking is good.
+    """
+    from pyspark.sql import Window
+
+    g = df.groupBy(F.col(score_col).alias("s")).agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col(label_col).cast("long")).alias("pos"),
+    )
+    w = Window.orderBy(F.desc("s")).rowsBetween(Window.unboundedPreceding, 0)
+    ranked = g.select(
+        "s",
+        F.sum("pos").over(w).alias("cum_pos"),
+        F.sum(F.col("cnt") - F.col("pos")).over(w).alias("cum_neg"),
+    )
+    tot = g.agg(
+        F.sum("pos").alias("n_pos"),
+        F.sum(F.col("cnt") - F.col("pos")).alias("n_neg"),
+    )
+    rt = ranked.crossJoin(F.broadcast(tot)).withColumn(
+        "m", F.col("cum_pos") * F.col("n_neg") - F.col("cum_neg") * F.col("n_pos")
+    )
+    best = rt.agg(F.max("m").alias("best_m"))
+    thr = (
+        rt.crossJoin(F.broadcast(best))
+        .filter(F.col("m") == F.col("best_m"))
+        .agg(F.min("s").alias("thr"))
+    )
+    return (
+        rt.join(F.broadcast(thr), F.col("s") == F.col("thr"))
+        .select(
+            F.col("thr").cast("long").alias("thr"),
+            F.round(F.col("m").cast("double") / (F.col("n_pos") * F.col("n_neg")), 6)
+            .cast("double")
+            .alias("j"),
+            F.round(F.col("cum_pos").cast("double") / F.col("n_pos"), 6)
+            .cast("double")
+            .alias("tpr"),
+            F.round(F.col("cum_neg").cast("double") / F.col("n_neg"), 6)
+            .cast("double")
+            .alias("fpr"),
+            F.col("n_pos").cast("long").alias("n_pos"),
+            F.col("n_neg").cast("long").alias("n_neg"),
+        )
+    )

@@ -123,3 +123,64 @@ def l_diversity_suppress(
         e = F.col(c).eqNullSafe(F.col(f"_g_{c}"))
         cond = e if cond is None else cond & e
     return df.join(g, cond, "left_semi")
+
+
+def fd_violation_g3(df: DataFrame, fd_name: str, lhs: str, rhs: str) -> DataFrame:
+    """Approximate functional-dependency audit lhs → rhs via the classic
+    g3 error: the minimum fraction of rows one must delete for the FD to
+    hold exactly (Huhtala et al., TANE).  g3 = 1 − (Σ_lhs max_rhs count)/n.
+
+    One row: (fd_name, n_rows, n_lhs, n_keepable, g3).  Plan: two stacked
+    aggregations — groupBy(lhs, rhs) counts, then groupBy(lhs) max — both
+    map-side combinable, no sort, no join; at 100 TB this is the shape of
+    a count-distinct, and skew on a hot lhs value is absorbed by partial
+    aggregation.  Exact fractions: integer counts divided once at the end.
+    Profiling extension (no reference analog — validate.profile_columns
+    covers single columns; this covers column PAIRS, the dependency
+    structure schema-inference and dedup-key selection need)."""
+    pair = df.groupBy(F.col(lhs).alias("l"), F.col(rhs).alias("r")).agg(
+        F.count("*").alias("c")
+    )
+    per_lhs = pair.groupBy("l").agg(F.max("c").alias("mx"), F.sum("c").alias("tot"))
+    return per_lhs.agg(
+        F.lit(fd_name).alias("fd_name"),
+        F.sum("tot").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_lhs"),
+        F.sum("mx").cast("long").alias("n_keepable"),
+        F.round(
+            F.lit(1.0) - F.sum("mx").cast("double") / F.sum("tot"), 6
+        ).cast("double").alias("g3"),
+    )
+
+
+def inclusion_coverage(
+    fk_df: DataFrame, fk_col: str, pk_df: DataFrame, pk_col: str, name: str
+) -> DataFrame:
+    """Inclusion-dependency audit (foreign-key discovery): what fraction
+    of the DISTINCT non-null values of fk_col appear in pk_col?
+
+    One row: (candidate, n_distinct_fk, n_contained, containment).
+    Plan: distinct on the FK side (map-side combinable), distinct on the
+    PK side, one left join to tag hits, one count — the join key is the
+    value domain, so the shuffle is domain-sized, not row-sized.  A
+    containment of 1.0 nominates a join key; the deliberately-wrong
+    candidates a schema crawler tests score near 0."""
+    d = (
+        fk_df.filter(F.col(fk_col).isNotNull())
+        .select(F.col(fk_col).alias("val"))
+        .distinct()
+    )
+    p = (
+        pk_df.filter(F.col(pk_col).isNotNull())
+        .select(F.col(pk_col).alias("val"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return d.join(p, "val", "left").agg(
+        F.lit(name).alias("candidate"),
+        F.count("*").cast("long").alias("n_distinct_fk"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_contained"),
+        F.round(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double") / F.count("*"), 6
+        ).cast("double").alias("containment"),
+    )
