@@ -95,6 +95,7 @@ def _ensure_registered() -> None:
         "inferdb_spark.gate_r7e",
         "inferdb_spark.gate_r7f",
         "inferdb_spark.gate_r7g",
+        "inferdb_spark.gate_r7h",
     ):
         try:
             importlib.import_module(mod)
@@ -115,6 +116,13 @@ def _ensure_registered() -> None:
 # added this round is never-checked and must be inserted ABOVE this block.
 _PRIORITY: list[str] = [
     # never driver-checked (round-7 additions go here, above the backfill)
+    "average_precision_eval", "youden_j_threshold", "mcnemar_paired_test",
+    "fleiss_kappa_raters", "log_rank_survival", "nelson_aalen_hazard",
+    "jarque_bera_normality", "js_divergence_drift",
+    "skyline_pareto_parts", "kcore_decomposition",
+    "functional_dependency_audit", "inclusion_dependency_fk",
+    "ipw_ate_stratified", "diff_in_diff_revenue",
+    "wasserstein_binned_drift", "xbar_control_chart",
     "stream_decon_foreachbatch",
     "kendall_tau_binned", "mann_whitney_binned", "bh_fdr_screen",
     "seasonal_decompose_monthly", "theil_sen_nation_trend",

@@ -43,13 +43,15 @@ def skyline_2d(df: DataFrame, minimize: str, maximize: str) -> DataFrame:
     per_xy = pts.groupBy("x", "y").agg(F.count("*").alias("n_rows"))
     per_x = per_xy.groupBy("x").agg(F.max("y").alias("gmax"))
     w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
-    frontier = per_x.select(
-        "x", "gmax", F.max("gmax").over(w).alias("prevmax")
-    ).filter(F.col("prevmax").isNull() | (F.col("gmax") > F.col("prevmax")))
-    return (
-        per_xy.join(
-            frontier,
-            (per_xy["x"] == frontier["x"]) & (per_xy["y"] == frontier["gmax"]),
-        )
-        .select(per_xy["x"], per_xy["y"], per_xy["n_rows"])
+    # rename the frontier's columns before joining back: per_x derives
+    # from per_xy, and Spark's ambiguous-self-join check (rightly)
+    # refuses lineage-shared column references
+    frontier = (
+        per_x.select("x", "gmax", F.max("gmax").over(w).alias("prevmax"))
+        .filter(F.col("prevmax").isNull() | (F.col("gmax") > F.col("prevmax")))
+        .select(F.col("x").alias("fx"), F.col("gmax").alias("fy"))
     )
+    return per_xy.join(
+        frontier,
+        (per_xy["x"] == F.col("fx")) & (per_xy["y"] == F.col("fy")),
+    ).select("x", "y", "n_rows")
