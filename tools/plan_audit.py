@@ -430,6 +430,62 @@ def main() -> int:
          lambda p: "Window" not in p and "InMemoryTableScan" in p),
     ])
 
+    audit("average_precision_eval", [
+        # the cumulative pass must run over the GROUPED distinct-score
+        # relation: aggregation below the window, no row-level sort-merge
+        # join, and the final reduce is single-row
+        ("grouped scores under the window; no sort-merge join",
+         lambda p: "Window" in p and "HashAggregate" in p
+         and "SortMergeJoin" not in p),
+    ])
+    audit("youden_j_threshold", [
+        ("argmax via broadcast of 1-row best/threshold relations "
+         "(no row-level self-join)",
+         lambda p: "SortMergeJoin" not in p
+         and ("BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p)),
+    ])
+    audit("mcnemar_paired_test", [
+        ("single two-phase aggregation: no join, no window, no sort",
+         lambda p: "Join" not in p and "Window" not in p
+         and p.count("HashAggregate") >= 2),
+    ])
+    audit("jarque_bera_normality", [
+        ("power sums in one two-phase aggregation, no shuffle beyond "
+         "the single-row exchange",
+         lambda p: "Join" not in p and "Window" not in p
+         and p.count("HashAggregate") >= 2),
+    ])
+    audit("js_divergence_drift", [
+        ("one groupBy(bin) + broadcast totals; the two eras never join",
+         lambda p: "SortMergeJoin" not in p and "Window" not in p),
+    ])
+    audit("wasserstein_binned_drift", [
+        ("cumulative CDF windows over the binned domain (post-agg), "
+         "broadcast totals only",
+         lambda p: "SortMergeJoin" not in p and "Window" in p
+         and "HashAggregate" in p),
+    ])
+    audit("skyline_pareto_parts", [
+        ("frontier via domain window + broadcast join-back; never a "
+         "quadratic dominance self-join",
+         lambda p: "CartesianProduct" not in p and "Window" in p
+         and ("BroadcastHashJoin" in p or "SortMergeJoin" not in p)),
+    ])
+    audit("ipw_ate_stratified", [
+        ("stratified sums + 1-row broadcast ATE; no row-level sort",
+         lambda p: "Window" not in p
+         and ("BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p)),
+    ])
+    audit("xbar_control_chart", [
+        ("per-week sums with broadcast pooled moments; no window",
+         lambda p: "Window" not in p and "SortMergeJoin" not in p
+         and "BroadcastNestedLoopJoin" in p),
+    ])
+    audit("functional_dependency_audit", [
+        ("stacked two-level aggregations; no join anywhere",
+         lambda p: "Join" not in p),
+    ])
+
     print("\n" + ("ALL PLAN CHECKS PASS" if failures == 0 else f"{failures} PLAN CHECKS FAILED"))
     return 1 if failures else 0
 
