@@ -303,6 +303,14 @@ def main() -> None:
         "gini_grouped_revenue",
         "cuped_adjusted_ab",
         "kneser_ney_bigram",
+        # round-7 batches 7-8: PR-curve eval, survival, skyline, k-core,
+        # Wasserstein drift, stratified IPW
+        "average_precision_eval",
+        "log_rank_survival",
+        "skyline_pareto_parts",
+        "kcore_decomposition",
+        "wasserstein_binned_drift",
+        "ipw_ate_stratified",
     ]:
         if name in gq:
             fn = gq[name]

@@ -96,6 +96,7 @@ def _ensure_registered() -> None:
         "inferdb_spark.gate_r7f",
         "inferdb_spark.gate_r7g",
         "inferdb_spark.gate_r7h",
+        "inferdb_spark.gate_r7i",
     ):
         try:
             importlib.import_module(mod)
@@ -123,6 +124,7 @@ _PRIORITY: list[str] = [
     "functional_dependency_audit", "inclusion_dependency_fk",
     "ipw_ate_stratified", "diff_in_diff_revenue",
     "wasserstein_binned_drift", "xbar_control_chart",
+    "bleu_self_halves", "hits_hub_authority",
     "stream_decon_foreachbatch",
     "kendall_tau_binned", "mann_whitney_binned", "bh_fdr_screen",
     "seasonal_decompose_monthly", "theil_sen_nation_trend",

@@ -169,3 +169,62 @@ def test_nelson_aalen_matches_km_exp_bound(spark, sf_dir):
     assert hs == sorted(hs)
     assert all(0 < math.exp(-h) <= 1 for h in hs)
     assert all(r["var_h"] >= 0 for r in rows)
+
+
+def test_bleu_self_halves_bruteforce(spark, sf_dir):
+    from collections import Counter
+
+    import re as _re
+
+    from inferdb_spark.gate_r7g import _scored  # noqa: F401  (import check)
+    from inferdb_spark.gate_r7i import q_bleu_self_halves
+
+    row = q_bleu_self_halves(spark, sf_dir).collect()[0]
+
+    import duckdb
+
+    docs = duckdb.sql(
+        f"select text from read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    num = {1: 0, 2: 0}
+    den = {1: 0, 2: 0}
+    c_len = r_len = 0
+    for (text,) in docs:
+        t = _re.sub(r" +", " ", _re.sub(r"[^a-z0-9 ]", " ", text.lower())).strip()
+        toks = t.split(" ") if t else []
+        h = len(toks) // 2
+        cand, ref = toks[:h], toks[h:]
+        c_len += len(cand)
+        r_len += len(ref)
+        for n in (1, 2):
+            cg = Counter(
+                " ".join(cand[i : i + n]) for i in range(len(cand) - n + 1)
+            )
+            rg = Counter(" ".join(ref[i : i + n]) for i in range(len(ref) - n + 1))
+            for g, c in cg.items():
+                num[n] += min(c, rg.get(g, 0))
+                den[n] += c
+    assert (row["num1"], row["den1"]) == (num[1], den[1])
+    assert (row["num2"], row["den2"]) == (num[2], den[2])
+    assert (row["c_len"], row["r_len"]) == (c_len, r_len)
+    bp = math.exp(1 - r_len / c_len) if c_len < r_len else 1.0
+    want = (
+        0.0
+        if num[1] == 0 or num[2] == 0
+        else bp
+        * math.exp(0.5 * (math.log(num[1] / den[1]) + math.log(num[2] / den[2])))
+    )
+    assert abs(row["bleu2"] - want) < 2e-6
+
+
+def test_hits_normalized_and_deterministic(spark, sf_dir):
+    from inferdb_spark.gate_r7i import q_hits_hub_authority
+
+    rows1 = q_hits_hub_authority(spark, sf_dir).collect()
+    assert rows1, "non-empty authority list"
+    # max-normalization: the top authority carries exactly 1e6 micro-units
+    assert rows1[0]["score"] == 1_000_000
+    scores = [r["score"] for r in rows1]
+    assert scores == sorted(scores, reverse=True)
+    rows2 = q_hits_hub_authority(spark, sf_dir).collect()
+    assert [tuple(r) for r in rows1] == [tuple(r) for r in rows2]
