@@ -1,0 +1,104 @@
+"""Property-based tests (hypothesis) for the round-7 operator additions:
+skyline dominance, k-core peeling, and PR-AUC/Youden — each Spark result
+checked against an independent brute-force oracle on ARBITRARY inputs
+(small example budgets: every example is a full Spark round-trip)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from inferdb_spark.operators.graph import k_core
+from inferdb_spark.operators.metrics import average_precision, youden_threshold
+from inferdb_spark.operators.skyline import skyline_2d
+
+_SLOW = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+POINTS = st.lists(
+    st.tuples(st.integers(0, 8), st.integers(0, 8)), min_size=1, max_size=25
+)
+EDGES = st.lists(
+    st.tuples(st.integers(0, 7), st.integers(0, 7)).filter(lambda e: e[0] < e[1]),
+    min_size=1,
+    max_size=15,
+    unique=True,
+)
+SCORED = st.lists(
+    st.tuples(st.integers(0, 6), st.integers(0, 1)), min_size=2, max_size=30
+).filter(lambda ps: 0 < sum(y for _, y in ps) < len(ps))
+
+
+@given(POINTS)
+@_SLOW
+def test_skyline_property(spark, pts):
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {(r["x"], r["y"], r["n_rows"]) for r in skyline_2d(df, "x", "y").collect()}
+
+    def dominated(p):
+        return any(
+            q[0] <= p[0] and q[1] >= p[1] and (q[0] < p[0] or q[1] > p[1])
+            for q in pts
+        )
+
+    mult = Counter(pts)
+    want = {(x, y, mult[(x, y)]) for (x, y) in set(pts) if not dominated((x, y))}
+    assert got == want
+
+
+@given(EDGES, st.integers(2, 3))
+@_SLOW
+def test_kcore_property(spark, edges, k):
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {tuple(r) for r in k_core(df, k, n_rounds=10).collect()}
+
+    cur = set(edges)
+    while True:
+        deg = Counter()
+        for u, v in cur:
+            deg[u] += 1
+            deg[v] += 1
+        keep = {n for n, d in deg.items() if d >= k}
+        nxt = {(u, v) for u, v in cur if u in keep and v in keep}
+        if nxt == cur:
+            break
+        cur = nxt
+    assert got == cur
+
+
+@given(SCORED)
+@_SLOW
+def test_ap_and_youden_property(spark, pairs):
+    df = spark.createDataFrame(pairs, "s long, y int")
+
+    by_s, pos_s = Counter(), Counter()
+    for s, y in pairs:
+        by_s[s] += 1
+        pos_s[s] += y
+    n_pos = sum(pos_s.values())
+    n_neg = len(pairs) - n_pos
+
+    cum_cnt = cum_pos = 0
+    ap_u = 0
+    for s in sorted(by_s, reverse=True):
+        cum_cnt += by_s[s]
+        cum_pos += pos_s[s]
+        ap_u += pos_s[s] * round(cum_pos / cum_cnt * 1_000_000)
+    row = average_precision(df, "s", "y").collect()[0]
+    assert row["ap"] == round(ap_u / 1_000_000 / n_pos, 6)
+    assert 0.0 <= row["ap"] <= 1.0
+
+    best = None
+    for thr in sorted(by_s):
+        tp = sum(y for s, y in pairs if s >= thr)
+        fp = sum(1 - y for s, y in pairs if s >= thr)
+        m = tp * n_neg - fp * n_pos  # the exact integer margin
+        if best is None or m > best[1]:
+            best = (thr, m)
+    yrow = youden_threshold(df, "s", "y").collect()[0]
+    assert yrow["thr"] == best[0]
+    assert yrow["j"] == round(best[1] / (n_pos * n_neg), 6)
