@@ -19,6 +19,16 @@ _SLOW = settings(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 
+
+def _round6_half_up(x: float) -> float:
+    """Spark's HALF_UP rounding for positive values — python's round()
+    is banker's (half-to-even) and disagrees on exact .5 ties at the
+    6th decimal (hypothesis found 0.8333335: Spark 0.833334, python
+    0.833333)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
 POINTS = st.lists(
     st.tuples(st.integers(0, 8), st.integers(0, 8)), min_size=1, max_size=25
 )
@@ -89,7 +99,7 @@ def test_ap_and_youden_property(spark, pairs):
         cum_pos += pos_s[s]
         ap_u += pos_s[s] * round(cum_pos / cum_cnt * 1_000_000)
     row = average_precision(df, "s", "y").collect()[0]
-    assert row["ap"] == round(ap_u / 1_000_000 / n_pos, 6)
+    assert row["ap"] == _round6_half_up(ap_u / 1_000_000 / n_pos)
     assert 0.0 <= row["ap"] <= 1.0
 
     best = None
@@ -101,4 +111,4 @@ def test_ap_and_youden_property(spark, pairs):
             best = (thr, m)
     yrow = youden_threshold(df, "s", "y").collect()[0]
     assert yrow["thr"] == best[0]
-    assert yrow["j"] == round(best[1] / (n_pos * n_neg), 6)
+    assert yrow["j"] == _round6_half_up(best[1] / (n_pos * n_neg))
