@@ -510,3 +510,82 @@ def page_hinkley_stream(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def js_drift_stream(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    ref_bins: dict,
+    bin_expr: str,
+    filter_expr: str | None = None,
+):
+    """Streaming Jensen-Shannon drift monitor against a FIXED reference
+    histogram (the production deployment of gate:js_divergence_drift —
+    the reference is a training-time artifact passed in as literals; the
+    stream only accumulates the CURRENT sample's bin counts).
+
+    Same replay-idempotent state discipline as page_hinkley_stream: each
+    microbatch overwrites its OWN batch_id partition of per-bin partial
+    counts, the monitor re-reads the merged per-bin relation — bounded
+    by the bin domain, never by events — joins the literal reference,
+    recomputes JSD with the exact SAME nano-quantized term SQL the batch
+    gate uses, and overwrites the 1-row summary at `path`.  After the
+    last trigger the summary equals the batch computation over
+    everything seen, for ANY file/trigger interleaving (bin partials
+    re-merge additively; every term is an exact BIGINT).
+
+    Returns the started StreamingQuery.
+    """
+    from inferdb_spark.gate_r7g import _JS_TP, _JS_TQ
+
+    state = path + "_state"
+    ref_rows = sorted((int(b), int(c)) for b, c in ref_bins.items())
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cur = batch_df.filter(filter_expr) if filter_expr else batch_df
+        per_bin = (
+            cur.selectExpr(f"{bin_expr} AS bin")
+            .groupBy("bin")
+            .agg(F.count("*").cast("long").alias("cnt"))
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        (
+            per_bin.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(state)
+        )
+        merged = (
+            spark.read.parquet(state)
+            .groupBy("bin")
+            .agg(F.sum("cnt").cast("long").alias("cnt_c"))
+        )
+        ref = spark.createDataFrame(ref_rows, "bin long, cnt_r long")
+        full = (
+            merged.join(F.broadcast(ref), "bin", "full")
+            .fillna(0, subset=["cnt_r", "cnt_c"])
+        )
+        tot = full.agg(
+            F.sum("cnt_r").cast("long").alias("n_r"),
+            F.sum("cnt_c").cast("long").alias("n_c"),
+        )
+        terms = full.crossJoin(F.broadcast(tot)).selectExpr(
+            f"{_JS_TP} AS tp_u", f"{_JS_TQ} AS tq_u", "n_r", "n_c"
+        )
+        summary = terms.agg(
+            F.round((F.sum("tp_u") + F.sum("tq_u")) / 2.0 / 1000000000.0, 6)
+            .cast("double")
+            .alias("jsd"),
+            F.first("n_r").cast("long").alias("n_ref"),
+            F.first("n_c").cast("long").alias("n_cur"),
+            F.count("*").cast("long").alias("n_bins"),
+        )
+        summary.write.mode("overwrite").parquet(path)
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
