@@ -38,6 +38,22 @@ def __getattr__(name):
         from inferdb_spark.operators.dedup import dedup_corpus
 
         return dedup_corpus
+    if name in ("average_precision", "youden_threshold", "binary_auc"):
+        from inferdb_spark.operators import metrics
+
+        return getattr(metrics, name)
+    if name == "skyline_2d":
+        from inferdb_spark.operators.skyline import skyline_2d
+
+        return skyline_2d
+    if name in ("k_core", "connected_components", "pagerank_integer"):
+        from inferdb_spark.operators import graph
+
+        return getattr(graph, name)
+    if name in ("profile_columns", "fd_violation_g3", "inclusion_coverage"):
+        from inferdb_spark.operators import validate
+
+        return getattr(validate, name)
     raise AttributeError(name)
 
 
@@ -46,5 +62,8 @@ __all__ = [
     "fit_index_pipeline", "standalone_report", "IndexPipeline",
     "build_index", "KVIndex", "save_index", "load_index", "index_score",
     "dedup_corpus",
+    "average_precision", "youden_threshold", "binary_auc", "skyline_2d",
+    "k_core", "connected_components", "pagerank_integer",
+    "profile_columns", "fd_violation_g3", "inclusion_coverage",
 ]
 __version__ = "0.1.0"
