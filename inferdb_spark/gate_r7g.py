@@ -348,17 +348,12 @@ _SURV_PREFIX = f"""
     )"""
 
 # per-event-time expectation/variance terms, micro-quantized; the SAME
-# strings run through Spark selectExpr and the DuckDB oracle
-_E1_U = "CAST(floor(CAST(d * n1 AS DOUBLE) / n * 1000000.0 + 0.5) AS BIGINT)"
-_V_U = (
-    "CASE WHEN n > 1 THEN CAST(floor(CAST(d * n1 AS DOUBLE) * (n - n1)"
-    " * (n - d) / n / n / (n - 1) * 1000000.0 + 0.5) AS BIGINT)"
-    " ELSE CAST(0 AS BIGINT) END"
-)
-_LR_CHI2 = (
-    "CAST(round((CAST(o1 AS DOUBLE) - CAST(e1_u AS DOUBLE) / 1000000.0)"
-    " * (CAST(o1 AS DOUBLE) - CAST(e1_u AS DOUBLE) / 1000000.0)"
-    " / (CAST(v_u AS DOUBLE) / 1000000.0), 6) AS DOUBLE)"
+# strings run through Spark selectExpr (operators/survival.py) and the
+# DuckDB oracle below
+from inferdb_spark.operators.survival import (  # noqa: E402
+    E1_U_SQL as _E1_U,
+    LR_CHI2_SQL as _LR_CHI2,
+    V_U_SQL as _V_U,
 )
 
 
@@ -434,48 +429,10 @@ def q_log_rank_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer micro-units so the sums are exact BIGINTs, and every
     cumulative window runs over the distinct-duration relation (at-risk
     counts by cumulative subtraction), never raw events.
-    χ² = (O−E)²/V, one row."""
-    durs = _survival_durs(spark, sf_dir)
-    per_t = durs.groupBy("t").agg(
-        F.sum("obs").cast("long").alias("d"),
-        F.sum(F.when(F.col("grp") == 0, F.col("obs")).otherwise(0))
-        .cast("long")
-        .alias("d1"),
-        F.count("*").cast("long").alias("rem"),
-        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast("long").alias("rem1"),
-    )
-    tot = durs.agg(
-        F.count("*").cast("long").alias("n_all"),
-        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast("long").alias("n1_all"),
-    )
-    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
-    risk = (
-        per_t.crossJoin(F.broadcast(tot))
-        .select(
-            "t",
-            "d",
-            "d1",
-            (F.col("n_all") - F.coalesce(F.sum("rem").over(w), F.lit(0))).alias("n"),
-            (F.col("n1_all") - F.coalesce(F.sum("rem1").over(w), F.lit(0))).alias(
-                "n1"
-            ),
-        )
-        .filter(F.col("d") > 0)
-    )
-    terms = risk.selectExpr("d1", f"{_E1_U} AS e1_u", f"{_V_U} AS v_u")
-    sums = terms.agg(
-        F.sum("d1").cast("long").alias("o1"),
-        F.sum("e1_u").cast("long").alias("e1_u"),
-        F.sum("v_u").cast("long").alias("v_u"),
-        F.count("*").cast("long").alias("n_times"),
-    )
-    return sums.selectExpr(
-        "o1",
-        "CAST(round(CAST(e1_u AS DOUBLE) / 1000000.0, 6) AS DOUBLE) AS e1",
-        "CAST(round(CAST(v_u AS DOUBLE) / 1000000.0, 6) AS DOUBLE) AS v",
-        f"{_LR_CHI2} AS chi2",
-        "n_times",
-    )
+    χ² = (O−E)²/V, one row (operators/survival.py:log_rank)."""
+    from inferdb_spark.operators.survival import log_rank
+
+    return log_rank(_survival_durs(spark, sf_dir))
 
 
 @gate(
@@ -516,41 +473,11 @@ def q_nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate:kaplan_meier (the two are the canonical cross-check: S(t) ≈
     exp(−H(t))).  Per-time increments are quantized to integer NANO
     units and cumulated as BIGINTs over the distinct-duration relation —
-    the sum is order-independent and the windows are domain-bounded."""
-    durs = _survival_durs(spark, sf_dir).select("t", "obs")
-    per_t = durs.groupBy("t").agg(
-        F.sum("obs").cast("long").alias("d"),
-        F.count("*").cast("long").alias("rem"),
-    )
-    tot = durs.agg(F.count("*").cast("long").alias("n_all"))
-    wp = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
-    risk = (
-        per_t.crossJoin(F.broadcast(tot))
-        .select(
-            "t",
-            "d",
-            (F.col("n_all") - F.coalesce(F.sum("rem").over(wp), F.lit(0))).alias("n"),
-        )
-        .filter(F.col("d") > 0)
-    )
-    evt = risk.selectExpr(
-        "t",
-        "d",
-        "n",
-        "CAST(floor(CAST(d AS DOUBLE) / n * 1000000000.0 + 0.5) AS BIGINT) AS h_u",
-        "CAST(floor(CAST(d AS DOUBLE) / n / n * 1000000000.0 + 0.5) AS BIGINT)"
-        " AS vh_u",
-    )
-    wc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
-    return evt.select(
-        "t",
-        "d",
-        F.col("n").cast("long").alias("n_risk"),
-        F.round(F.sum("h_u").over(wc) / 1000000000.0, 6).cast("double").alias("h"),
-        F.round(F.sum("vh_u").over(wc) / 1000000000.0, 6)
-        .cast("double")
-        .alias("var_h"),
-    ).orderBy("t")
+    the sum is order-independent and the windows are domain-bounded
+    (operators/survival.py:nelson_aalen)."""
+    from inferdb_spark.operators.survival import nelson_aalen
+
+    return nelson_aalen(_survival_durs(spark, sf_dir).select("t", "obs"))
 
 
 # ---------------------------------------------------------------------------

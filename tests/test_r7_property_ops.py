@@ -112,3 +112,71 @@ def test_ap_and_youden_property(spark, pairs):
     yrow = youden_threshold(df, "s", "y").collect()[0]
     assert yrow["thr"] == best[0]
     assert yrow["j"] == _round6_half_up(best[1] / (n_pos * n_neg))
+
+
+DURS = st.lists(
+    st.tuples(st.integers(0, 10), st.integers(0, 1), st.integers(0, 1)),
+    min_size=4,
+    max_size=40,
+).filter(
+    lambda ds: sum(o for _, o, _ in ds) > 0  # at least one observed event
+    and 0 < sum(g for _, _, g in ds) < len(ds)  # both groups present
+)
+
+
+def _floor_u(x: float, scale: float) -> int:
+    import math as m
+
+    return int(m.floor(x * scale + 0.5))
+
+
+@given(DURS)
+@_SLOW
+def test_log_rank_property(spark, durs):
+    from inferdb_spark.operators.survival import log_rank
+
+    df = spark.createDataFrame(durs, "t long, obs int, grp long")
+    row = log_rank(df).collect()[0]
+
+    times = sorted({t for t, o, _ in durs if o == 1})
+    n = len(durs)
+    n1 = sum(1 for _, _, g in durs if g == 0)
+    o1 = e1_u = v_u = 0
+    for t in times:
+        d = sum(o for tt, o, _ in durs if tt == t)
+        d1 = sum(o for tt, o, g in durs if tt == t and g == 0)
+        at_risk = sum(1 for tt, _, _ in durs if tt >= t)
+        at_risk1 = sum(1 for tt, _, g in durs if tt >= t and g == 0)
+        o1 += d1
+        e1_u += _floor_u(d * at_risk1 / at_risk, 1e6)
+        if at_risk > 1:
+            v_u += _floor_u(
+                d * at_risk1 * (at_risk - at_risk1) * (at_risk - d)
+                / at_risk / at_risk / (at_risk - 1),
+                1e6,
+            )
+    assert row["o1"] == o1
+    assert row["n_times"] == len(times)
+    assert row["e1"] == _round6_half_up(e1_u / 1e6)
+    assert row["v"] == _round6_half_up(v_u / 1e6)
+
+
+@given(DURS)
+@_SLOW
+def test_nelson_aalen_property(spark, durs):
+    from inferdb_spark.operators.survival import nelson_aalen
+
+    df = spark.createDataFrame(
+        [(t, o) for t, o, _ in durs], "t long, obs int"
+    )
+    rows = nelson_aalen(df).collect()
+
+    times = sorted({t for t, o, _ in durs if o == 1})
+    assert [r["t"] for r in rows] == times
+    h_u = 0
+    for r, t in zip(rows, times):
+        d = sum(o for tt, o, _ in durs if tt == t)
+        at_risk = sum(1 for tt, _, _ in durs if tt >= t)
+        assert (r["d"], r["n_risk"]) == (d, at_risk)
+        h_u += _floor_u(d / at_risk, 1e9)
+        assert r["h"] == _round6_half_up(h_u / 1e9)
