@@ -457,7 +457,9 @@ def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 6. retrieval ranking metrics — NDCG@10 / MRR / MAP@10 per query, with
 # integer micro-unit discount tables so no float accumulates.
 
-RANK_K = 10
+from inferdb_spark.operators.rank_metrics import RANK_K
+
+assert RANK_K == 10  # oracle literals below are generated from this
 EMB_DIM = 64
 # micro-unit DCG discounts 1/log2(i+1), their prefix sums (for IDCG), and
 # the 1/rank MRR literals — all computed once in Python, shared verbatim.
@@ -541,19 +543,23 @@ ORDER BY rr.qid
 def q_ranking_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NDCG@10 / MRR / MAP@10 per query for cosine retrieval over the
     embedding corpus (relevance = matching label) — the evaluation half of
-    the ANN family.  Determinism: the (cos6 DESC, cid ASC) total order is
-    identical on both engines; DCG uses an integer MICRO-UNIT discount
-    table (Python literals), IDCG a prefix-sum literal CASE, MRR a
-    1/rank literal CASE, and AP exact integer precision terms — so the
-    only float division per metric is the final 6dp ratio.  The query
-    side is a broadcast probe (the documented cosine_topk shape); windows
-    run over top-k lists only (the RRF discipline).  Exact evaluation is
-    quadratic in queries x corpus BY CONSTRUCTION (sf1: 800 queries x 19k
-    candidates = 136s), so the probe side carries the brute-force size
-    guard — at corpus scale generate the candidate lists with the IVF
-    shortlist (similarity.ivf_search / hard_negative_mining_ivf shape)
-    and feed the same metric relations."""
+    the ANN family, computed by the FACTORED metric relations
+    (operators/rank_metrics.ranking_metrics) that the IVF-shortlisted
+    corpus path (rank_metrics.ivf_shortlisted_eval) also feeds.
+    Determinism: the (cos6 DESC, cid ASC) total order is identical on
+    both engines; DCG uses an integer MICRO-UNIT discount table (Python
+    literals), IDCG a prefix-sum literal CASE, MRR a 1/rank literal
+    CASE, and AP exact integer precision terms — so the only float
+    division per metric is the final 6dp ratio.  Exact evaluation is
+    quadratic in queries x corpus BY CONSTRUCTION (sf1: 800 queries x
+    19k candidates = 136 s), so the probe side carries the brute-force
+    size guard — at corpus scale rank_metrics.ivf_shortlisted_eval
+    generates the candidate lists with the IVF coarse quantizer and
+    normalizes n_rel by a LINEAR label-count join (tested equal to this
+    exact path at full probe width in tests/test_rank_metrics.py)."""
+    from inferdb_spark.operators.rank_metrics import ranking_metrics, scored_pairs
     from inferdb_spark.scale import assert_small_side
+
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.col("label").cast("long").alias("label"),
@@ -577,83 +583,11 @@ def q_ranking_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("cv"),
         F.col("nrm").alias("cn"),
     )
-    p = cs.crossJoin(F.broadcast(qs)).select(
-        "qid",
-        "cid",
-        (F.col("qlabel") == F.col("clabel")).cast("long").alias("rel"),
-        F.round(
-            F.when(
-                (F.col("qn") > 0) & (F.col("cn") > 0),
-                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
-            ).otherwise(F.lit(0.0)),
-            6,
-        ).alias("cos6"),
-    )
+    p = scored_pairs(F.broadcast(qs), cs)
     rr = p.groupBy("qid").agg(F.sum("rel").cast("long").alias("n_rel"))
-    wrank = Window.partitionBy("qid").orderBy(
-        F.col("cos6").desc(), F.col("cid").asc()
+    return ranking_metrics(p, rr, k=RANK_K).select(
+        "qid", "n_rel", "ndcg6", "mrr6", F.col("map6").alias("ap6")
     )
-    rk = p.withColumn("rnk", F.row_number().over(wrank)).where(
-        F.col("rnk") <= RANK_K
-    )
-    wcum = (
-        Window.partitionBy("qid")
-        .orderBy("rnk")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    top = rk.withColumn("cum", F.sum("rel").over(wcum))
-
-    disc = F.lit(None)
-    for i, d in enumerate(_DISC_MICRO):
-        disc = (
-            F.when(F.col("rnk") == i + 1, d)
-            if i == 0
-            else disc.when(F.col("rnk") == i + 1, d)
-        )
-    ap_term = F.when(
-        F.col("rel") == 1,
-        F.floor((F.lit(1000000.0) * F.col("cum")) / F.col("rnk")).cast("long"),
-    ).otherwise(F.lit(0))
-    m = top.groupBy("qid").agg(
-        F.sum(F.col("rel") * disc).cast("long").alias("dcg"),
-        F.min(F.when(F.col("rel") == 1, F.col("rnk"))).alias("frank"),
-        F.sum(ap_term).cast("long").alias("ap_num"),
-    )
-
-    idcg = F.lit(None)
-    for j, c in enumerate(_IDCG_CUM):
-        cond = F.least(F.col("n_rel"), F.lit(10)) == j + 1
-        idcg = F.when(cond, c) if j == 0 else idcg.when(cond, c)
-    idcg = idcg.otherwise(F.lit(0))
-    mrr = F.lit(None)
-    for r, mm in enumerate(_MRR_LIT):
-        cond = F.col("frank") == r + 1
-        mrr = F.when(cond, F.lit(mm)) if r == 0 else mrr.when(cond, F.lit(mm))
-    mrr = mrr.otherwise(F.lit(0.0))
-
-    return (
-        rr.join(m, "qid")
-        .select(
-            "qid",
-            "n_rel",
-            F.when(F.col("n_rel") == 0, F.lit(0.0))
-            .otherwise(F.round(F.col("dcg").cast("double") / idcg, 6))
-            .cast("double")
-            .alias("ndcg6"),
-            mrr.cast("double").alias("mrr6"),
-            F.when(F.col("n_rel") == 0, F.lit(0.0))
-            .otherwise(
-                F.round(
-                    F.col("ap_num").cast("double")
-                    / (F.least(F.col("n_rel"), F.lit(10)).cast("double") * F.lit(1000000.0)),
-                    6,
-                )
-            )
-            .cast("double")
-            .alias("ap6"),
-        )
-    )
-
 
 # ---------------------------------------------------------------------------
 # 7. isotonic (PAV) probability calibration — full fit replayed as an
