@@ -213,7 +213,7 @@ _HITS_EDGES_SQL = """
     )"""
 
 
-def _hits_oracle() -> str:
+def _hits_oracle(role: str = "authority") -> str:
     steps = []
     for i in range(_HITS_ROUNDS):
         steps.append(
@@ -238,31 +238,24 @@ def _hits_oracle() -> str:
     )"""
         )
     r = _HITS_ROUNDS
-    return (
-        "WITH "
-        + _HITS_EDGES_SQL
-        + ","
-        + ",".join(steps)
-        + f"""
+    final = (
+        f"""
     SELECT p AS node, a AS score, 'authority' AS role
     FROM a{r} ORDER BY a DESC, p ASC LIMIT {_HITS_TOPK}
     """
+        if role == "authority"
+        else f"""
+    SELECT s AS node, h AS score, 'hub' AS role
+    FROM h{r} ORDER BY h DESC, s ASC LIMIT {_HITS_TOPK}
+    """
     )
+    return "WITH " + _HITS_EDGES_SQL + "," + ",".join(steps) + final
 
 
-@gate("hits_hub_authority", oracle=_hits_oracle())
-def q_hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HITS (Kleinberg) authority scores over the supplier→part bipartite
-    graph — top-{k} authority parts after 3 mutual-reinforcement rounds,
-    the link-analysis companion to gate:pagerank_supplier_part (PageRank
-    ranks by random-walk mass; HITS separates hub quality from authority
-    quality).  ENTIRELY integer: scores live in micro-units,
-    normalization is a*1e6 div max(a) (one broadcast of a 1-row max per
-    round — no float normalization, so partition order and retries can't
-    move a single bit).  State is one row per node; each round is two
-    grouped joins over the cached edge relation, the pagerank_integer
-    discipline.  Top-k via (score DESC, node ASC) TakeOrdered — total
-    order, engine-deterministic."""
+def _hits_scores(spark: SparkSession, sf_dir: str):
+    """Run the fixed-round integer HITS iteration; returns the cached
+    edge relation plus the final authority (p, a) and hub (s, h)
+    relations.  Caller must unpersist the edge relation."""
     li = load_table(spark, sf_dir, "lineitem")
     e = (
         li.filter(F.col("l_partkey") % 5 == 0)
@@ -274,6 +267,7 @@ def q_hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     h = e.select("s").distinct().withColumn("h", F.lit(1000000).cast("long"))
+    a = None
     for _ in range(_HITS_ROUNDS):
         ar = (
             e.join(h, "s")
@@ -293,6 +287,23 @@ def q_hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
             .selectExpr("s", "CAST(h * 1000000 div m AS BIGINT) AS h")
             .localCheckpoint(eager=True)
         )
+    return e, a, h
+
+
+@gate("hits_hub_authority", oracle=_hits_oracle())
+def q_hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg) authority scores over the supplier→part bipartite
+    graph — top-{k} authority parts after 3 mutual-reinforcement rounds,
+    the link-analysis companion to gate:pagerank_supplier_part (PageRank
+    ranks by random-walk mass; HITS separates hub quality from authority
+    quality).  ENTIRELY integer: scores live in micro-units,
+    normalization is a*1e6 div max(a) (one broadcast of a 1-row max per
+    round — no float normalization, so partition order and retries can't
+    move a single bit).  State is one row per node; each round is two
+    grouped joins over the cached edge relation, the pagerank_integer
+    discipline.  Top-k via (score DESC, node ASC) TakeOrdered — total
+    order, engine-deterministic."""
+    e, a, h = _hits_scores(spark, sf_dir)
     out = (
         a.select(
             F.col("p").alias("node"),
