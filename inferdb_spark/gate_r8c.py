@@ -11,8 +11,6 @@ Contents (COVERAGE.md round-8 backlog, DB-operator/text half):
 - hits_hub_side         — the hub-side output of the integer HITS
                           iteration (gate:hits_hub_authority emits the
                           authority side)
-- markov_transition_matrix — per-user event-type transition counts and
-                          row-normalized probabilities
 
 Determinism: the soundex and geohash encoders are pure
 string/integer-arithmetic expressions built by ONE python generator and
@@ -23,13 +21,12 @@ only doubles are 6dp-rounded display divisions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from inferdb_spark.catalog import load_table
 from inferdb_spark.gate import gate
 from inferdb_spark.gate_r7i import _HITS_TOPK, _hits_oracle, _hits_scores
-from inferdb_spark.gate_r8b import _PS_POS_DUCK, _PS_POS_SPARK
 
 # ---------------------------------------------------------------------------
 # Simplified Soundex phonetic blocking over the document vocabulary
@@ -215,72 +212,3 @@ def q_hits_hub_side(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = out.collect()
     e.unpersist()
     return spark.createDataFrame(rows, out.schema)
-
-
-# ---------------------------------------------------------------------------
-# Markov transition matrix over per-user event streams
-# ---------------------------------------------------------------------------
-
-
-@gate(
-    "markov_transition_matrix",
-    oracle=f"""
-    WITH pos AS (
-      SELECT user_id, event_type, {_PS_POS_DUCK} AS p FROM events
-    ),
-    trans AS (
-      SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY p)
-               AS from_type,
-             event_type AS to_type
-      FROM pos
-    ),
-    counts AS (
-      SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_trans
-      FROM trans WHERE from_type IS NOT NULL
-      GROUP BY from_type, to_type
-    )
-    SELECT from_type, to_type, n_trans,
-           CAST(sum(n_trans) OVER (PARTITION BY from_type) AS BIGINT)
-             AS n_from,
-           CAST(round(CAST(n_trans AS DOUBLE)
-                / CAST(sum(n_trans) OVER (PARTITION BY from_type) AS DOUBLE),
-                6) AS DOUBLE) AS prob6
-    FROM counts ORDER BY from_type, to_type
-    """,
-)
-def q_markov_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First-order Markov transition matrix of event types: consecutive
-    (prev, next) pairs per user under the strict (seconds, event_id)
-    total order, counted and row-normalized into P(next | prev) — the
-    behavioral-model summary behind session simulation and anomaly
-    scoring (a transition with prob ~0 in the matrix is an anomalous
-    step).
-
-    Scale: the lag window is PARTITIONED BY user — per-user sort only,
-    embarrassingly parallel; the matrix itself is |type domain|^2 rows
-    (25 here), so the normalization window runs on the aggregated
-    relation.  Counts exact BIGINT; one 6dp division."""
-    ev = load_table(spark, sf_dir, "events")
-    pos = ev.selectExpr("user_id", "event_type", f"{_PS_POS_SPARK} AS p")
-    w_user = Window.partitionBy("user_id").orderBy("p")
-    trans = pos.select(
-        F.lag("event_type").over(w_user).alias("from_type"),
-        F.col("event_type").alias("to_type"),
-    ).filter(F.col("from_type").isNotNull())
-    counts = trans.groupBy("from_type", "to_type").agg(
-        F.count("*").cast("long").alias("n_trans")
-    )
-    w_from = Window.partitionBy("from_type")
-    return counts.select(
-        "from_type",
-        "to_type",
-        "n_trans",
-        F.sum("n_trans").over(w_from).cast("long").alias("n_from"),
-        F.round(
-            F.col("n_trans").cast("double")
-            / F.sum("n_trans").over(w_from).cast("double"),
-            6,
-        )
-        .cast("double")
-        .alias("prob6"),
-    ).orderBy("from_type", "to_type")

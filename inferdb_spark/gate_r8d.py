@@ -1,17 +1,17 @@
 """Round-8 gate queries, batch 4 — STAGED, NOT YET REGISTERED (see
 gate_r8a module docstring for the staging protocol).
 
-Product-analytics family + information-theoretic feature selection:
+Information-theoretic feature selection:
 
-- funnel_conversion_analysis — strict ORDERED funnel (each stage's
-  event must occur after the previous stage's completion time), as a
-  chain of min-aggregate + inequality joins — never a per-user scan
-- retention_cohort_analysis — daily activity cohorts with day-offset
-  retention (the events table spans one month, so cohorts are days)
 - mrmr_feature_select — greedy minimum-redundancy-maximum-relevance
   selection over five binned lineitem features vs the returnflag
   target, every mutual information an exact nano-quantized BIGINT and
   the greedy replayed step-by-step in the oracle
+
+(This batch originally also staged ordered-funnel, retention-cohort,
+and Markov-transition gates; they were dropped before registration as
+semantic duplicates of the existing gate:funnel_stages,
+gate:cohort_retention, and gate:event_transitions.)
 
 Determinism: exact BIGINT counts; MI cell terms nano-quantized before
 summation; greedy ties break (score DESC, feature ASC) on integers;
@@ -26,210 +26,6 @@ from pyspark.sql import types as T
 
 from inferdb_spark.catalog import load_table
 from inferdb_spark.gate import gate
-from inferdb_spark.gate_r8b import _PS_POS_DUCK, _PS_POS_SPARK
-
-# ---------------------------------------------------------------------------
-# Strict ordered funnel
-# ---------------------------------------------------------------------------
-
-_FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
-
-_FUNNEL_OUT = [
-    "step",
-    "step_name",
-    "n_reached",
-    "n_users",
-    "CASE WHEN prev_n = 0 THEN CAST(0.0 AS DOUBLE) ELSE "
-    "CAST(round(CAST(n_reached AS DOUBLE) / CAST(prev_n AS DOUBLE), 6)"
-    " AS DOUBLE) END AS conv_prev6",
-    "CAST(round(CAST(n_reached AS DOUBLE) / CAST(n_users AS DOUBLE), 6)"
-    " AS DOUBLE) AS conv_start6",
-]
-
-
-def _funnel_oracle() -> str:
-    ctes = [
-        f"pos AS (SELECT user_id, event_type, {_PS_POS_DUCK} AS p FROM events)",
-        "u AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM pos)",
-        f"""s1 AS MATERIALIZED (
-      SELECT user_id, CAST(min(p) AS BIGINT) AS t
-      FROM pos WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY user_id
-    )""",
-    ]
-    for i in range(1, len(_FUNNEL_STEPS)):
-        ctes.append(
-            f"""s{i + 1} AS MATERIALIZED (
-      SELECT pos.user_id, CAST(min(pos.p) AS BIGINT) AS t
-      FROM pos JOIN s{i} ON pos.user_id = s{i}.user_id
-      WHERE pos.event_type = '{_FUNNEL_STEPS[i]}' AND pos.p > s{i}.t
-      GROUP BY pos.user_id
-    )"""
-        )
-    counts = " UNION ALL ".join(
-        f"SELECT CAST({i + 1} AS BIGINT) AS step, '{name}' AS step_name,"
-        f" (SELECT CAST(count(*) AS BIGINT) FROM s{i + 1}) AS n_reached,"
-        f" (SELECT CAST(count(*) AS BIGINT) FROM s{i}) AS prev_n"
-        for i, name in enumerate(_FUNNEL_STEPS)
-    ).replace(
-        "(SELECT CAST(count(*) AS BIGINT) FROM s0)",
-        "(SELECT n_users FROM u)",
-    )
-    return (
-        "WITH "
-        + ",\n    ".join(ctes)
-        + f""",
-    steps AS ({counts})
-    SELECT {', '.join(_FUNNEL_OUT)}
-    FROM steps CROSS JOIN u ORDER BY step
-    """
-    )
-
-
-@gate("funnel_conversion_analysis", oracle=_funnel_oracle())
-def q_funnel_conversion_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Strict ORDERED conversion funnel signup -> view -> click ->
-    purchase: a user reaches stage k only via an event of that type
-    STRICTLY AFTER their stage-(k-1) completion time (first-touch
-    semantics: each stage's timestamp is the earliest valid one).  The
-    classic product-analytics query, expressed as a chain of
-    min-aggregate + inequality-join steps — each stage is one shuffle
-    on user_id, so there is NO per-user sequence scan and no window;
-    per-stage state is one row per surviving user.
-
-    Determinism: stage times use the strict (seconds, event_id) total
-    order; counts are exact; conversion ratios divide once in shared
-    SQL.  Scale: |steps| joins, each semi-join-shaped and
-    user-partitioned; the funnel narrows monotonically so later joins
-    shrink."""
-    ev = load_table(spark, sf_dir, "events")
-    pos = ev.selectExpr("user_id", "event_type", f"{_PS_POS_SPARK} AS p").persist()
-    n_users = pos.select("user_id").distinct().count()
-    cur = (
-        pos.filter(F.col("event_type") == _FUNNEL_STEPS[0])
-        .groupBy("user_id")
-        .agg(F.min("p").cast("long").alias("t"))
-    )
-    reached = [cur.count()]
-    for name in _FUNNEL_STEPS[1:]:
-        nxt = (
-            pos.filter(F.col("event_type") == name)
-            .join(cur.withColumnRenamed("t", "t_prev"), "user_id")
-            .filter(F.col("p") > F.col("t_prev"))
-            .groupBy("user_id")
-            .agg(F.min("p").cast("long").alias("t"))
-        )
-        reached.append(nxt.count())
-        cur = nxt
-    pos.unpersist()
-    rows = [
-        (i + 1, name, reached[i], n_users, n_users if i == 0 else reached[i - 1])
-        for i, name in enumerate(_FUNNEL_STEPS)
-    ]
-    schema = T.StructType(
-        [
-            T.StructField("step", T.LongType()),
-            T.StructField("step_name", T.StringType()),
-            T.StructField("n_reached", T.LongType()),
-            T.StructField("n_users", T.LongType()),
-            T.StructField("prev_n", T.LongType()),
-        ]
-    )
-    return (
-        spark.createDataFrame(rows, schema)
-        .selectExpr(*_FUNNEL_OUT)
-        .orderBy("step")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Daily retention cohorts
-# ---------------------------------------------------------------------------
-
-_RET_MAXK = 7
-
-
-@gate(
-    "retention_cohort_analysis",
-    oracle=f"""
-    WITH days AS (
-      SELECT DISTINCT user_id,
-             CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
-                  AS BIGINT) AS d
-      FROM events WHERE event_type = 'purchase'
-    ),
-    first_day AS (
-      SELECT user_id, CAST(min(d) AS BIGINT) AS cohort_day FROM days
-      GROUP BY user_id
-    ),
-    ret AS (
-      SELECT f.cohort_day, CAST(d.d - f.cohort_day AS BIGINT) AS k,
-             CAST(count(*) AS BIGINT) AS n_retained
-      FROM days d JOIN first_day f ON d.user_id = f.user_id
-      WHERE d.d - f.cohort_day BETWEEN 0 AND {_RET_MAXK}
-      GROUP BY f.cohort_day, d.d - f.cohort_day
-    ),
-    sized AS (
-      SELECT r.cohort_day, r.k, r.n_retained, c.n_retained AS cohort_size
-      FROM ret r JOIN ret c ON r.cohort_day = c.cohort_day AND c.k = 0
-    )
-    SELECT cohort_day, k, n_retained, cohort_size,
-           CAST(round(CAST(n_retained AS DOUBLE) / CAST(cohort_size AS DOUBLE),
-                6) AS DOUBLE) AS retention6
-    FROM sized ORDER BY cohort_day, k
-    """,
-)
-def q_retention_cohort_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily PURCHASE-retention cohorts: users grouped by their first
-    purchase day, tracked over day offsets k = 0..{_RET_MAXK} (the k = 0
-    row IS the cohort size, so retention6 starts at 1.0 and decays) —
-    the activation/stickiness table every product pipeline
-    materializes.  Day cohorts rather than months because the events
-    table spans one month, and purchase events rather than all activity
-    because raw activity is dense enough to saturate retention at ~1.
-
-    Scale: per-user state is one first-day row; activity is the
-    DISTINCT (user, day) relation; the cohort-size lookup is a
-    self-join of the already-aggregated (cohorts x offsets) relation —
-    everything keys on user_id or cohort_day, no windows, nothing
-    quadratic.  Counts exact; one 6dp division in shared SQL."""
-    ev = load_table(spark, sf_dir, "events")
-    days = (
-        ev.filter(F.col("event_type") == "purchase")
-        .selectExpr(
-            "user_id",
-            "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT) AS d",
-        )
-        .distinct()
-    )
-    first_day = days.groupBy("user_id").agg(
-        F.min("d").cast("long").alias("cohort_day")
-    )
-    ret = (
-        days.join(first_day, "user_id")
-        .select("cohort_day", (F.col("d") - F.col("cohort_day")).alias("k"))
-        .filter((F.col("k") >= 0) & (F.col("k") <= _RET_MAXK))
-        .groupBy("cohort_day", "k")
-        .agg(F.count("*").cast("long").alias("n_retained"))
-    )
-    sized = ret.join(
-        ret.filter(F.col("k") == 0).select(
-            "cohort_day", F.col("n_retained").alias("cohort_size")
-        ),
-        "cohort_day",
-    )
-    return sized.select(
-        "cohort_day",
-        F.col("k").cast("long").alias("k"),
-        "n_retained",
-        "cohort_size",
-        F.round(
-            F.col("n_retained").cast("double") / F.col("cohort_size").cast("double"),
-            6,
-        )
-        .cast("double")
-        .alias("retention6"),
-    ).orderBy("cohort_day", "k")
-
 
 # ---------------------------------------------------------------------------
 # mRMR greedy feature selection

@@ -1,5 +1,5 @@
 """Third-implementation checks for the STAGED round-8 batch-3 gates
-(inferdb_spark/gate_r8c.py): pure-python soundex/geohash/HITS/Markov
+(inferdb_spark/gate_r8c.py): pure-python soundex/geohash/HITS
 recomputations off the parquet, independent of Spark plans and DuckDB
 oracles.
 """
@@ -7,7 +7,7 @@ oracles.
 from __future__ import annotations
 
 import re
-from collections import Counter, defaultdict
+from collections import defaultdict
 
 import duckdb
 import pytest
@@ -129,38 +129,3 @@ def test_hits_hub_side_reference(spark, sf_dir):
         h = {s: v * 1_000_000 // hm for s, v in h.items()}
     top = sorted(h.items(), key=lambda kv: (-kv[1], kv[0]))[: len(rows)]
     assert [(r["node"], r["score"]) for r in rows] == top
-
-
-def test_markov_matrix_reference(spark, sf_dir):
-    from inferdb_spark.gate_r8c import q_markov_transition_matrix
-
-    out = {
-        (r["from_type"], r["to_type"]): r
-        for r in q_markov_transition_matrix(spark, sf_dir).collect()
-    }
-    ev = duckdb.sql(
-        f"""select user_id, event_type,
-                   cast(epoch_us(ts) // 1000000 as bigint) * 4294967296
-                     + event_id as p
-            from '{sf_dir}/events.parquet'"""
-    ).fetchall()
-    seqs = defaultdict(list)
-    for uid, et, p in ev:
-        seqs[uid].append((p, et))
-    counts = Counter()
-    for items in seqs.values():
-        items.sort()
-        for (_, a), (_, b) in zip(items, items[1:]):
-            counts[(a, b)] += 1
-    assert set(out) == set(counts)
-    row_tot = Counter()
-    for (a, _), n in counts.items():
-        row_tot[a] += n
-    for k, n in counts.items():
-        assert out[k]["n_trans"] == n
-        assert out[k]["n_from"] == row_tot[k[0]]
-        assert out[k]["prob6"] == pytest.approx(n / row_tot[k[0]], abs=1e-6)
-    # each row of the matrix sums to ~1
-    for a in row_tot:
-        s = sum(r["prob6"] for (f, _), r in out.items() if f == a)
-        assert s == pytest.approx(1.0, abs=1e-4)

@@ -1,95 +1,15 @@
-"""Third-implementation checks for the STAGED round-8 batch-4 gates
-(inferdb_spark/gate_r8d.py): literal per-user sequence scans for the
-funnel and retention gates, and a sklearn-free MI + greedy replay for
-mRMR — all independent of the Spark plans and DuckDB oracles.
+"""Third-implementation check for the STAGED round-8 batch-4 gate
+(inferdb_spark/gate_r8d.py): a sklearn-free MI + greedy replay for
+mRMR, independent of the Spark plan and DuckDB oracle.
 """
 
 from __future__ import annotations
 
 import math
-from collections import Counter, defaultdict
+from collections import Counter
 
 import duckdb
 import pytest
-
-
-def _user_sequences(sf_dir):
-    ev = duckdb.sql(
-        f"""select user_id, event_type,
-                   cast(epoch_us(ts) // 1000000 as bigint) * 4294967296
-                     + event_id as p
-            from '{sf_dir}/events.parquet'"""
-    ).fetchall()
-    seqs = defaultdict(list)
-    for uid, et, p in ev:
-        seqs[uid].append((p, et))
-    for items in seqs.values():
-        items.sort()
-    return seqs
-
-
-def test_funnel_matches_literal_scan(spark, sf_dir):
-    from inferdb_spark.gate_r8d import _FUNNEL_STEPS, q_funnel_conversion_analysis
-
-    out = {r["step"]: r for r in q_funnel_conversion_analysis(spark, sf_dir).collect()}
-    seqs = _user_sequences(sf_dir)
-    # literal strict-ordered scan: the stage pointer advances exactly on
-    # the next required event type (first-touch greedy, which is optimal
-    # for ordered funnels: taking the earliest valid event at each stage
-    # can only help later stages)
-    reached = [0] * len(_FUNNEL_STEPS)
-    for items in seqs.values():
-        stage = 0
-        for _, et in items:
-            if stage < len(_FUNNEL_STEPS) and et == _FUNNEL_STEPS[stage]:
-                stage += 1
-        for k in range(stage):
-            reached[k] += 1
-    n_users = len(seqs)
-    prev = n_users
-    for i, name in enumerate(_FUNNEL_STEPS):
-        row = out[i + 1]
-        assert row["step_name"] == name
-        assert row["n_reached"] == reached[i], name
-        assert row["n_users"] == n_users
-        assert row["conv_start6"] == pytest.approx(reached[i] / n_users, abs=1e-6)
-        assert row["conv_prev6"] == pytest.approx(
-            0.0 if prev == 0 else reached[i] / prev, abs=1e-6
-        )
-        prev = reached[i]
-    # funnel must narrow monotonically
-    assert all(a >= b for a, b in zip(reached, reached[1:]))
-
-
-def test_retention_matches_literal_scan(spark, sf_dir):
-    from inferdb_spark.gate_r8d import _RET_MAXK, q_retention_cohort_analysis
-
-    out = {
-        (r["cohort_day"], r["k"]): r
-        for r in q_retention_cohort_analysis(spark, sf_dir).collect()
-    }
-    rows = duckdb.sql(
-        f"""select distinct user_id,
-                   cast(datediff('day', date '1970-01-01', cast(ts as date))
-                        as bigint) d
-            from '{sf_dir}/events.parquet' where event_type = 'purchase'"""
-    ).fetchall()
-    days = defaultdict(set)
-    for uid, d in rows:
-        days[uid].add(d)
-    counts = Counter()
-    for uid, ds in days.items():
-        first = min(ds)
-        for d in ds:
-            if 0 <= d - first <= _RET_MAXK:
-                counts[(first, d - first)] += 1
-    assert set(out) == set(counts)
-    for (cd, k), n in counts.items():
-        row = out[(cd, k)]
-        assert row["n_retained"] == n
-        assert row["cohort_size"] == counts[(cd, 0)]
-        assert row["retention6"] == pytest.approx(n / counts[(cd, 0)], abs=1e-6)
-    assert all(out[(cd, 0)]["retention6"] == 1.0 for (cd, k) in out if k == 0)
 
 
 def test_mrmr_matches_sklearn_free_replay(spark, sf_dir):
