@@ -686,7 +686,8 @@ _HOLT_H = 6  # forecast horizons
     oracle=f"""
     WITH monthly AS (
       SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS mkey,
-             CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS s
+             CAST(round(CAST(sum(CAST(round(o_totalprice) AS BIGINT))
+                             AS DOUBLE) / 1000.0) AS BIGINT) AS s
       FROM orders GROUP BY 1
     ),
     lists AS (
@@ -722,8 +723,11 @@ def q_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     The coupled 2-state recursion folds as ONE aggregate HOF over the
     time-ordered value array (module comment explains the DuckDB
     1-element-list encoding that makes both engines run the identical
-    IEEE op sequence; halvings of integer-dollar values keep every step
-    bit-stable).  Scale: the full-data pass is a map-side-combinable
+    IEEE op sequence; halvings of integer-KILOdollar values keep every
+    step bit-stable — dollars put sf1 forecasts at ~4e9, where a 6dp
+    decimal grid exceeds double precision and the engines' round()
+    implementations disagree by 1 ULP).  Scale: the full-data pass is a
+    map-side-combinable
     groupBy(month); the fold runs over the ~84-element month-domain
     array — series length is bounded by the DATE DOMAIN, not row count.
 
@@ -732,7 +736,9 @@ def q_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     monthly = orders.selectExpr(
         "CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS mkey",
         "CAST(round(o_totalprice) AS BIGINT) AS d",
-    ).groupBy("mkey").agg(F.sum("d").cast("long").alias("s"))
+    ).groupBy("mkey").agg(
+        F.expr("CAST(round(CAST(sum(d) AS DOUBLE) / 1000.0) AS BIGINT)").alias("s")
+    )
     lists = monthly.agg(
         F.sort_array(F.collect_list(F.struct("mkey", "s"))).alias("ms"),
         F.count("*").cast("long").alias("n_months"),

@@ -117,14 +117,21 @@ _RESID6 = (
     ),
     lagged AS (
       SELECT e, lag(e) OVER (ORDER BY wk) AS e_prev, n FROM resid
+    ),
+    quant AS (
+      SELECT n,
+             CAST(CASE WHEN e_prev IS NULL THEN 0
+                  ELSE CAST(round((e - e_prev) * (e - e_prev)) AS BIGINT)
+                  END AS BIGINT) AS d_u,
+             CAST(round(e * e) AS BIGINT) AS q_u
+      FROM lagged
     )
     SELECT CAST(min(n) AS BIGINT) AS n,
            (SELECT b6 FROM fit) AS b6,
            (SELECT a6 FROM fit) AS a6,
-           CAST(round(sum(CASE WHEN e_prev IS NULL THEN 0.0
-                          ELSE (e - e_prev) * (e - e_prev) END)
-                / sum(e * e), 6) AS DOUBLE) AS dw6
-    FROM lagged
+           CAST(round(CAST(sum(d_u) AS DOUBLE) / CAST(sum(q_u) AS DOUBLE), 6)
+                AS DOUBLE) AS dw6
+    FROM quant
     """,
 )
 def q_durbin_watson_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -138,10 +145,12 @@ def q_durbin_watson_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: OLS coefficients come from exact BIGINT moments and
     are 6dp-rounded before residuals are formed, so both engines
-    subtract bit-identical fits; residuals themselves are 6dp-rounded;
-    the DW ratio divides once in shared SQL.  Scale: one
-    map-side-combinable groupBy(week) + windows on the ~365-row week
-    domain."""
+    subtract bit-identical fits; residuals themselves are 6dp-rounded,
+    and BOTH squared-residual sums are per-term quantized to BIGINT
+    (unit resolution in kilodollar^2 — a plain double sum over the week
+    relation would be shuffle-order-sensitive); the DW ratio divides
+    once in shared SQL.  Scale: one map-side-combinable groupBy(week) +
+    windows on the ~365-row week domain."""
     weekly = _weekly_kd(spark, sf_dir)
     fit = _ols_mom(weekly).selectExpr(f"{_OLS_B6} AS b6", f"{_OLS_A6} AS a6", "n")
     resid = weekly.crossJoin(F.broadcast(fit)).selectExpr(
@@ -150,16 +159,22 @@ def q_durbin_watson_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     lagged = resid.select(
         "e", F.lag("e").over(Window.orderBy("wk")).alias("e_prev"), "n"
     )
-    stats = lagged.agg(
+    quant = lagged.select(
+        "n",
+        F.when(F.col("e_prev").isNull(), F.lit(0))
+        .otherwise(
+            F.round(
+                (F.col("e") - F.col("e_prev")) * (F.col("e") - F.col("e_prev"))
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("d_u"),
+        F.round(F.col("e") * F.col("e")).cast("long").alias("q_u"),
+    )
+    stats = quant.agg(
         F.min("n").cast("long").alias("n"),
         F.round(
-            F.sum(
-                F.when(F.col("e_prev").isNull(), F.lit(0.0)).otherwise(
-                    (F.col("e") - F.col("e_prev")) * (F.col("e") - F.col("e_prev"))
-                )
-            )
-            / F.sum(F.col("e") * F.col("e")),
-            6,
+            F.sum("d_u").cast("double") / F.sum("q_u").cast("double"), 6
         )
         .cast("double")
         .alias("dw6"),
@@ -442,8 +457,8 @@ _COOKS_D6 = (
       SELECT wk, y, {_RESID6} AS e, n, sx, sxx FROM weekly CROSS JOIN fit
     ),
     sse AS (
-      SELECT CAST(round(sum(e * e) / (CAST(min(n) AS DOUBLE) - 2.0), 6)
-                  AS DOUBLE) AS s2
+      SELECT CAST(round(CAST(sum(CAST(round(e * e) AS BIGINT)) AS DOUBLE)
+                  / (CAST(min(n) AS DOUBLE) - 2.0), 6) AS DOUBLE) AS s2
       FROM resid
     ),
     scored AS (
@@ -466,8 +481,10 @@ def q_cooks_distance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cook's D flags points that BEND THE LINE, which need not be the
     same weeks).
 
-    Determinism: the fit and s^2 are 6dp-rounded before scoring, every
-    formula is shared SQL over exact integer moments, and the top-k
+    Determinism: the fit is 6dp-rounded before scoring, s^2 sums
+    per-term-quantized squared residuals (shuffle-order-proof) and is
+    6dp-rounded, every formula is shared SQL over exact integer
+    moments, and the top-k
     takes the (D DESC, wk) total order on ROUNDED D.  Scale: one
     groupBy(week), broadcast moments, one TakeOrdered over the week
     domain."""
@@ -480,7 +497,8 @@ def q_cooks_distance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sse = resid.agg(
         F.round(
-            F.sum(F.col("e") * F.col("e")) / (F.min("n").cast("double") - F.lit(2.0)),
+            F.sum(F.round(F.col("e") * F.col("e")).cast("long")).cast("double")
+            / (F.min("n").cast("double") - F.lit(2.0)),
             6,
         )
         .cast("double")

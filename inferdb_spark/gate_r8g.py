@@ -62,7 +62,7 @@ def _chow_seg_sql(pred: str, tag: str) -> str:
     ),
     fit_{tag} AS (SELECT {_OLS_B6} AS b6, {_OLS_A6} AS a6, n FROM mom_{tag}),
     sse_{tag} AS (
-      SELECT CAST(round(sum(e * e), 6) AS DOUBLE) AS sse,
+      SELECT CAST(sum(CAST(round(e * e) AS BIGINT)) AS DOUBLE) AS sse,
              CAST(min(n) AS BIGINT) AS n
       FROM (
         SELECT {_RESID6} AS e, n
@@ -96,10 +96,12 @@ def q_chow_test_break(spark: SparkSession, sf_dir: str) -> DataFrame:
     break; Chow confirms a hypothesized one with a proper F framing).
 
     Determinism: all three fits use the 6dp-rounded coefficients from
-    exact BIGINT moments (gate_r8e discipline), SSEs are 6dp-rounded
-    sums of 6dp residuals over the week domain, and the F composition
-    runs once in shared SQL.  Scale: one groupBy(week) + three 1-row
-    fits over the ~365-row weekly relation."""
+    exact BIGINT moments (gate_r8e discipline); each SSE sums per-term
+    unit-quantized squared residuals as exact BIGINTs (a plain double
+    sum would be shuffle-order-sensitive, and at sf1 SSE magnitudes a
+    6dp decimal grid exceeds double precision); the F composition runs
+    once in shared SQL.  Scale: one groupBy(week) + three 1-row fits
+    over the ~365-row weekly relation."""
     weekly = _weekly_kd(spark, sf_dir).persist()
 
     def seg(pred):
@@ -107,7 +109,9 @@ def q_chow_test_break(spark: SparkSession, sf_dir: str) -> DataFrame:
         fit = _ols_mom(seg_w).selectExpr(f"{_OLS_B6} AS b6", f"{_OLS_A6} AS a6", "n")
         resid = seg_w.crossJoin(F.broadcast(fit)).selectExpr(f"{_RESID6} AS e", "n")
         return resid.agg(
-            F.round(F.sum(F.col("e") * F.col("e")), 6).cast("double").alias("sse"),
+            F.sum(F.round(F.col("e") * F.col("e")).cast("long"))
+            .cast("double")
+            .alias("sse"),
             F.min("n").cast("long").alias("n"),
         )
 

@@ -217,7 +217,8 @@ def test_holt_matches_sequential_recursion(spark, sf_dir):
     out = {r["h"]: r for r in q_holt_linear_forecast(spark, sf_dir).collect()}
     monthly = duckdb.sql(
         f"""select cast(year(o_orderdate) * 100 + month(o_orderdate) as bigint) m,
-                   cast(sum(cast(round(o_totalprice) as bigint)) as bigint) s
+                   cast(round(cast(sum(cast(round(o_totalprice) as bigint))
+                                   as double) / 1000.0) as bigint) s
             from read_parquet('{sf_dir}/orders.parquet')
             group by 1 order by 1"""
     ).fetchall()

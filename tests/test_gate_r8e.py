@@ -39,7 +39,10 @@ def test_durbin_watson_reference(spark, sf_dir):
     pts = _weekly(sf_dir)
     a, b, n, _, _ = _ols6(pts)
     es = [round(y - (a + b * x), 6) for x, y in pts]
-    dw = sum((e2 - e1) ** 2 for e1, e2 in zip(es, es[1:])) / sum(e * e for e in es)
+    # per-term quantized sums (the gate's shuffle-order-proof form)
+    d_sum = sum(round((e2 - e1) ** 2) for e1, e2 in zip(es, es[1:]))
+    q_sum = sum(round(e * e) for e in es)
+    dw = d_sum / q_sum
     assert row["n"] == n
     assert row["b6"] == pytest.approx(b, abs=1e-9)
     assert row["a6"] == pytest.approx(a, abs=1e-9)
@@ -114,7 +117,7 @@ def test_cooks_distance_reference(spark, sf_dir):
     pts = _weekly(sf_dir)
     a, b, n, sx, sxx = _ols6(pts)
     es = {wk: round(y - (a + b * wk), 6) for wk, y in pts}
-    s2 = round(sum(e * e for e in es.values()) / (n - 2.0), 6)
+    s2 = round(sum(round(e * e) for e in es.values()) / (n - 2.0), 6)
     scored = []
     for wk, y in pts:
         h = round(

@@ -35,7 +35,8 @@ def test_chow_reference(spark, sf_dir):
         b, a = np.polyfit(xs, ys, 1)
         a, b = round(a, 6), round(b, 6)
         es = np.round(ys - (a + b * xs), 6)
-        return round(float((es * es).sum()), 6)
+        # per-term quantized, the gate's shuffle-order-proof form
+        return float(np.round(es * es).sum())
 
     left = [(x, y) for x, y in pts if x < _CHOW_SPLIT_WK]
     right = [(x, y) for x, y in pts if x >= _CHOW_SPLIT_WK]
