@@ -486,6 +486,86 @@ def main() -> int:
          lambda p: "Join" not in p),
     ])
 
+    # ---- STAGED round-8 gates (not yet in the driver contract) ----
+    # gate_r8* modules register into gate._QUERIES on import but are not
+    # in _ensure_registered; audit them from the registry directly so
+    # the invariants hold BEFORE activation.  Gates that materialize
+    # their (domain-bounded) result via collect+createDataFrame expose
+    # only a LocalTableScan plan and are not auditable here.
+    import glob
+    import importlib
+    import os
+
+    from inferdb_spark import gate as _gate
+
+    for _p in sorted(glob.glob("/root/repo/inferdb_spark/gate_r8*.py")):
+        importlib.import_module(
+            "inferdb_spark." + os.path.basename(_p)[:-3]
+        )
+    qs = dict(qs)
+    qs.update(_gate._QUERIES)
+
+    audit("cronbach_alpha", [
+        ("pure two-level aggregation; no join, no window",
+         lambda p: "Join" not in p and "Window" not in p),
+    ])
+    audit("cochran_q_binary", [
+        ("one conditional aggregation; no join, no window",
+         lambda p: "Join" not in p and "Window" not in p),
+    ])
+    audit("friedman_test_lines", [
+        ("conditional pivot + 1-row aggregate; no join, no window",
+         lambda p: "Join" not in p and "Window" not in p),
+    ])
+    audit("soundex_blocking_join", [
+        ("projection + vocabulary-domain groupBy; no join",
+         lambda p: "Join" not in p),
+    ])
+    audit("geohash_cell_agg", [
+        ("pure integer projection + cell groupBy; no join, no window",
+         lambda p: "Join" not in p and "Window" not in p),
+    ])
+    audit("cusum_control_chart", [
+        ("windows on the week domain; broadcast totals; never SMJ",
+         lambda p: "Window" in p and "SortMergeJoin" not in p
+         and "CartesianProduct" not in p),
+    ])
+    audit("holt_winters_monthly", [
+        ("one aggregate fold; no window, no sort-merge join",
+         lambda p: "Window" not in p and "SortMergeJoin" not in p),
+    ])
+    audit("breusch_pagan_weekly", [
+        ("ordered-array fold; no window, broadcast fit only",
+         lambda p: "Window" not in p and "SortMergeJoin" not in p),
+    ])
+    audit("prefixspan_bigrams", [
+        ("user-keyed HASH equi-join (the non-equi parts ride as the "
+         "join condition); the only BNLJ is the 1-row n_users broadcast",
+         lambda p: "CartesianProduct" not in p and "Window" not in p
+         and "HashJoin [user_id" in p),
+    ])
+    audit("theil_sen_weekly_pairs", [
+        ("pair join runs on the AGGREGATED week relation (BNLJ of a "
+         "domain-bounded side), never a row-level cartesian",
+         lambda p: "CartesianProduct" not in p),
+    ])
+    audit("abc_pareto_parts", [
+        ("cumulative window on the part domain; no sort-merge join",
+         lambda p: "Window" in p and "SortMergeJoin" not in p),
+    ])
+    audit("kruskal_wallis_binned", [
+        ("midranks from the bin-domain histogram; no cartesian",
+         lambda p: "Window" in p and "CartesianProduct" not in p),
+    ])
+    audit("rdd_local_linear", [
+        ("keyed join + one conditional moment row; no window",
+         lambda p: "Window" not in p and "CartesianProduct" not in p),
+    ])
+    audit("cvm_energy_two_sample", [
+        ("bin-domain CDF windows; broadcast totals; never SMJ",
+         lambda p: "Window" in p and "SortMergeJoin" not in p),
+    ])
+
     print("\n" + ("ALL PLAN CHECKS PASS" if failures == 0 else f"{failures} PLAN CHECKS FAILED"))
     return 1 if failures else 0
 
