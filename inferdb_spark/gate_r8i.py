@@ -111,25 +111,10 @@ def q_anova_oneway_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KW_BIN_CENTS = 10_000  # $100 bins, the mann_whitney_binned grid
 
-_KW_OUT = [
-    "n",
-    "k",
-    "CAST(round(12.0 * hsum / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)), 6)"
-    " AS DOUBLE) AS h6",
-    "CAST(round(1.0 - CAST(tie_term AS DOUBLE)"
-    " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
-    " - CAST(n AS DOUBLE)), 6) AS DOUBLE) AS c6",
-    "CAST(round((12.0 * hsum / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)))"
-    " / (1.0 - CAST(tie_term AS DOUBLE)"
-    " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
-    " - CAST(n AS DOUBLE))), 6) AS DOUBLE) AS h_tied6",
-]
-
-
-@gate(
-    "kruskal_wallis_binned",
-    oracle=f"""
-    WITH binned AS (
+# the shared midrank machinery (histogram -> doubled midranks ->
+# per-group rank sums) as a reusable DuckDB CTE chain — gate_r8k's Dunn
+# post-hoc builds on the SAME relations
+KW_CTES_DUCK = f"""binned AS (
       SELECT CAST(round(o_totalprice * 100) AS BIGINT) // {_KW_BIN_CENTS} AS v,
              o_orderpriority AS grp
       FROM orders
@@ -155,7 +140,64 @@ _KW_OUT = [
     tot AS (
       SELECT CAST(sum(ng) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k
       FROM per_g
-    ),
+    )"""
+
+
+def kw_relations(spark: SparkSession, sf_dir: str):
+    """Spark twin of KW_CTES_DUCK: returns (per_g, bins, tot)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    binned = orders.selectExpr(
+        f"CAST(round(o_totalprice * 100) AS BIGINT) div {_KW_BIN_CENTS} AS v",
+        "o_orderpriority AS grp",
+    )
+    hist = binned.groupBy("v", "grp").agg(F.count("*").cast("long").alias("c"))
+    bins = hist.groupBy("v").agg(F.sum("c").cast("long").alias("t"))
+    w_prev = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    mr = bins.select(
+        "v",
+        "t",
+        (
+            F.lit(2) * F.coalesce(F.sum("t").over(w_prev), F.lit(0))
+            + F.col("t")
+            + F.lit(1)
+        )
+        .cast("long")
+        .alias("mr2"),
+    )
+    per_g = (
+        hist.join(mr, "v")
+        .groupBy("grp")
+        .agg(
+            F.sum("c").cast("long").alias("ng"),
+            F.sum(F.col("c") * F.col("mr2")).cast("long").alias("r2g"),
+        )
+    )
+    tot = per_g.agg(
+        F.sum("ng").cast("long").alias("n"), F.count("*").cast("long").alias("k")
+    )
+    return per_g, bins, tot
+
+_KW_OUT = [
+    "n",
+    "k",
+    "CAST(round(12.0 * hsum / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)), 6)"
+    " AS DOUBLE) AS h6",
+    "CAST(round(1.0 - CAST(tie_term AS DOUBLE)"
+    " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+    " - CAST(n AS DOUBLE)), 6) AS DOUBLE) AS c6",
+    "CAST(round((12.0 * hsum / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)))"
+    " / (1.0 - CAST(tie_term AS DOUBLE)"
+    " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+    " - CAST(n AS DOUBLE))), 6) AS DOUBLE) AS h_tied6",
+]
+
+
+@gate(
+    "kruskal_wallis_binned",
+    oracle=f"""
+    WITH {KW_CTES_DUCK},
     devs AS (
       SELECT CAST(r2g - ng * (n + 1) AS BIGINT) AS d, ng, grp, n, k
       FROM per_g CROSS JOIN tot
@@ -190,38 +232,7 @@ def q_kruskal_wallis_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tie correction sum(t^3 - t) is an exact BIGINT (same documented
     ~sf10 bound as mann_whitney's tie term).  Output: raw H, the tie
     correction C, and H/C."""
-    orders = load_table(spark, sf_dir, "orders")
-    binned = orders.selectExpr(
-        f"CAST(round(o_totalprice * 100) AS BIGINT) div {_KW_BIN_CENTS} AS v",
-        "o_orderpriority AS grp",
-    )
-    hist = binned.groupBy("v", "grp").agg(F.count("*").cast("long").alias("c"))
-    bins = hist.groupBy("v").agg(F.sum("c").cast("long").alias("t"))
-    from pyspark.sql import Window
-
-    w_prev = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    mr = bins.select(
-        "v",
-        "t",
-        (
-            F.lit(2) * F.coalesce(F.sum("t").over(w_prev), F.lit(0))
-            + F.col("t")
-            + F.lit(1)
-        )
-        .cast("long")
-        .alias("mr2"),
-    )
-    per_g = (
-        hist.join(mr, "v")
-        .groupBy("grp")
-        .agg(
-            F.sum("c").cast("long").alias("ng"),
-            F.sum(F.col("c") * F.col("mr2")).cast("long").alias("r2g"),
-        )
-    )
-    tot = per_g.agg(
-        F.sum("ng").cast("long").alias("n"), F.count("*").cast("long").alias("k")
-    )
+    per_g, bins, tot = kw_relations(spark, sf_dir)
     devs = per_g.crossJoin(F.broadcast(tot)).select(
         (F.col("r2g") - F.col("ng") * (F.col("n") + 1)).cast("long").alias("d"),
         "ng",
