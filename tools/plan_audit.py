@@ -565,6 +565,22 @@ def main() -> int:
         ("bin-domain CDF windows; broadcast totals; never SMJ",
          lambda p: "Window" in p and "SortMergeJoin" not in p),
     ])
+    audit("cochran_armitage_trend", [
+        ("one conditional aggregation; no join, no window",
+         lambda p: "Join" not in p and "Window" not in p),
+    ])
+    audit("partial_correlation", [
+        ("grouped items + 1-row moment aggregate; no window",
+         lambda p: "Window" not in p and "Join" not in p),
+    ])
+    audit("ks_hash_uniformity", [
+        ("hash projection + bin-domain windows; no join",
+         lambda p: "Join" not in p and "Window" in p),
+    ])
+    audit("dunn_posthoc_pairs", [
+        ("pair join on the 5-row per-group relation; no cartesian of data",
+         lambda p: "CartesianProduct" not in p and "SortMergeJoin" not in p),
+    ])
 
     print("\n" + ("ALL PLAN CHECKS PASS" if failures == 0 else f"{failures} PLAN CHECKS FAILED"))
     return 1 if failures else 0
