@@ -14,9 +14,12 @@ Contents (COVERAGE.md round-8 backlog, DB-operator/text half):
 
 Determinism: the soundex and geohash encoders are pure
 string/integer-arithmetic expressions built by ONE python generator and
-executed on both engines (the geohash builder parameterizes only the
-integer-division token, `div` vs `//`); counts are exact BIGINTs; the
-only doubles are 6dp-rounded display divisions.
+executed on both engines (the builders parameterize only the dialect
+tokens: integer division `div` vs `//`, and the regexp global flag —
+DuckDB's regexp_replace is FIRST-occurrence by default, which would
+silently diverge on names with two runs of the same digit class);
+counts are exact BIGINTs; the only doubles are 6dp-rounded display
+divisions.
 """
 
 from __future__ import annotations
@@ -41,14 +44,18 @@ from inferdb_spark.gate_r7i import _HITS_TOPK, _hits_oracle, _hits_scores
 _SOUNDEX_CODES = "01230120022455012623010202"
 
 
-def _soundex_sql(w: str) -> str:
+def _soundex_sql(w: str, g: str) -> str:
+    """`g` is the engine's global regexp flag argument ('' for Spark,
+    ", 'g'" for DuckDB — DuckDB replaces only the FIRST occurrence by
+    default, which silently diverges on any name with two runs of the
+    same digit class)."""
     digits = (
         f"substring(translate({w}, 'abcdefghijklmnopqrstuvwxyz',"
         f" '{_SOUNDEX_CODES}'), 2)"
     )
     x = digits
     for d in "123456":
-        x = f"regexp_replace({x}, '{d}{d}+', '{d}')"
+        x = f"regexp_replace({x}, '{d}{d}+', '{d}'{g})"
     x = f"replace({x}, '0', '')"
     return f"concat(upper(substring({w}, 1, 1)), rpad(substring({x}, 1, 3), 3, '0'))"
 
@@ -60,7 +67,7 @@ def _soundex_sql(w: str) -> str:
       SELECT DISTINCT replace(lower(p_name), ' ', '') AS w FROM part
     ),
     keyed AS (
-      SELECT w, {_soundex_sql('w')} AS code FROM vocab WHERE length(w) > 0
+      SELECT w, {_soundex_sql("w", ", 'g'")} AS code FROM vocab WHERE length(w) > 0
     )
     SELECT code,
            CAST(count(*) AS BIGINT) AS n_tokens,
@@ -80,9 +87,11 @@ def q_soundex_blocking_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/entity_resolution.py blocks on exact n-grams; phonetic
     codes catch sound-alike variants those miss).
 
-    The encoder is ONE shared SQL expression (translate + per-digit run
-    collapses; no backreference regexes, which Java and RE2 spell
-    differently).  Scale: the key is a pure projection; blocks are a
+    The encoder is ONE generated SQL expression (translate + per-digit
+    run collapses; no backreference regexes, which Java and RE2 spell
+    differently; the only per-engine token is DuckDB's 'g' flag —
+    without it names like "bisque sky" collapse only their first digit
+    run and the engines disagree).  Scale: the key is a pure projection; blocks are a
     groupBy over the distinct-NAME relation (domain-bounded), and
     emitted pair counts stay quadratic only inside blocks — the same
     bucketed discipline as every dedup operator here."""
@@ -92,7 +101,7 @@ def q_soundex_blocking_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.length("w") > 0)
         .distinct()
     )
-    keyed = vocab.selectExpr("w", f"{_soundex_sql('w')} AS code")
+    keyed = vocab.selectExpr("w", f"{_soundex_sql('w', '')} AS code")
     return (
         keyed.groupBy("code")
         .agg(

@@ -251,3 +251,5 @@ def q_mrmr_feature_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(*_MRMR_OUT)
         .orderBy("step")
     )
+
+q_mrmr_feature_select.__doc__ = q_mrmr_feature_select.__doc__.format(_MRMR_K=_MRMR_K)

@@ -512,6 +512,8 @@ def q_cooks_distance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return dd.orderBy(F.desc("cooks_d6"), F.asc("wk")).limit(_COOKS_K)
 
+q_cooks_distance_topk.__doc__ = q_cooks_distance_topk.__doc__.format(_COOKS_K=_COOKS_K)
+
 
 # ---------------------------------------------------------------------------
 # Periodogram of the monthly series
@@ -619,3 +621,5 @@ def q_periodogram_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("y") * F.col("w_sin")).cast("long").alias("s_u"),
     )
     return sums.selectExpr(*_PG_OUT).orderBy("k")
+
+q_periodogram_monthly.__doc__ = q_periodogram_monthly.__doc__.format(_PG_MAXK=_PG_MAXK)

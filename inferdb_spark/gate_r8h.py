@@ -223,6 +223,8 @@ def q_holt_winters_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return fc.selectExpr(*_HW_OUT).orderBy("h")
 
+q_holt_winters_monthly.__doc__ = q_holt_winters_monthly.__doc__.format(_HW_H=_HW_H)
+
 
 # ---------------------------------------------------------------------------
 # Breusch-Pagan heteroskedasticity test

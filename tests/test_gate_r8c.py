@@ -129,3 +129,27 @@ def test_hits_hub_side_reference(spark, sf_dir):
         h = {s: v * 1_000_000 // hm for s, v in h.items()}
     top = sorted(h.items(), key=lambda kv: (-kv[1], kv[0]))[: len(rows)]
     assert [(r["node"], r["score"]) for r in rows] == top
+
+
+def test_soundex_sql_agrees_on_double_run_names(spark):
+    """regression for the flag-less regexp_replace bug: DuckDB replaces
+    only the FIRST occurrence by default, so names with two runs of the
+    same digit class ('bisquesky' -> B220, 'deeppuff' -> D110) diverged
+    between the engines until the builder took a per-engine 'g' flag."""
+    from inferdb_spark.gate_r8c import _soundex_sql
+
+    names = ["bisquesky", "deeppuff", "coldbolt", "mississippi"]
+    spark_rows = spark.createDataFrame(
+        [(w,) for w in names], "w STRING"
+    ).selectExpr("w", f"{_soundex_sql('w', '')} AS code").collect()
+    got_spark = {r["w"]: r["code"] for r in spark_rows}
+    con = duckdb.connect()
+    got_duck = {}
+    for w in names:
+        sql = "SELECT " + _soundex_sql(f"'{w}'", ", 'g'") + " AS code"
+        got_duck[w] = con.execute(sql).fetchone()[0]
+    assert got_spark == got_duck
+    assert got_spark["bisquesky"] == "B220"  # both '2' runs collapse
+    assert got_spark["deeppuff"] == "D110"
+    for w in names:
+        assert got_spark[w] == _py_soundex(w)
