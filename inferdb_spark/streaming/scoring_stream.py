@@ -589,3 +589,144 @@ def js_drift_stream(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def cusum_stream(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    mu0_cents: int,
+    k_cents: int,
+    h_cents: int,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+):
+    """Streaming two-sided CUSUM monitor against a FIXED baseline mean
+    mu0 with reference slack k and decision interval h (all integer-cent
+    training-time literals — the production deployment shape of the
+    cusum_control_chart gate, exactly as page_hinkley_stream deploys
+    gate:page_hinkley_drift: an online monitor compares against
+    TRAINING-TIME statistics, never the stream's own final mean).
+
+    The sequential recursions C+_t = max(0, C+ + (x_t - cnt_t*(mu0+k)))
+    and C-_t = max(0, C- + (cnt_t*(mu0-k) - x_t)) are replaced by their
+    exact prefix-sum-minus-running-min closed forms, so each trigger
+    recomputes both sides with two stacked windows over the BOUNDED
+    (type, hour) relation — never a sequential loop, never event-sized
+    state.  With integer-cent literals every increment is an exact
+    BIGINT and the h boundary compares integers.
+
+    State discipline (identical to page_hinkley_stream): per-microbatch
+    hourly partials land in a batch_id-partitioned parquet state dir
+    with dynamic overwrite, so a REPLAYED batch overwrites its own
+    partition instead of double-counting; the merge groupBy re-adds
+    partials split across microbatches, so the emitted per-type summary
+    equals the batch computation over everything seen so far, for ANY
+    trigger interleaving.
+
+    Returns the started StreamingQuery.
+    """
+    from pyspark.sql import Window
+
+    state = path + "_state"
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        hourly = (
+            batch_df.groupBy(
+                F.col(type_col).alias("event_type"),
+                F.expr(
+                    f"CAST(unix_micros({ts_col}) div 3600000000 AS BIGINT)"
+                ).alias("h"),
+            )
+            .agg(
+                F.sum(F.round(F.col(value_col) * 100).cast("long"))
+                .cast("long")
+                .alias("x"),
+                F.count("*").cast("long").alias("cnt"),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        (
+            hourly.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(state)
+        )
+        merged = (
+            spark.read.parquet(state)
+            .groupBy("event_type", "h")
+            .agg(
+                F.sum("x").cast("long").alias("x"),
+                F.sum("cnt").cast("long").alias("cnt"),
+            )
+        )
+        out = cusum_over_hours(merged, mu0_cents, k_cents, h_cents)
+        out.write.mode("overwrite").parquet(path)
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def cusum_over_hours(
+    merged: DataFrame, mu0_cents: int, k_cents: int, h_cents: int
+) -> DataFrame:
+    """Two-sided CUSUM summary per event_type over an (event_type, h,
+    x, cnt) relation — the shared core of cusum_stream and its batch
+    twin, so the stream == batch test compares the SAME code path fed
+    two ways."""
+    from pyspark.sql import Window
+
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = merged.select(
+        "event_type",
+        "h",
+        F.sum(F.col("x") - F.col("cnt") * F.lit(mu0_cents + k_cents))
+        .over(wc)
+        .cast("long")
+        .alias("p_hi"),
+        F.sum(F.col("cnt") * F.lit(mu0_cents - k_cents) - F.col("x"))
+        .over(wc)
+        .cast("long")
+        .alias("p_lo"),
+    )
+    cus = pre.select(
+        "event_type",
+        "h",
+        (F.col("p_hi") - F.least(F.lit(0).cast("long"), F.min("p_hi").over(wc)))
+        .cast("long")
+        .alias("c_hi"),
+        (F.col("p_lo") - F.least(F.lit(0).cast("long"), F.min("p_lo").over(wc)))
+        .cast("long")
+        .alias("c_lo"),
+    )
+    return cus.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_hours"),
+        F.max("c_hi").cast("long").alias("max_c_hi"),
+        F.max("c_lo").cast("long").alias("max_c_lo"),
+        F.sum(
+            F.when((F.col("c_hi") > h_cents) | (F.col("c_lo") > h_cents), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_alarm_hours"),
+        F.coalesce(
+            F.min(
+                F.when(
+                    (F.col("c_hi") > h_cents) | (F.col("c_lo") > h_cents),
+                    F.col("h"),
+                )
+            ),
+            F.lit(-1),
+        )
+        .cast("long")
+        .alias("first_alarm_h"),
+    )
