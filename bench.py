@@ -42,7 +42,7 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def timed(fn) -> float:
+def timed(fn, clear_cache_spark=None) -> float:
     fn()  # untimed warm-up: JIT/codegen compile of the plan (the wide
     # md5 expression trees cost ~5 s to compile, ~2 s to run; steady-state
     # throughput is the number that scales to the cluster)
@@ -51,6 +51,13 @@ def timed(fn) -> float:
         t0 = time.perf_counter()
         fn()
         runs.append(time.perf_counter() - t0)
+    if clear_cache_spark is not None:
+        # cache hygiene (round-7 verdict #3): gate fns pin fresh relations
+        # each call — 4 copies per query across warm-up + iters.  Over a
+        # 100+ query single-JVM sweep the storage-pool churn drove 13
+        # queries past 2x their quiet-box medians.  Dropping all cached
+        # relations between queries restores isolation semantics.
+        clear_cache_spark.catalog.clearCache()
     return statistics.median(runs)
 
 
@@ -212,6 +219,15 @@ def main() -> None:
         lambda: materialize(salted_aggregate(skewed, ["k"], {"cents": "sum"}))
     )
 
+    # the pinned bench caches are dead weight from here on — release them
+    # before the gate sweep so gate-query timings see a clean storage pool
+    li.unpersist()
+    idx.kv.unpersist()
+    for pa in idx.prefix_aggs.values():
+        pa.unpersist()
+    docs_par.unpersist()
+    spark.catalog.clearCache()
+
     # heavy relational + data-prep gate queries at bench scale
     gq = gate_queries()
     for name in [
@@ -314,7 +330,9 @@ def main() -> None:
     ]:
         if name in gq:
             fn = gq[name]
-            results[name] = timed(lambda f=fn: materialize(f(spark, SF_DIR)))
+            results[name] = timed(
+                lambda f=fn: materialize(f(spark, SF_DIR)), clear_cache_spark=spark
+            )
 
     payload = {
         "metric": "headline_total",
@@ -327,7 +345,31 @@ def main() -> None:
         # the per-query medians below this
         "iters": ITERS,
     }
-    print(json.dumps(payload))
+    # full per-query map to a repo file (committed per round; the judge
+    # reads it next to BASELINE.md)...
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_FULL.json")
+    with open(full_path, "w") as fh:
+        json.dump(payload, fh, indent=1)
+    # ...and ONE stdout JSON line sized to survive the driver's tail-capture
+    # buffer (BENCH_r07 stored parsed=null because the 109-entry line
+    # overflowed it).  Keep the summary fields, cap the inline query map to
+    # the heaviest entries that fit the byte budget, and point at the file.
+    line = dict(payload)
+    line["n_queries"] = len(results)
+    line["queries_full_file"] = "BENCH_FULL.json"
+    budget = 1800
+    by_time = sorted(results.items(), key=lambda kv: -kv[1])
+    kept: dict[str, float] = {}
+    for k, v in by_time:
+        kept[k] = round(v, 3)
+        line["queries"] = kept
+        if len(json.dumps(line, separators=(",", ":"))) > budget:
+            del kept[k]
+            break
+    line["queries"] = kept
+    line["n_queries_inline"] = len(kept)
+    print(json.dumps(line, separators=(",", ":")))
 
 
 if __name__ == "__main__":

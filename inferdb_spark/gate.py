@@ -97,6 +97,12 @@ def _ensure_registered() -> None:
         "inferdb_spark.gate_r7g",
         "inferdb_spark.gate_r7h",
         "inferdb_spark.gate_r7i",
+        "inferdb_spark.gate_r8c",
+        "inferdb_spark.gate_r8d",
+        "inferdb_spark.gate_r8e",
+        "inferdb_spark.gate_r8f",
+        "inferdb_spark.gate_r8g",
+        "inferdb_spark.gate_r8h",
     ):
         try:
             importlib.import_module(mod)
@@ -116,47 +122,58 @@ def _ensure_registered() -> None:
 # headliners, TPC-H battery) is now the oldest tier and leads; any gate
 # added this round is never-checked and must be inserted ABOVE this block.
 _PRIORITY: list[str] = [
-    # never driver-checked (round-7 additions go here, above the backfill)
-    "average_precision_eval", "youden_j_threshold", "mcnemar_paired_test",
-    "fleiss_kappa_raters", "log_rank_survival", "nelson_aalen_hazard",
-    "jarque_bera_normality", "js_divergence_drift",
-    "skyline_pareto_parts", "kcore_decomposition",
-    "functional_dependency_audit", "inclusion_dependency_fk",
-    "ipw_ate_stratified", "diff_in_diff_revenue",
-    "wasserstein_binned_drift", "xbar_control_chart",
-    "bleu_self_halves", "hits_hub_authority",
-    "stream_decon_foreachbatch",
-    "kendall_tau_binned", "mann_whitney_binned", "bh_fdr_screen",
-    "seasonal_decompose_monthly", "theil_sen_nation_trend",
-    "pps_systematic_sample", "ams_f2_sketch", "kneser_ney_bigram",
-    "cmh_stratified_test", "permutation_test_signflip", "cohens_kappa",
-    "page_hinkley_drift", "gini_grouped_revenue", "cuped_adjusted_ab",
-    "changepoint_sse_scan",
-    "ece_reliability", "confident_learning_binary", "training_cartography",
-    "gamma_somers_d", "cramers_v_theils_u", "decile_lift_table",
-    "brier_decomposition", "mmd_poly_two_sample",
-    "sprt_ab_monitor", "eb_shrunk_rates", "stream_page_hinkley",
-    "heaps_law_curve", "zipf_slope_fit", "benford_digit_test",
-    "mahalanobis_outliers", "decile_lift_histogram",
-    # oldest tier: last checked r01
-    "index_translate", "index_kv_build", "index_score", "index_score_rmsle",
-    "woe_iv", "mlp_relational", "linear_score_coo", "multiclass_argmax",
-    "cluster_assign", "dedup_exact", "minhash_lsh_pairs",
-    "simhash_fingerprint", "ngram_jaccard_verify", "prefix_filter_jaccard_join",
+    "soundex_blocking_join",
+    "geohash_cell_agg",
+    "hits_hub_side",
+    "mrmr_feature_select",
+    "durbin_watson_weekly",
+    "grubbs_outlier_test",
+    "runs_test_median",
+    "mann_kendall_trend",
+    "cooks_distance_topk",
+    "periodogram_monthly",
+    "levene_brown_forsythe",
+    "friedman_test_lines",
+    "cochran_q_binary",
+    "link_prediction_scores",
+    "readability_scores",
+    "chow_test_break",
+    "abc_pareto_parts",
+    "rfm_segmentation",
+    "holt_winters_monthly",
+    "breusch_pagan_weekly",
+    "index_translate",
+    "index_kv_build",
+    "index_score",
+    "index_score_rmsle",
+    "woe_iv",
+    "mlp_relational",
+    "linear_score_coo",
+    "multiclass_argmax",
+    "cluster_assign",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "simhash_fingerprint",
+    "ngram_jaccard_verify",
+    "prefix_filter_jaccard_join",
     "embedding_cosine_topk",
-    "ivf_search", "lang_id",
-    "text_quality", "eval_decontamination", "mixture_sampling",
-    "bpe_token_count", "pricing_summary", "classification_metrics",
-    "impute_mean", "robust_scale", "one_hot_encode", "coo_sparsify",
-    "crazy_exp_sigmoid", "datetime_extract", "geo_distance",
-    "linear_score_dense", "topk_orders", "join_enrich_revenue",
-    "semi_anti_customers", "cross_join_domains", "group_mode_majority",
-    "window_topk_per_group", "argmax_price_part", "filter_project",
-    "doc_fingerprint", "embedding_lsh_buckets", "vocab_id_assignment",
-    "feature_hashing", "bigram_lm_score", "doc_chunking",
-    "gopher_repetition", "reservoir_group_sample", "boilerplate_ngrams",
-    "priority_weighted_sample", "embedding_label_centroids",
+    "ivf_search",
+    "lang_id",
+    "text_quality",
+    "eval_decontamination",
+    "mixture_sampling",
+    "bpe_token_count",
+    "pricing_summary",
+    "classification_metrics",
+    "impute_mean",
+    "robust_scale",
+    "one_hot_encode",
+    "coo_sparsify",
+    "crazy_exp_sigmoid",
+    "datetime_extract",
+    "geo_distance",
 ]
+
 
 
 def _reordered(d: dict) -> dict:

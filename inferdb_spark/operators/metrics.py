@@ -115,11 +115,16 @@ def binary_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
         F.sum("pos").alias("n_pos"),
         F.sum(F.col("cnt") - F.col("pos")).alias("n_neg"),
     )
+    # single-class input (n_pos or n_neg = 0): AUC is undefined — NULL,
+    # not an ANSI DIVIDE_BY_ZERO (the log-rank degenerate-input class)
     return agg.select(
-        F.round(
-            (F.col("rank_sum2") / 2.0 - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
-            / (F.col("n_pos") * F.col("n_neg")),
-            6,
+        F.when(
+            F.col("n_pos") * F.col("n_neg") > 0,
+            F.round(
+                (F.col("rank_sum2") / 2.0 - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
+                / (F.col("n_pos") * F.col("n_neg")),
+                6,
+            ),
         ).cast("double").alias("auc"),
         F.col("n_pos").cast("long").alias("n_pos"),
         F.col("n_neg").cast("long").alias("n_neg"),
@@ -163,8 +168,12 @@ def average_precision(df: DataFrame, score_col: str, label_col: str) -> DataFram
         F.sum("pos").alias("n_pos"),
         F.sum(F.col("cnt") - F.col("pos")).alias("n_neg"),
     )
+    # zero positives: AP is undefined — NULL, not a DIVIDE_BY_ZERO
     return agg.select(
-        F.round(F.col("wsum_u").cast("double") / 1000000.0 / F.col("n_pos"), 6)
+        F.when(
+            F.col("n_pos") > 0,
+            F.round(F.col("wsum_u").cast("double") / 1000000.0 / F.col("n_pos"), 6),
+        )
         .cast("double")
         .alias("ap"),
         F.col("n_pos").cast("long").alias("n_pos"),
@@ -215,13 +224,26 @@ def youden_threshold(df: DataFrame, score_col: str, label_col: str) -> DataFrame
         rt.join(F.broadcast(thr), F.col("s") == F.col("thr"))
         .select(
             F.col("thr").cast("long").alias("thr"),
-            F.round(F.col("m").cast("double") / (F.col("n_pos") * F.col("n_neg")), 6)
+            # single-class input: J/TPR/FPR undefined — NULL, not a
+            # DIVIDE_BY_ZERO (same degenerate-input guard as binary_auc)
+            F.when(
+                F.col("n_pos") * F.col("n_neg") > 0,
+                F.round(
+                    F.col("m").cast("double") / (F.col("n_pos") * F.col("n_neg")), 6
+                ),
+            )
             .cast("double")
             .alias("j"),
-            F.round(F.col("cum_pos").cast("double") / F.col("n_pos"), 6)
+            F.when(
+                F.col("n_pos") > 0,
+                F.round(F.col("cum_pos").cast("double") / F.col("n_pos"), 6),
+            )
             .cast("double")
             .alias("tpr"),
-            F.round(F.col("cum_neg").cast("double") / F.col("n_neg"), 6)
+            F.when(
+                F.col("n_neg") > 0,
+                F.round(F.col("cum_neg").cast("double") / F.col("n_neg"), 6),
+            )
             .cast("double")
             .alias("fpr"),
             F.col("n_pos").cast("long").alias("n_pos"),

@@ -30,9 +30,13 @@ V_U_SQL = (
     " ELSE CAST(0 AS BIGINT) END"
 )
 LR_CHI2_SQL = (
+    # v_u = 0 (all events in one group at one time, or a single subject)
+    # gives a degenerate test: chi2 is undefined, surfaced as NULL rather
+    # than an ANSI DIVIDE_BY_ZERO.  Guard shared verbatim by the oracle.
+    "CASE WHEN v_u = 0 THEN NULL ELSE "
     "CAST(round((CAST(o1 AS DOUBLE) - CAST(e1_u AS DOUBLE) / 1000000.0)"
     " * (CAST(o1 AS DOUBLE) - CAST(e1_u AS DOUBLE) / 1000000.0)"
-    " / (CAST(v_u AS DOUBLE) / 1000000.0), 6) AS DOUBLE)"
+    " / (CAST(v_u AS DOUBLE) / 1000000.0), 6) AS DOUBLE) END"
 )
 
 

@@ -36,11 +36,21 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 GATE_PY = os.path.join(REPO, "inferdb_spark", "gate.py")
 
 
-def staged_modules() -> list[str]:
+def staged_modules(pattern: str = "gate_r8*.py") -> list[str]:
     return sorted(
         "inferdb_spark." + os.path.basename(p)[:-3]
-        for p in glob.glob(os.path.join(REPO, "inferdb_spark", "gate_r8*.py"))
+        for p in glob.glob(os.path.join(REPO, "inferdb_spark", pattern))
     )
+
+
+def _max_checked_round() -> int:
+    """Highest N across CORRECTNESS_r{N}.json (0 if none)."""
+    best = 0
+    for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        if m:
+            best = max(best, int(m.group(1)))
+    return best
 
 
 def patch_registration(src: str, mods: list[str]) -> tuple[str, list[str]]:
@@ -85,15 +95,28 @@ def main() -> int:
     ap.add_argument("--dry-run", action="store_true")
     ap.add_argument("--force", action="store_true",
                     help="activate even without CORRECTNESS_r07.json")
+    ap.add_argument("--modules", nargs="*", default=None, metavar="MOD",
+                    help="activate only these staged modules (bare names "
+                         "like gate_r8c, or full dotted paths); default: all")
     args = ap.parse_args()
 
-    if not glob.glob(os.path.join(REPO, "CORRECTNESS_r0[7-9].json")) and not args.force:
+    if _max_checked_round() < 7 and not args.force:
         print("CORRECTNESS_r07.json not found: the current 50-gate window has "
               "not been driver-checked yet, so activation would exceed the "
               "window. Re-run with --force only if you know better.")
         return 1
 
     mods = staged_modules()
+    if args.modules is not None:
+        want = {
+            m if m.startswith("inferdb_spark.") else "inferdb_spark." + m
+            for m in args.modules
+        }
+        unknown = sorted(want - set(mods))
+        if unknown:
+            print(f"unknown staged modules: {', '.join(unknown)}")
+            return 1
+        mods = [m for m in mods if m in want]
     if not mods:
         print("no staged gate_r8*.py modules found")
         return 1
@@ -105,6 +128,15 @@ def main() -> int:
             open(GATE_PY, "w").write(patched)
     else:
         print("all staged modules already registered")
+
+    if args.dry_run:
+        # the registration patch was never written, so --emit-priority in a
+        # fresh interpreter would order the UNPATCHED on-disk registry and
+        # omit every staged gate from the preview — say so instead of
+        # misrepresenting what a real run produces
+        print("dry-run: skipping _PRIORITY preview (it would reflect the "
+              "pre-activation registry; run without --dry-run to regenerate)")
+        return 0
 
     names = emit_priority()
     print(f"regenerating _PRIORITY with {len(names)} window entries "

@@ -498,7 +498,8 @@ def main() -> int:
 
     from inferdb_spark import gate as _gate
 
-    for _p in sorted(glob.glob("/root/repo/inferdb_spark/gate_r8*.py")):
+    _repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for _p in sorted(glob.glob(os.path.join(_repo, "inferdb_spark", "gate_r8*.py"))):
         importlib.import_module(
             "inferdb_spark." + os.path.basename(_p)[:-3]
         )
