@@ -228,7 +228,11 @@ def main() -> None:
     docs_par.unpersist()
     spark.catalog.clearCache()
 
-    # heavy relational + data-prep gate queries at bench scale
+    # heavy relational + data-prep gate queries at bench scale.  Staged
+    # (not-yet-registered) modules whose queries headline the bench are
+    # imported explicitly — registration in THIS process only.
+    import inferdb_spark.gate_r9a  # noqa: F401  (ranking_eval_shortlist)
+
     gq = gate_queries()
     for name in [
         "pricing_summary",
@@ -307,7 +311,13 @@ def main() -> None:
         "assoc_rules_apriori",
         "autocorrelation_acf",
         "poisson_bootstrap_ci",
-        "ranking_eval_metrics",
+        # round-8: the LSH-shortlisted path is the headline ranking-eval
+        # form (verdict #6) — the exact all-pairs gate keeps its guard and
+        # its correctness gate but is quadratic by construction; likewise
+        # the domain-histogram decile form headlines over the exact-ntile
+        # global sort (verdict perf-weak #3)
+        "ranking_eval_shortlist",
+        "decile_lift_histogram",
         "isotonic_pav_replay",
         "dbscan_grid",
         # round-7 additions: binned-pair rank statistics, one-pass

@@ -1,28 +1,38 @@
-"""Round-9 STAGED gates, batch 1: the IVF-shortlisted ranking evaluation —
+"""Round-9 STAGED gates, batch 1: the shortlist-based ranking evaluation —
 the scale default the round-7 verdict asked for (#6).
 
 `ranking_eval_metrics` (gate_r5c) evaluates retrieval EXACTLY: every query
 scores every candidate, quadratic by construction (sf1: 800 x 19k pairs =
 141 s).  This gate runs the same metric relations
-(operators/rank_metrics.ranking_metrics) over an IVF-shortlisted candidate
-set instead: candidates are assigned to N_LISTS literal coarse-quantizer
-cells, each query scores only its N_PROBE nearest cells, and n_rel is
+(operators/rank_metrics.ranking_metrics) over a multi-probe-LSH
+shortlisted candidate set instead: candidates hash to their sign bucket
+over N_PLANES literal hyperplanes (2^N_PLANES balanced cells), each query
+scores only its own bucket plus its weakest-plane flip, and n_rel is
 normalized by a LINEAR label-count join — the plan a 100 TB corpus needs
-(partition-prune the probed lists; no all-pairs stage anywhere).  Recall
-vs the exact path is measured by tools/ann_recall_report.py and recorded
-in BASELINE.md, not assumed.
+(partition-prune the probed buckets; no all-pairs stage anywhere).
+
+Design note (measured, round-8 ranking-eval report): distance-argmin IVF
+cells around random literal centroids collapse onto whichever centroid
+sits nearest the data mean — the shortlist stays near-quadratic.  Sign
+buckets are balanced by construction on roughly-isotropic embeddings, and
+query-directed multi-probe (flip the weakest bit) recovers much of the
+recall of probing independent tables.  Fitted-k-means IVF remains the
+operator-level alternative (rank_metrics.ivf_shortlisted_eval); recall
+and wall time of all three paths are recorded in BASELINE.md via
+tools/ann_recall_report.py --ranking-eval, not assumed.
 
 Reference parity: evaluates the retrieval stage the reference's benchmark
 queries score with brute-force scans (src/experiments — no ANN path at
-all); the IVF shortlist is this repo's documented scale substitution.
+all); the LSH shortlist is this repo's documented scale substitution.
 
-Cross-engine determinism (the ivf_search pattern, gate_prep.py): literal
-centroids burned into both dialects; squared-L2 folds written with the
-same element order on both sides; cell assignment = lexicographic min of
-(distance, index) structs, so ties break to the lowest list id in both
-engines; cosine rounded to 6dp before ranking; (cos6 DESC, cid ASC) total
-order; all metric arithmetic in integer micro-units (shared _RANK_* SQL
-constants from gate_r5c).
+Cross-engine determinism: dyadic literal hyperplanes (exactly
+representable doubles) burned into both dialects; projection folds
+written with the same element order on both sides; weakest-plane
+selection = lexicographic min of (|proj|, index) structs, ties to the
+lowest plane index in both engines; bit flip in pure integer arithmetic
+(no XOR builtin dependence); cosine rounded to 6dp before ranking;
+(cos6 DESC, cid ASC) total order; all metric arithmetic in integer
+micro-units (shared _RANK_* SQL constants from gate_r5c).
 """
 
 from __future__ import annotations
@@ -39,35 +49,54 @@ from inferdb_spark.gate_r5c import (
     _RANK_MRR_SQL,
 )
 from inferdb_spark.operators import similarity as SIM
-from inferdb_spark.operators.rank_metrics import RANK_K, ivf_shortlisted_eval
+from inferdb_spark.operators.rank_metrics import (
+    RANK_K,
+    lsh_shortlist_pairs,
+    ranking_metrics,
+)
 
 assert RANK_K == 10  # the imported oracle literals are generated for k=10
 
 EMB_DIM = 64
-N_LISTS = 16
-N_PROBE = 2
-RANKIVF_CENTROIDS = SIM.make_hyperplanes(N_LISTS, EMB_DIM, seed=1234)
+N_PLANES = 5  # 32 balanced sign cells
+N_PROBE = 2  # own bucket + weakest-plane flip
+RANK_PLANES = SIM.make_hyperplanes(N_PLANES, EMB_DIM, seed=1234)
 
-_cent_sql = ["[" + ", ".join(repr(x) for x in c) + "]" for c in RANKIVF_CENTROIDS]
+_plane_sql = ["[" + ", ".join(repr(x) for x in p) + "]" for p in RANK_PLANES]
 
 
-def _d2(cs: str) -> str:
-    """squared-L2 of the row's double-list `v` vs a literal centroid —
-    the exact element order of similarity.ivf_assign's zip_with fold."""
+def _proj(ps: str) -> str:
+    """dot(v, plane) — the exact element order of functions.vector.dot's
+    zip_with fold."""
     return (
         f"list_sum(list_transform(generate_series(1, {EMB_DIM}),"
-        f" i -> (v[i] - ({cs})[i]) * (v[i] - ({cs})[i])))"
+        f" k -> v[k] * ({ps})[k]))"
     )
 
 
-# list of (distance, index) structs; lexicographic list_sort = the
-# array_sort of ivf_probe_cells' (d, list_id) structs on the Spark side
-_DI_STRUCTS = "[" + ", ".join(
-    f"{{'d': {_d2(cs)}, 'i': {i}}}" for i, cs in enumerate(_cent_sql)
-) + "]"
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN {_proj(ps)} > 0 THEN CAST({2**i} AS BIGINT)"
+    " ELSE CAST(0 AS BIGINT) END)"
+    for i, ps in enumerate(_plane_sql)
+)
+# weakest plane = lexicographic min of (|proj|, index) structs — the same
+# struct-sort idiom as similarity.hyperplane_multiprobe's array_sort
+_WEAK_SQL = (
+    "list_sort(["
+    + ", ".join(
+        f"{{'d': abs({_proj(ps)}), 'i': {i}}}" for i, ps in enumerate(_plane_sql)
+    )
+    + "])[1].i"
+)
+# bit flip in integer arithmetic: b XOR 2^w == b + 2^w - 2*bit_w(b)*2^w
+_FLIP_SQL = (
+    "(b + pw - 2 * (CAST(floor(CAST(b AS DOUBLE) / CAST(pw AS DOUBLE))"
+    " AS BIGINT) % 2) * pw)"
+)
 
-_RANKIVF_ORACLE = f"""
-WITH base AS (
+# shared CTE chain up to the per-query top-k shortlist ranking — reused
+# verbatim by gate_r9c's ERR/RBP gate
+_RANKIVF_TOP_CTES = f"""base AS (
   SELECT vec_id, CAST(label AS BIGINT) AS label,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
@@ -77,14 +106,16 @@ nb AS (
          sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
   FROM base
 ),
-q AS (
-  SELECT *, list_transform(
-           list_slice(list_sort({_DI_STRUCTS}), 1, {N_PROBE}), s -> s.i
-         ) AS probe
+qp AS (
+  SELECT vec_id, label, v, nrm, {_BUCKET_SQL} AS b,
+         CAST(pow(2.0, {_WEAK_SQL}) AS BIGINT) AS pw
   FROM nb WHERE vec_id % 25 = 0
 ),
+q AS (
+  SELECT vec_id, label, v, nrm, [b, {_FLIP_SQL}] AS probe FROM qp
+),
 c AS (
-  SELECT *, list_sort({_DI_STRUCTS})[1].i AS list_id
+  SELECT *, {_BUCKET_SQL} AS list_id
   FROM nb WHERE vec_id % 25 <> 0
 ),
 p AS (
@@ -96,14 +127,6 @@ p AS (
                ELSE 0.0 END, 6) AS cos6
   FROM q JOIN c ON list_contains(q.probe, c.list_id)
 ),
-lc AS (
-  SELECT label AS lbl, CAST(count(*) AS BIGINT) AS n
-  FROM nb WHERE vec_id % 25 <> 0 GROUP BY label
-),
-rr AS (
-  SELECT q.vec_id AS qid, CAST(COALESCE(lc.n, 0) AS BIGINT) AS n_rel
-  FROM q LEFT JOIN lc ON q.label = lc.lbl
-),
 rk AS (
   SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos6 DESC, cid ASC) AS rnk
   FROM p
@@ -112,6 +135,17 @@ top AS (
   SELECT qid, cid, rel, rnk,
          SUM(rel) OVER (PARTITION BY qid ORDER BY rnk) AS cum
   FROM rk WHERE rnk <= {RANK_K}
+)"""
+
+_RANKIVF_ORACLE = f"""
+WITH {_RANKIVF_TOP_CTES},
+lc AS (
+  SELECT label AS lbl, CAST(count(*) AS BIGINT) AS n
+  FROM nb WHERE vec_id % 25 <> 0 GROUP BY label
+),
+rr AS (
+  SELECT q.vec_id AS qid, CAST(COALESCE(lc.n, 0) AS BIGINT) AS n_rel
+  FROM q LEFT JOIN lc ON q.label = lc.lbl
 ),
 m AS (
   SELECT qid,
@@ -135,15 +169,36 @@ ORDER BY rr.qid
 """
 
 
-@gate("ranking_eval_ivf", oracle=_RANKIVF_ORACLE)
-def q_ranking_eval_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NDCG@10 / MRR / MAP@10 with IVF-shortlisted candidates: each query
-    scores only its 2 nearest of 16 coarse-quantizer cells (~1/8 of the
-    all-pairs work; the ratio holds at any corpus size, and on a real
-    cluster the probed lists are partition-pruned at the scan).  Shares
-    the metric relations with the exact gate; with n_probe = N_LISTS the
-    output equals the exact path row-for-row
-    (tests/test_rank_metrics.py)."""
+@gate("ranking_eval_shortlist", oracle=_RANKIVF_ORACLE)
+def q_ranking_eval_shortlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 / MRR / MAP@10 with multi-probe-LSH shortlisted
+    candidates: each query scores only 2 of 32 balanced sign cells
+    (~1/16 of the all-pairs work; the ratio holds at any corpus size,
+    and on a real cluster the probed buckets are partition-pruned at
+    the scan).  Shares the metric relations with the exact gate
+    (gate:ranking_eval_metrics), which keeps its brute-force guard as
+    the quality reference."""
+    qs, cs = rankivf_split(spark, sf_dir)
+    pairs = lsh_shortlist_pairs(
+        F.broadcast(qs), cs, RANK_PLANES, n_probe=N_PROBE
+    )
+    label_counts = cs.groupBy(F.col("clabel").alias("_lbl")).agg(
+        F.count("*").cast("long").alias("_n")
+    )
+    n_rel = qs.join(
+        F.broadcast(label_counts), F.col("qlabel") == F.col("_lbl"), "left"
+    ).select(
+        "qid", F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_rel")
+    )
+    return ranking_metrics(pairs, n_rel, k=RANK_K).select(
+        "qid", "n_rel", "ndcg6", "mrr6", F.col("map6").alias("ap6")
+    )
+
+
+def rankivf_split(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """The (queries, candidates) split shared by the shortlist ranking
+    gates (this module and gate_r9c's ERR/RBP): every 25th vector is a
+    query, the rest are the corpus; columns as rank_metrics expects."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.col("label").cast("long").alias("label"),
@@ -162,6 +217,4 @@ def q_ranking_eval_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("cv"),
         F.col("nrm").alias("cn"),
     )
-    return ivf_shortlisted_eval(
-        F.broadcast(qs), cs, RANKIVF_CENTROIDS, n_probe=N_PROBE, k=RANK_K
-    ).select("qid", "n_rel", "ndcg6", "mrr6", F.col("map6").alias("ap6"))
+    return qs, cs

@@ -15,6 +15,26 @@ from pyspark.sql import functions as F
 from inferdb_spark.functions.math_fns import ln1p_compat, safe_div
 
 
+def _bounded_score(df: DataFrame, score_col: str):
+    """Score expression for the threshold-curve metrics (AUC/AP/Youden),
+    whose ONE unpartitioned cumulative window runs over the DISTINCT-score
+    relation.  That design is safe only while the score domain is bounded:
+    a continuous 100x-scale score column would otherwise serialize the
+    full row count through a single partition.  Doubles are therefore
+    quantized to the engine's 6dp rounding discipline BEFORE the groupBy —
+    for probability-like scores that caps the domain at ~2e6 distinct
+    values regardless of row count (wider real-line scores should be
+    pre-binned by the caller; plan_audit asserts the gate plans keep the
+    aggregate-before-window shape).  Integer/decimal scores pass through
+    untouched, so existing integer-cent gate hashes are unchanged."""
+    from pyspark.sql.types import DoubleType, FloatType
+
+    col = F.col(score_col)
+    if isinstance(df.schema[score_col].dataType, (DoubleType, FloatType)):
+        return F.round(col, 6)
+    return col
+
+
 def binary_classification_report(
     scored: DataFrame, prediction: str = "prediction", label: str = "label"
 ) -> DataFrame:
@@ -104,7 +124,7 @@ def binary_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     with the ranking metric its benchmarks lack."""
     from pyspark.sql import Window
 
-    g = df.groupBy(F.col(score_col).alias("s")).agg(
+    g = df.groupBy(_bounded_score(df, score_col).alias("s")).agg(
         F.count("*").alias("cnt"),
         F.sum(F.col(label_col).cast("long")).alias("pos"),
     )
@@ -149,7 +169,7 @@ def average_precision(df: DataFrame, score_col: str, label_col: str) -> DataFram
     """
     from pyspark.sql import Window
 
-    g = df.groupBy(F.col(score_col).alias("s")).agg(
+    g = df.groupBy(_bounded_score(df, score_col).alias("s")).agg(
         F.count("*").alias("cnt"),
         F.sum(F.col(label_col).cast("long")).alias("pos"),
     )
@@ -197,7 +217,7 @@ def youden_threshold(df: DataFrame, score_col: str, label_col: str) -> DataFrame
     """
     from pyspark.sql import Window
 
-    g = df.groupBy(F.col(score_col).alias("s")).agg(
+    g = df.groupBy(_bounded_score(df, score_col).alias("s")).agg(
         F.count("*").alias("cnt"),
         F.sum(F.col(label_col).cast("long")).alias("pos"),
     )

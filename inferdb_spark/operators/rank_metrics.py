@@ -124,6 +124,73 @@ def scored_pairs(qs: DataFrame, cs: DataFrame) -> DataFrame:
     )
 
 
+def _scored_probe_join(qprobe: DataFrame, cand: DataFrame) -> DataFrame:
+    """equi-join queries-with-probe-lists to candidates-with-cells on
+    list_id and score each pair: (qid, cid, rel, cos6)."""
+    return qprobe.join(cand, "list_id").select(
+        "qid",
+        "cid",
+        (F.col("qlabel") == F.col("clabel")).cast("long").alias("rel"),
+        F.round(
+            F.when(
+                (F.col("qn") > 0) & (F.col("cn") > 0),
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("cos6"),
+    )
+
+
+def ivf_shortlist_pairs(
+    queries: DataFrame,
+    candidates: DataFrame,
+    centroids: list[list[float]],
+    n_probe: int,
+) -> DataFrame:
+    """Scored (qid, cid, rel, cos6) pairs restricted to each query's
+    `n_probe` nearest IVF lists — the candidate-generation stage shared by
+    :func:`ivf_shortlisted_eval` and the shortlist gates.  The only join
+    is the equi-join on list_id; nothing quadratic."""
+    from inferdb_spark.operators.similarity import ivf_assign, ivf_probe_cells
+
+    cand = candidates.withColumn(
+        "list_id", ivf_assign(F.col("cv"), centroids)
+    )
+    qprobe = queries.withColumn(
+        "list_id",
+        F.explode(ivf_probe_cells(F.col("qv"), centroids, n_probe)),
+    )
+    return _scored_probe_join(qprobe, cand)
+
+
+def lsh_shortlist_pairs(
+    queries: DataFrame,
+    candidates: DataFrame,
+    planes: list[list[float]],
+    n_probe: int,
+) -> DataFrame:
+    """Scored pairs restricted to each query's multi-probe LSH buckets:
+    candidates hash to their sign bucket over `planes`; each query probes
+    its own bucket plus the (n_probe - 1) weakest-plane flips
+    (similarity.hyperplane_multiprobe).  Sign cells are balanced by
+    construction on roughly-isotropic embeddings, where distance-argmin
+    cells around random centroids collapse — measured in the round-8
+    ranking-eval report."""
+    from inferdb_spark.operators.similarity import (
+        hyperplane_bucket,
+        hyperplane_multiprobe,
+    )
+
+    cand = candidates.withColumn(
+        "list_id", hyperplane_bucket(F.col("cv"), planes)
+    )
+    qprobe = queries.withColumn(
+        "list_id",
+        F.explode(hyperplane_multiprobe(F.col("qv"), planes, n_probe)),
+    )
+    return _scored_probe_join(qprobe, cand)
+
+
 def ivf_shortlisted_eval(
     queries: DataFrame,
     candidates: DataFrame,
@@ -138,27 +205,7 @@ def ivf_shortlisted_eval(
     quadratic pair enumeration.  Inputs carry the same columns as
     :func:`scored_pairs`.  With n_probe = n_lists the shortlist is the
     whole corpus and the result equals the exact path row-for-row."""
-    from inferdb_spark.operators.similarity import ivf_assign, ivf_probe_cells
-
-    cand = candidates.withColumn(
-        "list_id", ivf_assign(F.col("cv"), centroids)
-    )
-    qprobe = queries.withColumn(
-        "list_id",
-        F.explode(ivf_probe_cells(F.col("qv"), centroids, n_probe)),
-    )
-    pairs = qprobe.join(cand, "list_id").select(
-        "qid",
-        "cid",
-        (F.col("qlabel") == F.col("clabel")).cast("long").alias("rel"),
-        F.round(
-            F.when(
-                (F.col("qn") > 0) & (F.col("cn") > 0),
-                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
-            ).otherwise(F.lit(0.0)),
-            6,
-        ).alias("cos6"),
-    )
+    pairs = ivf_shortlist_pairs(queries, candidates, centroids, n_probe)
     label_counts = candidates.groupBy(F.col("clabel").alias("_lbl")).agg(
         F.count("*").cast("long").alias("_n")
     )

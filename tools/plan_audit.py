@@ -437,6 +437,18 @@ def main() -> int:
         ("grouped scores under the window; no sort-merge join",
          lambda p: "Window" in p and "HashAggregate" in p
          and "SortMergeJoin" not in p),
+        # bounded-domain guard (metrics._bounded_score): the window input
+        # must be the score-grouped relation, i.e. a HashAggregate BELOW
+        # the Window in the tree — a plan where the single-partition
+        # window consumed raw rows would print no aggregate under it
+        ("aggregate feeds the window (distinct-score domain, not rows)",
+         lambda p: p.rfind("HashAggregate") > p.index("Window")),
+    ])
+    audit("auc_rank_sum", [
+        ("rank-sum window over the grouped distinct-score relation",
+         lambda p: "Window" in p
+         and p.rfind("HashAggregate") > p.index("Window")
+         and "SortMergeJoin" not in p),
     ])
     audit("youden_j_threshold", [
         ("argmax via broadcast of 1-row best/threshold relations "
@@ -499,10 +511,11 @@ def main() -> int:
     from inferdb_spark import gate as _gate
 
     _repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    for _p in sorted(glob.glob(os.path.join(_repo, "inferdb_spark", "gate_r8*.py"))):
-        importlib.import_module(
-            "inferdb_spark." + os.path.basename(_p)[:-3]
-        )
+    for _pat in ("gate_r8*.py", "gate_r9*.py"):
+        for _p in sorted(glob.glob(os.path.join(_repo, "inferdb_spark", _pat))):
+            importlib.import_module(
+                "inferdb_spark." + os.path.basename(_p)[:-3]
+            )
     qs = dict(qs)
     qs.update(_gate._QUERIES)
 
@@ -581,6 +594,15 @@ def main() -> int:
     audit("dunn_posthoc_pairs", [
         ("pair join on the 5-row per-group relation; no cartesian of data",
          lambda p: "CartesianProduct" not in p and "SortMergeJoin" not in p),
+    ])
+    audit("ranking_eval_shortlist", [
+        # the whole point of the shortlist: candidates meet queries ONLY
+        # through the equi-join on list_id (broadcast — queries are the
+        # small side), never an all-pairs nested loop over the corpus
+        ("probe equi-join on list_id, broadcast queries; no cartesian "
+         "all-pairs stage",
+         lambda p: "CartesianProduct" not in p and "SortMergeJoin" not in p
+         and "BroadcastHashJoin" in p),
     ])
 
     print("\n" + ("ALL PLAN CHECKS PASS" if failures == 0 else f"{failures} PLAN CHECKS FAILED"))

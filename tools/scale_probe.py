@@ -39,6 +39,14 @@ def main() -> int:
     from inferdb_spark.gate import queries as gate_queries
 
     spark = get_spark("scale-probe")
+    # staged (not-yet-registered) gate modules are probe-able too
+    import glob as _glob
+    import importlib as _importlib
+
+    _repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for _pat in ("gate_r8*.py", "gate_r9*.py"):
+        for _p in sorted(_glob.glob(os.path.join(_repo, "inferdb_spark", _pat))):
+            _importlib.import_module("inferdb_spark." + os.path.basename(_p)[:-3])
     qs = gate_queries()
     out = {"sf_a": sf_a, "sf_b": sf_b, "scale": scale, "queries": {}}
     flagged = []

@@ -33,10 +33,13 @@ from verify_local import compare, duck_run  # noqa: E402
 
 
 def staged_modules() -> list[str]:
-    pat = os.path.join(REPO, "inferdb_spark", "gate_r8*.py")
-    return sorted(
-        "inferdb_spark." + os.path.basename(p)[:-3] for p in glob.glob(pat)
-    )
+    mods = []
+    for pat in ("gate_r8*.py", "gate_r9*.py"):
+        mods.extend(
+            "inferdb_spark." + os.path.basename(p)[:-3]
+            for p in glob.glob(os.path.join(REPO, "inferdb_spark", pat))
+        )
+    return sorted(mods)
 
 
 def main() -> int:
