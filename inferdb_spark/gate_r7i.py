@@ -66,6 +66,65 @@ def _duck_grams(arr_sql: str, n: int) -> str:
     )
 
 
+def _gram_parallelism(spark, sf_dir: str) -> int:
+    """Reduce-partition count for the exploded-gram shuffle, proportional
+    to the documents table's on-disk size (~16x explode factor, ~64 MB
+    per reduce partition).  The session's spark.sql.shuffle.partitions
+    (32) is sized for ROW-sized shuffles; the gram explode multiplies
+    bytes ~16x, and at sf10 the 32-way reduce sorted ~3 GB per task and
+    spilled catastrophically (measured: bleu_self_halves >12x linear).
+    On a cluster this is the same knob as shuffle-partition autoscaling."""
+    import os
+
+    try:
+        nbytes = os.path.getsize(os.path.join(sf_dir, "documents.parquet"))
+    except OSError:
+        nbytes = 0
+    return max(
+        spark.sparkContext.defaultParallelism, (nbytes * 16) // (64 << 20) + 1
+    )
+
+
+def gram_overlap_stats(spark, sf_dir: str, halves, ns=(1, 2)):
+    """Per-(doc_id, n) clipped-overlap statistics of candidate-half vs
+    reference-half grams: (ov, c_cnt, r_cnt) — the shared machinery of
+    gate:bleu_self_halves and gate:rouge_n_halves.
+
+    ONE shuffle total: both sides' gram explodes are tagged and union'd,
+    so a single groupBy(doc, n, gram) with conditional sums replaces the
+    former cand-vs-ref fact-fact SortMergeJoin (which shuffled the gram
+    relation twice and joined ~1e9-row sides at sf10).  Grams present on
+    only one side contribute zeros exactly as the old left/full joins
+    did.  The explicit repartition scales the reduce width with data
+    size (see _gram_parallelism)."""
+    parts = []
+    for side, flag in (("cand", 1), ("ref", 0)):
+        for n in ns:
+            parts.append(
+                halves.select(
+                    "doc_id",
+                    F.lit(n).alias("n"),
+                    F.explode(_spark_grams(F.col(side), n)).alias("g"),
+                    F.lit(flag).alias("w"),
+                )
+            )
+    both = parts[0]
+    for p in parts[1:]:
+        both = both.unionByName(p)
+    both = both.repartition(_gram_parallelism(spark, sf_dir), "doc_id", "n", "g")
+    merged = both.groupBy("doc_id", "n", "g").agg(
+        F.sum("w").cast("long").alias("c_cand"),
+        F.sum(1 - F.col("w")).cast("long").alias("c_ref"),
+    )
+    return merged.groupBy("doc_id", "n").agg(
+        F.sum(F.least(F.col("c_cand"), F.col("c_ref")))
+        .cast("long")
+        .alias("ov"),
+        F.sum("c_cand").cast("long").alias("c_cnt"),
+        F.sum("c_ref").cast("long").alias("r_cnt"),
+    )
+
+
 @gate(
     "bleu_self_halves",
     oracle=f"""
@@ -128,10 +187,12 @@ def q_bleu_self_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     intra-document repetition diagnostic (high self-BLEU = template/
     boilerplate text; the measured twin of gate:gopher_repetition).
     Counts are exact BIGINTs end to end: per-(doc, n-gram) counts from
-    two grouped explodes, clipping via least() on the left join, ONE
+    ONE tagged grouped explode (gram_overlap_stats — no cand-vs-ref
+    join), clipping via least() inside the same aggregation, ONE
     division per precision at the end, and the exp/ln composition in a
     shared SQL string.  Scale: everything keys on (doc_id, gram) —
-    embarrassingly parallel, no global relation anywhere."""
+    embarrassingly parallel, no global relation anywhere; the gram
+    shuffle width scales with input size (_gram_parallelism)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", TXT.tokens(F.col("text")).alias("t"))
     halves = toks.select(
@@ -143,28 +204,12 @@ def q_bleu_self_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     halves = halves.persist()
 
-    def grams(side: str):
-        out = None
-        for n in (1, 2):
-            g = halves.select(
-                "doc_id",
-                F.lit(n).alias("n"),
-                F.explode(_spark_grams(F.col(side), n)).alias("g"),
-            )
-            out = g if out is None else out.unionByName(g)
-        return out.groupBy("doc_id", "n", "g").agg(
-            F.count("*").cast("long").alias(f"c_{side}")
-        )
-
-    cand_g, ref_g = grams("cand"), grams("ref")
     clipped = (
-        cand_g.join(ref_g, ["doc_id", "n", "g"], "left")
+        gram_overlap_stats(spark, sf_dir, halves)
         .groupBy("n")
         .agg(
-            F.sum(F.least(F.col("c_cand"), F.coalesce(F.col("c_ref"), F.lit(0))))
-            .cast("long")
-            .alias("num"),
-            F.sum("c_cand").cast("long").alias("den"),
+            F.sum("ov").cast("long").alias("num"),
+            F.sum("c_cnt").cast("long").alias("den"),
         )
     )
     lens = halves.agg(

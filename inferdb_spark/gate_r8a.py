@@ -378,40 +378,12 @@ def q_rouge_n_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("slice(t, size(t) div 2 + 1, size(t) - size(t) div 2)").alias("ref"),
     ).persist()
 
-    def grams(side: str):
-        out = None
-        for n in (1, 2):
-            g = halves.select(
-                "doc_id",
-                F.lit(n).alias("n"),
-                F.explode(_spark_grams(F.col(side), n)).alias("g"),
-            )
-            out = g if out is None else out.unionByName(g)
-        return out.groupBy("doc_id", "n", "g").agg(
-            F.count("*").cast("long").alias(f"c_{side}")
-        )
+    from inferdb_spark.gate_r7i import gram_overlap_stats
 
-    cand_g, ref_g = grams("cand"), grams("ref")
-    cstat = (
-        cand_g.join(ref_g, ["doc_id", "n", "g"], "left")
-        .groupBy("doc_id", "n")
-        .agg(
-            F.sum(F.least(F.col("c_cand"), F.coalesce(F.col("c_ref"), F.lit(0))))
-            .cast("long")
-            .alias("ov"),
-            F.sum("c_cand").cast("long").alias("c_cnt"),
-        )
-    )
-    rstat = ref_g.groupBy("doc_id", "n").agg(
-        F.sum("c_ref").cast("long").alias("r_cnt")
-    )
-    joined = cstat.join(rstat, ["doc_id", "n"], "full").select(
-        "doc_id",
-        "n",
-        F.coalesce(F.col("ov"), F.lit(0)).alias("ov"),
-        F.coalesce(F.col("c_cnt"), F.lit(0)).alias("c_cnt"),
-        F.coalesce(F.col("r_cnt"), F.lit(0)).alias("r_cnt"),
-    )
+    # ONE tagged grouped explode (shared with bleu_self_halves) replaces
+    # the former cand-vs-ref fact-fact join AND the cstat/rstat full
+    # outer join: grams on only one side contribute exact zeros already
+    joined = gram_overlap_stats(spark, sf_dir, halves)
     pivoted = (
         docs.select("doc_id")
         .distinct()
@@ -438,10 +410,10 @@ def q_rouge_n_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ref2"),
         )
     )
-    out = pivoted.selectExpr(*_ROUGE_OUT).orderBy("doc_id")
-    rows = out.collect()
-    halves.unpersist()
-    return spark.createDataFrame(rows, out.schema)
+    # no driver-side collect: per-doc rows stay distributed (a 5M-row
+    # collect at sf10 was a scale defect); the persisted halves relation
+    # is released by the @gate cache-hygiene wrapper at the next build
+    return pivoted.selectExpr(*_ROUGE_OUT).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
