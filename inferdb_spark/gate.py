@@ -50,15 +50,20 @@ def gate(name: str, oracle: str | None = None):
         # (unwrapped) — every cache-hygiene wrapper shares one code object.
         prev = _QUERIES.get(name)
         inner_prev = getattr(prev, "__gate_inner__", prev)
+        # Unwrap the INCOMING fn too: re-registering an already-wrapped
+        # gate (the idempotent case) must compare inner-vs-inner, or the
+        # shared wrapper __code__ masquerades as a collision (round-8
+        # regression, tests/test_r5c.py::test_gate_name_collision_raises).
+        fn_inner = getattr(fn, "__gate_inner__", fn)
         if (
             prev is not None
-            and inner_prev is not fn
-            and inner_prev.__code__ != fn.__code__
+            and inner_prev is not fn_inner
+            and inner_prev.__code__ != fn_inner.__code__
         ):
             raise ValueError(
                 f"gate name {name!r} already registered by "
                 f"{inner_prev.__module__}.{inner_prev.__qualname__}; "
-                f"{fn.__module__}.{fn.__qualname__} must pick a new name"
+                f"{fn_inner.__module__}.{fn_inner.__qualname__} must pick a new name"
             )
 
         # Cache hygiene (round-7 verdict #3): gate fns legitimately pin
@@ -75,13 +80,13 @@ def gate(name: str, oracle: str | None = None):
         import functools
         import os
 
-        @functools.wraps(fn)
+        @functools.wraps(fn_inner)
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             if os.environ.get("GATE_CLEAR_CACHE", "1") != "0":
                 spark.catalog.clearCache()
-            return fn(spark, sf_dir)
+            return fn_inner(spark, sf_dir)
 
-        wrapped.__gate_inner__ = fn
+        wrapped.__gate_inner__ = fn_inner
         _QUERIES[name] = wrapped
         if oracle is not None:
             _ORACLES[name] = oracle
@@ -131,6 +136,14 @@ def _ensure_registered() -> None:
         "inferdb_spark.gate_r8f",
         "inferdb_spark.gate_r8g",
         "inferdb_spark.gate_r8h",
+        "inferdb_spark.gate_r8a",
+        "inferdb_spark.gate_r8b",
+        "inferdb_spark.gate_r8i",
+        "inferdb_spark.gate_r8j",
+        "inferdb_spark.gate_r8k",
+        "inferdb_spark.gate_r9a",
+        "inferdb_spark.gate_r9b",
+        "inferdb_spark.gate_r9c",
     ):
         try:
             importlib.import_module(mod)
@@ -150,57 +163,58 @@ def _ensure_registered() -> None:
 # headliners, TPC-H battery) is now the oldest tier and leads; any gate
 # added this round is never-checked and must be inserted ABOVE this block.
 _PRIORITY: list[str] = [
-    "soundex_blocking_join",
-    "geohash_cell_agg",
-    "hits_hub_side",
-    "mrmr_feature_select",
-    "durbin_watson_weekly",
-    "grubbs_outlier_test",
-    "runs_test_median",
-    "mann_kendall_trend",
-    "cooks_distance_topk",
-    "periodogram_monthly",
-    "levene_brown_forsythe",
-    "friedman_test_lines",
-    "cochran_q_binary",
-    "link_prediction_scores",
-    "readability_scores",
-    "chow_test_break",
-    "abc_pareto_parts",
-    "rfm_segmentation",
-    "holt_winters_monthly",
-    "breusch_pagan_weekly",
-    "index_translate",
-    "index_kv_build",
-    "index_score",
-    "index_score_rmsle",
-    "woe_iv",
-    "mlp_relational",
-    "linear_score_coo",
-    "multiclass_argmax",
-    "cluster_assign",
-    "dedup_exact",
-    "minhash_lsh_pairs",
-    "simhash_fingerprint",
-    "ngram_jaccard_verify",
-    "prefix_filter_jaccard_join",
-    "embedding_cosine_topk",
-    "ivf_search",
-    "lang_id",
-    "text_quality",
-    "eval_decontamination",
-    "mixture_sampling",
-    "bpe_token_count",
-    "pricing_summary",
-    "classification_metrics",
-    "impute_mean",
-    "robust_scale",
-    "one_hot_encode",
-    "coo_sparsify",
-    "crazy_exp_sigmoid",
-    "datetime_extract",
-    "geo_distance",
+    "cronbach_alpha",
+    "kendall_w_concordance",
+    "rouge_n_halves",
+    "hosmer_lemeshow_fixedbins",
+    "cusum_control_chart",
+    "holt_linear_forecast",
+    "cvm_energy_two_sample",
+    "rdd_local_linear",
+    "theil_sen_weekly_pairs",
+    "prefixspan_bigrams",
+    "anova_oneway_priority",
+    "kruskal_wallis_binned",
+    "bartlett_variance_test",
+    "bfs_shortest_paths",
+    "cochran_armitage_trend",
+    "ks_hash_uniformity",
+    "dunn_posthoc_pairs",
+    "mood_median_test",
+    "partial_correlation",
+    "pacf_durbin_levinson",
+    "ranking_eval_shortlist",
+    "welch_t_test",
+    "effect_sizes_two_group",
+    "cliffs_delta_binned",
+    "g_test_independence",
+    "icc_oneway_customer",
+    "krippendorff_alpha_nominal",
+    "concentration_indices",
+    "err_rbp_retrieval",
+    "boxcox_loglik_grid",
+    "filter_project",
+    "topk_orders",
+    "join_enrich_revenue",
+    "semi_anti_customers",
+    "cross_join_domains",
+    "group_mode_majority",
+    "window_topk_per_group",
+    "argmax_price_part",
+    "linear_score_dense",
+    "doc_fingerprint",
+    "embedding_lsh_buckets",
+    "vocab_id_assignment",
+    "feature_hashing",
+    "bigram_lm_score",
+    "doc_chunking",
+    "gopher_repetition",
+    "reservoir_group_sample",
+    "boilerplate_ngrams",
+    "priority_weighted_sample",
+    "embedding_label_centroids",
 ]
+
 
 
 

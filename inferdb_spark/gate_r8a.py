@@ -55,7 +55,8 @@ def _m(a: str, b: str) -> str:
 
 
 def _r(a: str, b: str) -> str:
-    return f"({_m(a, b)} / sqrt({_m(a, a)} * {_m(b, b)}))"
+    # nullif: a zero-variance item makes r undefined — NULL, not a raise
+    return f"({_m(a, b)} / nullif(sqrt({_m(a, a)} * {_m(b, b)}), 0.0))"
 
 
 _CRON_NUM_I = f"({_m('i1', 'i1')} + {_m('i2', 'i2')} + {_m('i3', 'i3')})"
@@ -76,7 +77,7 @@ _CRON_INNER = [
     " AS DOUBLE) AS var3_6",
     f"CAST(round({_CRON_NUM_T} / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS DOUBLE)"
     " AS var_tot6",
-    f"CAST(round(1.5 * (1.0 - {_CRON_NUM_I} / {_CRON_NUM_T}), 6) AS DOUBLE)"
+    f"CAST(round(1.5 * (1.0 - {_CRON_NUM_I} / nullif({_CRON_NUM_T}, 0.0)), 6) AS DOUBLE)"
     " AS alpha_raw6",
     f"CAST(round({_r('i1', 'i2')}, 6) AS DOUBLE) AS r12_6",
     f"CAST(round({_r('i1', 'i3')}, 6) AS DOUBLE) AS r13_6",
@@ -89,7 +90,7 @@ _CRON_OUTER = [
     "var1_6", "var2_6", "var3_6", "var_tot6", "alpha_raw6",
     "r12_6", "r13_6", "r23_6",
     "CAST(round(3.0 * ((r12_6 + r13_6 + r23_6) / 3.0)"
-    " / (1.0 + 2.0 * ((r12_6 + r13_6 + r23_6) / 3.0)), 6) AS DOUBLE)"
+    " / nullif(1.0 + 2.0 * ((r12_6 + r13_6 + r23_6) / 3.0), 0.0), 6) AS DOUBLE)"
     " AS alpha_std6",
 ]
 

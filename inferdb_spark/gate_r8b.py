@@ -41,14 +41,14 @@ _CVM_BINW = 5000.0  # dollars per bin, the Lebesgue weight for energy
 # the exact integer CDF cross-difference cum_r*m - cum_c*n
 _CVM_TERM = (
     "CAST(round(((CAST(w AS DOUBLE) * (CAST(d AS DOUBLE) * CAST(d AS DOUBLE)))"
-    " / (((CAST(n_r AS DOUBLE) * CAST(n_c AS DOUBLE)) * CAST(n_r + n_c AS DOUBLE))"
-    " * CAST(n_r + n_c AS DOUBLE))) * 1000000000.0) AS BIGINT)"
+    " / nullif(((CAST(n_r AS DOUBLE) * CAST(n_c AS DOUBLE)) * CAST(n_r + n_c AS DOUBLE))"
+    " * CAST(n_r + n_c AS DOUBLE), 0.0)) * 1000000000.0) AS BIGINT)"
 )
 # per-bin energy term 2 * gap * binwidth * (D/(n*m))^2, nano-quantized
 _ENERGY_TERM = (
     "CAST(round(((2.0 * (CAST(gap AS DOUBLE) * {w})) "
-    " * ((CAST(d AS DOUBLE) / (CAST(n_r AS DOUBLE) * CAST(n_c AS DOUBLE)))"
-    " * (CAST(d AS DOUBLE) / (CAST(n_r AS DOUBLE) * CAST(n_c AS DOUBLE)))))"
+    " * ((CAST(d AS DOUBLE) / nullif(CAST(n_r AS DOUBLE) * CAST(n_c AS DOUBLE), 0.0))"
+    " * (CAST(d AS DOUBLE) / nullif(CAST(n_r AS DOUBLE) * CAST(n_c AS DOUBLE), 0.0))))"
     " * 1000000000.0) AS BIGINT)"
 ).format(w=f"{_CVM_BINW!r}")
 
@@ -184,8 +184,8 @@ def _rdd_a(p: str) -> str:
     return (
         f"((CAST(sy_{p} AS DOUBLE) * CAST(suu_{p} AS DOUBLE)"
         f" - CAST(su_{p} AS DOUBLE) * CAST(suy_{p} AS DOUBLE))"
-        f" / (CAST(n_{p} AS DOUBLE) * CAST(suu_{p} AS DOUBLE)"
-        f" - CAST(su_{p} AS DOUBLE) * CAST(su_{p} AS DOUBLE)))"
+        f" / nullif(CAST(n_{p} AS DOUBLE) * CAST(suu_{p} AS DOUBLE)"
+        f" - CAST(su_{p} AS DOUBLE) * CAST(su_{p} AS DOUBLE), 0.0))"
     )
 
 
@@ -193,8 +193,8 @@ def _rdd_b(p: str) -> str:
     return (
         f"((CAST(n_{p} AS DOUBLE) * CAST(suy_{p} AS DOUBLE)"
         f" - CAST(su_{p} AS DOUBLE) * CAST(sy_{p} AS DOUBLE))"
-        f" / (CAST(n_{p} AS DOUBLE) * CAST(suu_{p} AS DOUBLE)"
-        f" - CAST(su_{p} AS DOUBLE) * CAST(su_{p} AS DOUBLE)))"
+        f" / nullif(CAST(n_{p} AS DOUBLE) * CAST(suu_{p} AS DOUBLE)"
+        f" - CAST(su_{p} AS DOUBLE) * CAST(su_{p} AS DOUBLE), 0.0))"
     )
 
 

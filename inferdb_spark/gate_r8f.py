@@ -357,6 +357,18 @@ _LP_TOPK = 15
 # per-shared-part Adamic-Adar weight 1/ln(deg), micro-quantized before
 # the per-pair integer sum (deg >= 2 wherever a pair exists)
 _AA_W = "CAST(round(1000000.0 / ln(CAST(deg_p AS DOUBLE))) AS BIGINT)"
+# Hub-part cap (the item_item DIMSUM discipline, round-8 verdict #4):
+# pair fan-out per part is C(deg_p, 2), so ONE hub part with 5e4
+# suppliers emits 1.25e9 pairs while contributing 1/ln(5e4) ≈ 0.09 of
+# Adamic-Adar weight to each — textbook practice drops hub neighbors
+# outright (their per-pair evidence is negligible; cost is quadratic).
+# Parts over the cap are excluded from pair generation on BOTH the
+# Spark and oracle sides, so the operator definition itself is
+# scale-bounded: work ≤ Σ_p C(min(deg_p, cap), 2).  Real TPC-H has
+# deg_p ≤ 4 by construction (partsupp), the synthetic tables max at 52
+# (sf0.1), so the cap never binds below the clone-densified sf10 regime
+# that DNF'd in round 8.
+_LP_MAX_DEG = 512
 
 
 @gate(
@@ -367,7 +379,8 @@ _AA_W = "CAST(round(1000000.0 / ln(CAST(deg_p AS DOUBLE))) AS BIGINT)"
                       CAST(l_partkey AS BIGINT) AS p
       FROM lineitem
     ),
-    deg_p AS (SELECT p, CAST(count(*) AS BIGINT) AS deg_p FROM e GROUP BY p),
+    deg_p AS (SELECT p, CAST(count(*) AS BIGINT) AS deg_p FROM e GROUP BY p
+              HAVING count(*) <= {_LP_MAX_DEG}),
     deg_s AS (SELECT s, CAST(count(*) AS BIGINT) AS deg_s FROM e GROUP BY s),
     pairs AS (
       SELECT a.s AS s1, b.s AS s2, deg_p.deg_p
@@ -420,14 +433,22 @@ def q_link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
-    deg_p = e.groupBy("p").agg(F.count("*").cast("long").alias("deg_p"))
+    deg_p = (
+        e.groupBy("p")
+        .agg(F.count("*").cast("long").alias("deg_p"))
+        .filter(F.col("deg_p") <= _LP_MAX_DEG)
+    )
     deg_s = e.groupBy("s").agg(F.count("*").cast("long").alias("deg_s"))
-    a = e.alias("a")
-    b = e.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
-        .select(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"), F.col("a.p").alias("p"))
-        .join(deg_p, "p")
+    # hub cap applied BEFORE the self-join fan-out: the inner join to the
+    # capped degree relation prunes hub parts from the edge relation
+    # itself, so no C(hub_deg, 2) pair batch is ever materialized
+    ec = e.join(deg_p, "p")
+    a = ec.alias("a")
+    b = ec.select("p", "s").alias("b")
+    pairs = a.join(
+        b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s"))
+    ).select(
+        F.col("a.s").alias("s1"), F.col("b.s").alias("s2"), F.col("a.deg_p").alias("deg_p")
     )
     scored = pairs.groupBy("s1", "s2").agg(
         F.count("*").cast("long").alias("common"),

@@ -55,14 +55,17 @@ _ANOVA_TG = (
     " / CAST(ng AS DOUBLE)) AS BIGINT)"
 )
 
+# nullif guards (degenerate-input battery): k = 1, n = k (one row per
+# group), and zero within-group variance each zero a denominator —
+# ANSI raises on any zero divisor, so the F statistic goes NULL instead
 _ANOVA_OUT = [
     "k",
     "n",
     "CAST(round(((CAST(t_sum AS DOUBLE)"
     " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
-    " / CAST(k - 1 AS DOUBLE))"
-    " / ((CAST(q_sum AS DOUBLE) - CAST(t_sum AS DOUBLE))"
-    " / CAST(n - k AS DOUBLE)), 6) AS DOUBLE) AS f6",
+    " / nullif(CAST(k - 1 AS DOUBLE), 0.0))"
+    " / nullif((CAST(q_sum AS DOUBLE) - CAST(t_sum AS DOUBLE))"
+    " / nullif(CAST(n - k AS DOUBLE), 0.0), 0.0), 6) AS DOUBLE) AS f6",
 ]
 
 
@@ -179,18 +182,20 @@ def kw_relations(spark: SparkSession, sf_dir: str):
     )
     return per_g, bins, tot
 
+# nullif guards: n = 1 zeroes n^3 - n; an all-ties input zeroes the tie
+# correction itself (h_tied undefined) — NULL, never DIVIDE_BY_ZERO
 _KW_OUT = [
     "n",
     "k",
     "CAST(round(12.0 * hsum / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)), 6)"
     " AS DOUBLE) AS h6",
     "CAST(round(1.0 - CAST(tie_term AS DOUBLE)"
-    " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
-    " - CAST(n AS DOUBLE)), 6) AS DOUBLE) AS c6",
+    " / nullif(CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+    " - CAST(n AS DOUBLE), 0.0), 6) AS DOUBLE) AS c6",
     "CAST(round((12.0 * hsum / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)))"
-    " / (1.0 - CAST(tie_term AS DOUBLE)"
-    " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
-    " - CAST(n AS DOUBLE))), 6) AS DOUBLE) AS h_tied6",
+    " / nullif(1.0 - CAST(tie_term AS DOUBLE)"
+    " / nullif(CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+    " - CAST(n AS DOUBLE), 0.0), 0.0), 6) AS DOUBLE) AS h_tied6",
 ]
 
 
@@ -275,19 +280,22 @@ def q_kruskal_wallis_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # per-group sample variance from exact moments, in ONE shared string
+# nullif guards: a singleton group zeroes ng - 1; k = 1 zeroes the
+# correction's 3(k-1); n = k zeroes the pooled dof.  ln(0) (a
+# zero-variance group) already returns NULL in both engines.
 _BART_LNV = (
     "ln((CAST(ng AS DOUBLE) * CAST(qg AS DOUBLE)"
     " - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))"
-    " / (CAST(ng AS DOUBLE) * CAST(ng - 1 AS DOUBLE)))"
+    " / nullif(CAST(ng AS DOUBLE) * CAST(ng - 1 AS DOUBLE), 0.0))"
 )
 
 _BART_OUT = [
     "n",
     "k",
     "CAST(round(((CAST(n AS DOUBLE) - CAST(k AS DOUBLE)) * ln(sp2)"
-    " - wsum) / (1.0 + (isum - 1.0 / (CAST(n AS DOUBLE)"
-    " - CAST(k AS DOUBLE))) / (3.0 * (CAST(k AS DOUBLE) - 1.0))), 6)"
-    " AS DOUBLE) AS t6",
+    " - wsum) / nullif(1.0 + (isum - 1.0 / nullif(CAST(n AS DOUBLE)"
+    " - CAST(k AS DOUBLE), 0.0)) / nullif(3.0 * (CAST(k AS DOUBLE) - 1.0),"
+    " 0.0), 0.0), 6) AS DOUBLE) AS t6",
 ]
 
 
@@ -307,12 +315,13 @@ _BART_OUT = [
              list_reduce(list_prepend([0.0, 0.0],
                list([CAST(ng AS DOUBLE), lnvg] ORDER BY grp)),
                (acc, x) -> [acc[1] + (x[1] - 1.0) * x[2],
-                            acc[2] + 1.0 / (x[1] - 1.0)]) AS s
+                            acc[2] + 1.0 / nullif(x[1] - 1.0, 0.0)]) AS s
       FROM lnv
     )
     SELECT {', '.join(_BART_OUT)}
     FROM (SELECT n, k, s[1] AS wsum, s[2] AS isum,
-                 CAST(ssw AS DOUBLE) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))
+                 CAST(ssw AS DOUBLE)
+                   / nullif(CAST(n AS DOUBLE) - CAST(k AS DOUBLE), 0.0)
                    AS sp2
           FROM folded)
     """,
@@ -360,7 +369,8 @@ def q_bartlett_variance_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.element_at(acc, 1)
                 + (F.element_at(x, 1) - F.lit(1.0)) * F.element_at(x, 2),
                 F.element_at(acc, 2)
-                + F.lit(1.0) / (F.element_at(x, 1) - F.lit(1.0)),
+                + F.lit(1.0)
+                / F.nullif(F.element_at(x, 1) - F.lit(1.0), F.lit(0.0)),
             ),
         ).alias("s"),
     )
@@ -369,5 +379,6 @@ def q_bartlett_variance_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k",
         "element_at(s, 1) AS wsum",
         "element_at(s, 2) AS isum",
-        "CAST(ssw AS DOUBLE) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)) AS sp2",
+        "CAST(ssw AS DOUBLE)"
+        " / nullif(CAST(n AS DOUBLE) - CAST(k AS DOUBLE), 0.0) AS sp2",
     ).selectExpr(*_BART_OUT)

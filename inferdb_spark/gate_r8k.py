@@ -39,12 +39,16 @@ _DUNN_ZCRIT = 2.807034
 
 # z_ij = (rbar_i - rbar_j) / sqrt(V * (1/n_i + 1/n_j)),
 # rbar = r2g / (2 ng), V = N(N+1)/12 - tie_term/(12(N-1))
+# nullif guards (degenerate-input battery): n = 1 zeroes the tie
+# divisor 12(n-1); an all-ties input zeroes the whole variance V, so z
+# goes NULL instead of raising DIVIDE_BY_ZERO under ANSI
 _DUNN_Z = (
     "((CAST(r2g_1 AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE))"
     " - CAST(r2g_2 AS DOUBLE) / (2.0 * CAST(n2 AS DOUBLE)))"
-    " / sqrt((CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE) / 12.0"
-    " - CAST(tie_term AS DOUBLE) / (12.0 * (CAST(n AS DOUBLE) - 1.0)))"
-    " * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))))"
+    " / nullif(sqrt((CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE) / 12.0"
+    " - CAST(tie_term AS DOUBLE)"
+    " / nullif(12.0 * (CAST(n AS DOUBLE) - 1.0), 0.0))"
+    " * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))), 0.0))"
 )
 
 _DUNN_OUT = [
@@ -124,8 +128,8 @@ def _mood_term(o: str, col_tot: str) -> str:
     return (
         f"CAST(round(((CAST({o} * n - ng * {col_tot} AS DOUBLE)"
         f" * CAST({o} * n - ng * {col_tot} AS DOUBLE))"
-        f" / ((CAST(n AS DOUBLE) * CAST(ng AS DOUBLE))"
-        f" * CAST({col_tot} AS DOUBLE))) * 1000000000.0) AS BIGINT)"
+        f" / nullif((CAST(n AS DOUBLE) * CAST(ng AS DOUBLE))"
+        f" * CAST({col_tot} AS DOUBLE), 0.0)) * 1000000000.0) AS BIGINT)"
     )
 
 
@@ -239,7 +243,8 @@ def _pc_m(a: str, b: str) -> str:
 
 
 def _pc_r(a: str, b: str) -> str:
-    return f"({_pc_m(a, b)} / sqrt({_pc_m(a, a)} * {_pc_m(b, b)}))"
+    # nullif: a zero-variance margin makes r undefined — NULL, not a raise
+    return f"({_pc_m(a, b)} / nullif(sqrt({_pc_m(a, a)} * {_pc_m(b, b)}), 0.0))"
 
 
 _PC_INNER = [
@@ -253,9 +258,10 @@ _PC_OUTER = [
     "r_xy6",
     "r_xz6",
     "r_yz6",
+    # nullif: |r| = 1 (z collinear with x or y) zeroes the denominator
     "CAST(round((r_xy6 - r_xz6 * r_yz6)"
-    " / sqrt((1.0 - r_xz6 * r_xz6) * (1.0 - r_yz6 * r_yz6)), 6) AS DOUBLE)"
-    " AS r_xy_given_z6",
+    " / nullif(sqrt((1.0 - r_xz6 * r_xz6) * (1.0 - r_yz6 * r_yz6)), 0.0), 6)"
+    " AS DOUBLE) AS r_xy_given_z6",
 ]
 
 
@@ -340,12 +346,14 @@ _PACF_FOLD_DUCK = """
                             x[1], acc[5], acc[6]]) AS f
 """
 
-# Durbin-Levinson from the 6dp-ROUNDED rho's (column refs rho1..rho3)
-_P22 = "((rho2_6 - rho1_6 * rho1_6) / (1.0 - rho1_6 * rho1_6))"
+# Durbin-Levinson from the 6dp-ROUNDED rho's (column refs rho1..rho3).
+# nullif: rho1 = ±1 (a perfectly periodic/constant series) zeroes the
+# level-2 denominator, and the level-3 denominator can vanish likewise.
+_P22 = "((rho2_6 - rho1_6 * rho1_6) / nullif(1.0 - rho1_6 * rho1_6, 0.0))"
 _P21 = f"(rho1_6 - {_P22} * rho1_6)"
 _P33 = (
     f"((rho3_6 - {_P21} * rho2_6 - {_P22} * rho1_6)"
-    f" / (1.0 - {_P21} * rho1_6 - {_P22} * rho2_6))"
+    f" / nullif(1.0 - {_P21} * rho1_6 - {_P22} * rho2_6, 0.0))"
 )
 
 _PACF_OUT = [
@@ -374,9 +382,9 @@ _PACF_OUT = [
     ),
     rho AS (
       SELECT n_weeks,
-             CAST(round(f[2] / f[1], 6) AS DOUBLE) AS rho1_6,
-             CAST(round(f[3] / f[1], 6) AS DOUBLE) AS rho2_6,
-             CAST(round(f[4] / f[1], 6) AS DOUBLE) AS rho3_6
+             CAST(round(f[2] / nullif(f[1], 0.0), 6) AS DOUBLE) AS rho1_6,
+             CAST(round(f[3] / nullif(f[1], 0.0), 6) AS DOUBLE) AS rho2_6,
+             CAST(round(f[4] / nullif(f[1], 0.0), 6) AS DOUBLE) AS rho3_6
       FROM folded
     )
     SELECT {', '.join(_PACF_OUT)} FROM rho
@@ -430,8 +438,8 @@ def q_pacf_durbin_levinson(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rho = folded.selectExpr(
         "n_weeks",
-        "CAST(round(element_at(f, 2) / element_at(f, 1), 6) AS DOUBLE) AS rho1_6",
-        "CAST(round(element_at(f, 3) / element_at(f, 1), 6) AS DOUBLE) AS rho2_6",
-        "CAST(round(element_at(f, 4) / element_at(f, 1), 6) AS DOUBLE) AS rho3_6",
+        "CAST(round(element_at(f, 2) / nullif(element_at(f, 1), 0.0), 6) AS DOUBLE) AS rho1_6",
+        "CAST(round(element_at(f, 3) / nullif(element_at(f, 1), 0.0), 6) AS DOUBLE) AS rho2_6",
+        "CAST(round(element_at(f, 4) / nullif(element_at(f, 1), 0.0), 6) AS DOUBLE) AS rho3_6",
     )
     return rho.selectExpr(*_PACF_OUT)

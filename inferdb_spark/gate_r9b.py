@@ -53,11 +53,17 @@ _TWO_PIVOT_SQL = f"""
              AS BIGINT) AS ss2
 """
 
-# shared scalar fragments (dollars; vi = SSi/(ni-1), mi = si/ni)
+# shared scalar fragments (dollars; vi = SSi/(ni-1), mi = si/ni).
+# Every zero-able denominator is nullif-guarded (degenerate-input
+# battery, round-8 verdict #6): ANSI mode raises DIVIDE_BY_ZERO on ANY
+# zero divisor, doubles included, so single-row groups (ni-1 = 0) and
+# zero within-group variance (se2 = 0) must yield NULL, not a crash.
+# nullif is the identity on the real tables (groups are large,
+# variances positive), so gate hashes are unchanged.
 _M1 = "(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))"
 _M2 = "(CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))"
-_V1 = "(CAST(ss1 AS DOUBLE) / CAST(n1 - 1 AS DOUBLE))"
-_V2 = "(CAST(ss2 AS DOUBLE) / CAST(n2 - 1 AS DOUBLE))"
+_V1 = "(CAST(ss1 AS DOUBLE) / nullif(CAST(n1 - 1 AS DOUBLE), 0.0))"
+_V2 = "(CAST(ss2 AS DOUBLE) / nullif(CAST(n2 - 1 AS DOUBLE), 0.0))"
 _SE2 = f"({_V1} / CAST(n1 AS DOUBLE) + {_V2} / CAST(n2 AS DOUBLE))"
 
 _WELCH_OUT = [
@@ -65,12 +71,12 @@ _WELCH_OUT = [
     "n2",
     f"CAST(round({_M1} / 1000.0, 6) AS DOUBLE) AS mean1_k6",
     f"CAST(round({_M2} / 1000.0, 6) AS DOUBLE) AS mean2_k6",
-    f"CAST(round(({_M1} - {_M2}) / sqrt({_SE2}), 6) AS DOUBLE) AS t6",
-    f"CAST(round({_SE2} * {_SE2} / "
-    f"(({_V1} / CAST(n1 AS DOUBLE)) * ({_V1} / CAST(n1 AS DOUBLE))"
-    f" / CAST(n1 - 1 AS DOUBLE)"
+    f"CAST(round(({_M1} - {_M2}) / nullif(sqrt({_SE2}), 0.0), 6) AS DOUBLE) AS t6",
+    f"CAST(round({_SE2} * {_SE2} / nullif("
+    f"({_V1} / CAST(n1 AS DOUBLE)) * ({_V1} / CAST(n1 AS DOUBLE))"
+    f" / nullif(CAST(n1 - 1 AS DOUBLE), 0.0)"
     f" + ({_V2} / CAST(n2 AS DOUBLE)) * ({_V2} / CAST(n2 AS DOUBLE))"
-    f" / CAST(n2 - 1 AS DOUBLE)), 6) AS DOUBLE) AS df6",
+    f" / nullif(CAST(n2 - 1 AS DOUBLE), 0.0), 0.0), 6) AS DOUBLE) AS df6",
 ]
 
 
@@ -126,17 +132,18 @@ def q_welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _POOLED_SD = (
-    "sqrt((CAST(ss1 AS DOUBLE) + CAST(ss2 AS DOUBLE))"
-    " / CAST(n1 + n2 - 2 AS DOUBLE))"
+    "nullif(sqrt((CAST(ss1 AS DOUBLE) + CAST(ss2 AS DOUBLE))"
+    " / nullif(CAST(n1 + n2 - 2 AS DOUBLE), 0.0)), 0.0)"
 )
 _EFFECT_OUT = [
     "n1",
     "n2",
     f"CAST(round(({_M1} - {_M2}) / {_POOLED_SD}, 6) AS DOUBLE) AS cohens_d6",
     f"CAST(round(({_M1} - {_M2}) / {_POOLED_SD}"
-    f" * (1.0 - 3.0 / (4.0 * CAST(n1 + n2 AS DOUBLE) - 9.0)), 6)"
+    f" * (1.0 - 3.0 / nullif(4.0 * CAST(n1 + n2 AS DOUBLE) - 9.0, 0.0)), 6)"
     " AS DOUBLE) AS hedges_g6",
-    f"CAST(round(({_M1} - {_M2}) / sqrt({_V2}), 6) AS DOUBLE) AS glass_delta6",
+    f"CAST(round(({_M1} - {_M2}) / nullif(sqrt({_V2}), 0.0), 6) AS DOUBLE)"
+    " AS glass_delta6",
 ]
 
 
@@ -169,7 +176,7 @@ _CLIFF_OUT = [
     "gt_pairs",
     "lt_pairs",
     "CAST(round((CAST(gt_pairs AS DOUBLE) - CAST(lt_pairs AS DOUBLE))"
-    " / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS DOUBLE)"
+    " / nullif(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE), 0.0), 6) AS DOUBLE)"
     " AS cliffs_delta6",
 ]
 
@@ -329,19 +336,23 @@ _ICC_TG = (
 _MSB = (
     "((CAST(t_sum AS DOUBLE)"
     " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
-    " / CAST(g - 1 AS DOUBLE))"
+    " / nullif(CAST(g - 1 AS DOUBLE), 0.0))"
 )
-_MSW = "((CAST(q_sum AS DOUBLE) - CAST(t_sum AS DOUBLE)) / CAST(n - g AS DOUBLE))"
+_MSW = (
+    "((CAST(q_sum AS DOUBLE) - CAST(t_sum AS DOUBLE))"
+    " / nullif(CAST(n - g AS DOUBLE), 0.0))"
+)
 _K0 = (
     "((CAST(n AS DOUBLE) - CAST(nn_sum AS DOUBLE) / CAST(n AS DOUBLE))"
-    " / CAST(g - 1 AS DOUBLE))"
+    " / nullif(CAST(g - 1 AS DOUBLE), 0.0))"
 )
 _ICC_OUT = [
     "g",
     "n",
     f"CAST(round({_K0}, 6) AS DOUBLE) AS k0_6",
-    f"CAST(round({_MSB} / {_MSW}, 6) AS DOUBLE) AS f6",
-    f"CAST(round(({_MSB} - {_MSW}) / ({_MSB} + ({_K0} - 1.0) * {_MSW}), 6)"
+    f"CAST(round({_MSB} / nullif({_MSW}, 0.0), 6) AS DOUBLE) AS f6",
+    f"CAST(round(({_MSB} - {_MSW})"
+    f" / nullif({_MSB} + ({_K0} - 1.0) * {_MSW}, 0.0), 6)"
     " AS DOUBLE) AS icc1_6",
 ]
 

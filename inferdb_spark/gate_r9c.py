@@ -49,8 +49,8 @@ _KRIPP_OUT = [
     # Do = d_sum / (3N); De = 1 - sum_c n_c(n_c-1) / (ntot(ntot-1)), ntot=3N;
     # alpha = 1 - Do/De — one shared division chain over exact BIGINTs
     "CAST(round(1.0 - (CAST(d_sum AS DOUBLE) / (3.0 * CAST(n_items AS DOUBLE)))"
-    " / (1.0 - CAST(c0 * (c0 - 1) + c1 * (c1 - 1) + c2 * (c2 - 1) AS DOUBLE)"
-    " / (CAST(3 * n_items AS DOUBLE) * CAST(3 * n_items - 1 AS DOUBLE))), 6)"
+    " / nullif(1.0 - CAST(c0 * (c0 - 1) + c1 * (c1 - 1) + c2 * (c2 - 1) AS DOUBLE)"
+    " / (CAST(3 * n_items AS DOUBLE) * CAST(3 * n_items - 1 AS DOUBLE)), 0.0), 6)"
     " AS DOUBLE) AS alpha6",
 ]
 
@@ -122,10 +122,10 @@ def q_krippendorff_alpha_nominal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CONC_TERMS = [
     # per-supplier fractional terms, quantized BEFORE the sum
-    "CAST(round(1000000000.0 * (CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE))"
-    " * (CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE))) AS BIGINT) AS hhi_nano",
-    "CAST(round(1000000.0 * (CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE))"
-    " * ln(CAST(rev AS DOUBLE) * CAST(ns AS DOUBLE) / CAST(tot AS DOUBLE)))"
+    "CAST(round(1000000000.0 * (CAST(rev AS DOUBLE) / nullif(CAST(tot AS DOUBLE), 0.0))"
+    " * (CAST(rev AS DOUBLE) / nullif(CAST(tot AS DOUBLE), 0.0))) AS BIGINT) AS hhi_nano",
+    "CAST(round(1000000.0 * (CAST(rev AS DOUBLE) / nullif(CAST(tot AS DOUBLE), 0.0))"
+    " * ln(CAST(rev AS DOUBLE) * CAST(ns AS DOUBLE) / nullif(CAST(tot AS DOUBLE), 0.0)))"
     " AS BIGINT) AS theil_micro",
     "CAST(round(1000000.0 * sqrt(CAST(rev AS DOUBLE))) AS BIGINT) AS sq_micro",
 ]
@@ -137,7 +137,7 @@ _CONC_OUT = [
     # Atkinson(eps=0.5) = 1 - (mean sqrt x)^2 / mean x, from exact sums
     "CAST(round(1.0 - (CAST(sq AS DOUBLE) / 1000000.0 / CAST(ns AS DOUBLE))"
     " * (CAST(sq AS DOUBLE) / 1000000.0 / CAST(ns AS DOUBLE))"
-    " / (CAST(tot AS DOUBLE) / CAST(ns AS DOUBLE)), 6) AS DOUBLE)"
+    " / nullif(CAST(tot AS DOUBLE) / CAST(ns AS DOUBLE), 0.0), 6) AS DOUBLE)"
     " AS atkinson_half6",
 ]
 

@@ -42,6 +42,7 @@ def blocked_candidate_pairs(
     name_col: str = "name",
     max_distance: int = 1,
     verify: Column | None = None,
+    max_block_size: int | None = 2000,
 ) -> DataFrame:
     """Blocking self-join + string verify → match edges (src, dst).
 
@@ -53,7 +54,43 @@ def blocked_candidate_pairs(
     never a cartesian), so candidate volume — and the cost of the
     quadratic verify — is Σ_b |b|², tunable entirely by block
     granularity.
+
+    ``max_block_size`` is the block-level ``assert_small_side``: the
+    in-block pair volume is quadratic in block size, so ONE oversized
+    block (a hub key — empty name, duplicated record cloned 100x, a
+    catch-all phonetic code) can dominate the whole job.  Before building
+    the join, one map-side-combinable count over ``block_cols`` checks
+    every block; any block above the cap raises, naming the offenders and
+    the real mitigations — exact-dedup the records FIRST (a duplicated
+    entity contributes |dups|² candidate pairs and zero new information;
+    operators/dedup.exact_dedup), or refine ``block_cols`` (the $1000→$10
+    band narrowing cut sf1 candidates 100x, DESIGN_SCALE.md).  Pass
+    ``max_block_size=None`` to skip the pre-count (callers that already
+    bound their blocks by construction).  Default 2000 ⇒ ≤ ~2M verify
+    pairs per block; observed real-data max block is 5 at sf0.1.
     """
+    if max_block_size is not None:
+        oversized = (
+            records.groupBy(*[F.col(c) for c in block_cols])
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_block_size)
+            .orderBy(F.desc("_n"))
+            .limit(5)
+            .collect()
+        )
+        if oversized:
+            worst = ", ".join(
+                "(" + ", ".join(f"{c}={r[c]!r}" for c in block_cols) + f"): {r['_n']}"
+                for r in oversized
+            )
+            raise ValueError(
+                f"blocked_candidate_pairs: block(s) over max_block_size="
+                f"{max_block_size} would make the in-block pair join "
+                f"quadratic in a hub key — worst: {worst}. Exact-dedup the "
+                f"records first (operators/dedup), refine block_cols, or "
+                f"pass max_block_size=None if the blocks are bounded by "
+                f"construction."
+            )
     a, b = records.alias("a"), records.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     for col in block_cols:

@@ -36,11 +36,20 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 GATE_PY = os.path.join(REPO, "inferdb_spark", "gate.py")
 
 
-def staged_modules(pattern: str = "gate_r8*.py") -> list[str]:
-    return sorted(
-        "inferdb_spark." + os.path.basename(p)[:-3]
-        for p in glob.glob(os.path.join(REPO, "inferdb_spark", pattern))
-    )
+def staged_modules() -> list[str]:
+    """Every potentially-staged gate module across rounds (r8/r9/r10/...).
+
+    Already-registered modules in the result are harmless: patch_registration
+    skips any module whose import line is already present.  Selection for a
+    specific tranche happens via --modules.
+    """
+    mods: set[str] = set()
+    for pat in ("gate_r8*.py", "gate_r9*.py", "gate_r1[0-9]*.py"):
+        mods.update(
+            "inferdb_spark." + os.path.basename(p)[:-3]
+            for p in glob.glob(os.path.join(REPO, "inferdb_spark", pat))
+        )
+    return sorted(mods)
 
 
 def _max_checked_round() -> int:
@@ -57,10 +66,10 @@ def patch_registration(src: str, mods: list[str]) -> tuple[str, list[str]]:
     missing = [m for m in mods if f'"{m}"' not in src]
     if not missing:
         return src, []
-    # anchor: the last gate_r7* entry inside the _ensure_registered tuple
-    anchors = re.findall(r'        "inferdb_spark\.gate_r7\w*",\n', src)
+    # anchor: the last gate_r{N}* entry inside the _ensure_registered tuple
+    anchors = re.findall(r'        "inferdb_spark\.gate_r\d+\w*",\n', src)
     if not anchors:
-        raise SystemExit("cannot find the gate_r7* anchor in _ensure_registered")
+        raise SystemExit("cannot find a gate_r* anchor in _ensure_registered")
     anchor = anchors[-1]
     insert = "".join(f'        "{m}",\n' for m in missing)
     return src.replace(anchor, anchor + insert, 1), missing

@@ -442,7 +442,7 @@ def main() -> int:
         # the Window in the tree — a plan where the single-partition
         # window consumed raw rows would print no aggregate under it
         ("aggregate feeds the window (distinct-score domain, not rows)",
-         lambda p: p.rfind("HashAggregate") > p.index("Window")),
+         lambda p: "Window" in p and p.rfind("HashAggregate") > p.index("Window")),
     ])
     audit("auc_rank_sum", [
         ("rank-sum window over the grouped distinct-score relation",

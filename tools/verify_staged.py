@@ -34,7 +34,7 @@ from verify_local import compare, duck_run  # noqa: E402
 
 def staged_modules() -> list[str]:
     mods = []
-    for pat in ("gate_r8*.py", "gate_r9*.py"):
+    for pat in ("gate_r8*.py", "gate_r9*.py", "gate_r1[0-9]*.py"):
         mods.extend(
             "inferdb_spark." + os.path.basename(p)[:-3]
             for p in glob.glob(os.path.join(REPO, "inferdb_spark", pat))
