@@ -64,6 +64,14 @@ def timed(fn, clear_cache_spark=None) -> float:
 def main() -> None:
     from inferdb_spark.catalog import load_table
     from inferdb_spark.gate import queries as gate_queries
+
+    # staged-but-benched: e2e_curation_index headlines before its driver
+    # window opens (round-10 activation); once registered this import is
+    # a no-op re-registration
+    try:
+        import inferdb_spark.gate_r10b  # noqa: F401
+    except ImportError:
+        pass
     from inferdb_spark.operators.binning import BinSpec
     from inferdb_spark.operators.index import build_index
     from inferdb_spark.operators.scoring import index_score
@@ -337,6 +345,9 @@ def main() -> None:
         "kcore_decomposition",
         "wasserstein_binned_drift",
         "ipw_ate_stratified",
+        # round-9: the curation chain WITH the learned-index fit+score
+        # leg (verdict #8 — stage-composition cost tracked per round)
+        "e2e_curation_index",
     ]:
         if name in gq:
             fn = gq[name]
