@@ -511,7 +511,7 @@ def main() -> int:
     from inferdb_spark import gate as _gate
 
     _repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    for _pat in ("gate_r8*.py", "gate_r9*.py"):
+    for _pat in ("gate_r8*.py", "gate_r9*.py", "gate_r1[0-9]*.py"):
         for _p in sorted(glob.glob(os.path.join(_repo, "inferdb_spark", _pat))):
             importlib.import_module(
                 "inferdb_spark." + os.path.basename(_p)[:-3]
@@ -594,6 +594,51 @@ def main() -> int:
     audit("dunn_posthoc_pairs", [
         ("pair join on the 5-row per-group relation; no cartesian of data",
          lambda p: "CartesianProduct" not in p and "SortMergeJoin" not in p),
+    ])
+    # ---- STAGED round-10 gates ----
+    audit("e2e_curation_index", [
+        # the index fit/score leg must stay broadcast: the kv relation's
+        # key domain is (sources x token bins), never row-sized
+        ("kv score join is a broadcast hash join; no cartesian",
+         lambda p: "BroadcastHashJoin" in p and "CartesianProduct" not in p),
+    ])
+    audit("jonckheere_terpstra_trend", [
+        ("pair terms join bin-domain relations (hash equi on the bin); "
+         "no row-level cartesian",
+         lambda p: "CartesianProduct" not in p and "Window" in p),
+    ])
+    audit("degree_assortativity", [
+        ("edge-keyed hash joins only; no pair fan-out anywhere",
+         lambda p: "CartesianProduct" not in p and "Window" not in p),
+    ])
+    audit("hellinger_bhattacharyya_drift", [
+        ("bin-domain terms with broadcast totals; no SMJ",
+         lambda p: "SortMergeJoin" not in p and "CartesianProduct" not in p),
+    ])
+    audit("hotelling_t2_two_sample", [
+        ("one conditional moment aggregation; no join, no window",
+         lambda p: "Join" not in p and "Window" not in p),
+    ])
+    audit("dickey_fuller_unitroot", [
+        ("one lag window on the week domain; no join",
+         lambda p: "Window" in p and "Join" not in p),
+    ])
+    audit("newey_west_hac", [
+        ("lag windows + broadcast totals; never SMJ",
+         lambda p: "Window" in p and "SortMergeJoin" not in p),
+    ])
+    audit("variance_ratio_test", [
+        ("two lag columns from one window; no join",
+         lambda p: "Window" in p and "Join" not in p),
+    ])
+    audit("ridge_regression_gram", [
+        ("one scan, one 1-row Gram aggregate; no join/window/shuffle "
+         "beyond the two-phase agg",
+         lambda p: "Join" not in p and "Window" not in p),
+    ])
+    audit("mcc_matthews_eval", [
+        ("one conditional confusion aggregation; no join, no window",
+         lambda p: "Join" not in p and "Window" not in p),
     ])
     audit("ranking_eval_shortlist", [
         # the whole point of the shortlist: candidates meet queries ONLY

@@ -44,7 +44,7 @@ def main() -> int:
     import importlib as _importlib
 
     _repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    for _pat in ("gate_r8*.py", "gate_r9*.py"):
+    for _pat in ("gate_r8*.py", "gate_r9*.py", "gate_r1[0-9]*.py"):
         for _p in sorted(_glob.glob(os.path.join(_repo, "inferdb_spark", _pat))):
             _importlib.import_module("inferdb_spark." + os.path.basename(_p)[:-3])
     qs = gate_queries()

@@ -29,9 +29,43 @@ def main() -> int:
     import __spark_entry__ as entrymod
 
     names = list(entrymod.queries())
+
+    # Balance shards by MEASURED per-gate times from the previous run's
+    # logs (round-8 verdict #9: round-robin left one shard 180s+ longer
+    # than the rest as heavy oracles clustered).  Greedy longest-
+    # processing-time: sort known gates by descending last-run time and
+    # always hand the next one to the lightest shard; unmeasured gates
+    # (new this round, or no logs yet) fall back to round-robin on top.
+    import re
+
+    times: dict[str, float] = {}
+    for w in range(64):
+        log_path = os.path.join(logdir, f"shard{w}.log")
+        if not os.path.exists(log_path):
+            continue
+        with open(log_path) as f:
+            for m in re.finditer(
+                r"^(?:OK|FAIL) +(\S+) .*\[([0-9.]+)s\]", f.read(), re.M
+            ):
+                times[m.group(1)] = float(m.group(2))
     shards: list[list[str]] = [[] for _ in range(n_workers)]
-    for i, n in enumerate(names):
+    loads = [0.0] * n_workers
+    known = sorted(
+        (n for n in names if n in times), key=lambda n: -times[n]
+    )
+    unknown = [n for n in names if n not in times]
+    for n in known:
+        w = loads.index(min(loads))
+        shards[w].append(n)
+        loads[w] += times[n]
+    for i, n in enumerate(unknown):
         shards[i % n_workers].append(n)
+    if known:
+        print(
+            f"LPT-balanced {len(known)} measured gates "
+            f"(predicted spread {min(loads):.0f}-{max(loads):.0f}s per shard); "
+            f"{len(unknown)} unmeasured round-robined"
+        )
 
     cpus = max(2, (os.cpu_count() or 8) // n_workers)
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_DRIVER_MEM="16g")
