@@ -364,7 +364,12 @@ def q_iv_wald_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Weibull survival fit over the Kaplan-Meier curve
 # ---------------------------------------------------------------------------
 
-_WB_CENSOR_US = 14 * 86_400_000_000  # the kaplan_meier censoring rule
+# Duration = days from a user's FIRST event to their FIRST 'purchase'
+# (right-censored at the global horizon if they never purchase).  The
+# kaplan_meier gate's last-activity lifetime is fully censored on this
+# synthetic feed (every user stays active to the final days), so the
+# conversion clock is the survival definition with real event mass.
+_WB_DAY_US = 86_400_000_000
 
 # OLS of v = ln(-ln S(t)) on u = ln(t) over the KM curve points with
 # t >= 1, S in (0, 1): the Weibull linearization (shape = slope,
@@ -394,13 +399,16 @@ _WB_OUT = [
     "weibull_survival_fit",
     oracle=f"""
     WITH subj AS (
-      SELECT user_id, min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us
+      SELECT user_id, min(epoch_us(ts)) AS first_us,
+             min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+               AS purch_us
       FROM events GROUP BY user_id
     ),
-    gmax AS (SELECT max(last_us) AS m FROM subj),
+    gmax AS (SELECT max(epoch_us(ts)) AS m FROM events),
     durs AS (
-      SELECT CAST((last_us - first_us) // 86400000000 AS BIGINT) AS t,
-             CASE WHEN last_us < gmax.m - {_WB_CENSOR_US} THEN 1 ELSE 0 END AS obs
+      SELECT CAST((coalesce(purch_us, gmax.m) - first_us)
+                  // {_WB_DAY_US} AS BIGINT) AS t,
+             CASE WHEN purch_us IS NOT NULL THEN 1 ELSE 0 END AS obs
       FROM subj CROSS JOIN gmax
     ),
     per_t AS (
@@ -452,33 +460,39 @@ _WB_OUT = [
     """,
 )
 def q_weibull_survival_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weibull shape/scale fitted to the user-lifetime survival curve:
-    rebuild gate:kaplan_meier's exact micro-nat ln S(t) (BIGINT
-    cumulative sums — censoring rule identical), then OLS the Weibull
-    linearization ln(-ln S) = shape·ln t - shape·ln scale over the
-    curve points with t ≥ 1 and 0 < S < 1.  Shape < 1 means churn
-    hazard decreases with tenure (the retention team's key read);
+    """Weibull shape/scale fitted to the time-to-first-purchase survival
+    curve (duration = days from a user's first event to their first
+    'purchase'; never-purchasers are right-censored at the global
+    horizon): the exact micro-nat Kaplan-Meier ln S(t) (the
+    gate:kaplan_meier machinery on the conversion clock), then OLS the
+    Weibull linearization ln(-ln S) = shape·ln t - shape·ln scale over
+    the curve points with t ≥ 1 and 0 < S < 1.  Shape < 1 means
+    conversion hazard decreases with wait (convert-early-or-never);
     the parametric summary the KM/Nelson-Aalen/log-rank family lacks.
 
     Exactness: ln S is an exact BIGINT micro-nat cumulative sum; the
     four regression terms are micro-quantized per CURVE POINT (bounded
     by distinct durations, not users) before BIGINT sums; slope and
     intercept compose once in shared SQL, nullif-guarded (a single
-    curve point zeroes the determinant).  Scale: one groupBy(user),
-    one groupBy(duration); every window runs on the duration domain."""
+    curve point zeroes the determinant; an empty curve yields NULLs —
+    the degenerate-battery contract).  Scale: one groupBy(user), one
+    groupBy(duration); every window runs on the duration domain."""
     ev = load_table(spark, sf_dir, "events")
     subj = ev.groupBy("user_id").agg(
         F.min(F.unix_micros("ts")).alias("first_us"),
-        F.max(F.unix_micros("ts")).alias("last_us"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))
+        ).alias("purch_us"),
     )
-    gmax = subj.agg(F.max("last_us").alias("m"))
+    gmax = ev.agg(F.max(F.unix_micros("ts")).alias("m"))
     durs = subj.crossJoin(F.broadcast(gmax)).select(
-        F.floor((F.col("last_us") - F.col("first_us")) / 86_400_000_000)
+        F.floor(
+            (F.coalesce(F.col("purch_us"), F.col("m")) - F.col("first_us"))
+            / _WB_DAY_US
+        )
         .cast("long")
         .alias("t"),
-        F.when(F.col("last_us") < F.col("m") - _WB_CENSOR_US, 1)
-        .otherwise(0)
-        .alias("obs"),
+        F.when(F.col("purch_us").isNotNull(), 1).otherwise(0).alias("obs"),
     )
     n_total = durs.count()
     per_t = durs.groupBy("t").agg(

@@ -63,12 +63,23 @@ _JT_OUT = [
       SELECT grp, v, CAST(count(*) AS BIGINT) AS c
       FROM binned GROUP BY grp, v
     ),
+    -- DENSE (group x bin) grid: the cumulative-below count must exist
+    -- for EVERY bin where any OTHER group has mass, not just the bins
+    -- this group occupies (a sparse cum relation silently drops the
+    -- pair terms at group-i-empty bins — caught by the sf0.001 third
+    -- implementation)
+    dense AS (
+      SELECT g.grp, b.v, CAST(coalesce(h.c, 0) AS BIGINT) AS c
+      FROM (SELECT DISTINCT grp FROM hist) g
+      CROSS JOIN (SELECT DISTINCT v FROM hist) b
+      LEFT JOIN hist h ON h.grp = g.grp AND h.v = b.v
+    ),
     cum AS (
       SELECT grp, v, c,
              CAST(coalesce(sum(c) OVER (PARTITION BY grp ORDER BY v
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                AS BIGINT) AS clt
-      FROM hist
+      FROM dense
     ),
     pair_terms AS (
       SELECT CAST(sum(2 * j.c * i.clt + i.c * j.c) AS BIGINT) AS j2
@@ -107,10 +118,18 @@ def q_jonckheere_terpstra_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority AS grp",
     )
     hist = binned.groupBy("grp", "v").agg(F.count("*").cast("long").alias("c"))
+    # dense (group x bin) grid — see the oracle comment: the cumulative
+    # must cover every bin ANY group occupies
+    dense = (
+        F.broadcast(hist.select("grp").distinct())
+        .crossJoin(hist.select("v").distinct())
+        .join(hist, ["grp", "v"], "left")
+        .select("grp", "v", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c"))
+    )
     w = Window.partitionBy("grp").orderBy("v").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    cum = hist.select(
+    cum = dense.select(
         "grp",
         "v",
         "c",
@@ -147,7 +166,7 @@ def q_jonckheere_terpstra_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _HB_BIN_CENTS = 10_000
-_HB_SPLIT = "1995-01-01"
+_HB_SPLIT = "1998-01-01"  # mid-range of the 1995-2001 span (~45/55 split)
 
 # per-bin Bhattacharyya affinity term sqrt(p_b q_b), nano-quantized.
 # IEEE sqrt is correctly rounded, so both engines produce the identical
