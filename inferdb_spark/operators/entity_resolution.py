@@ -43,6 +43,7 @@ def blocked_candidate_pairs(
     max_distance: int = 1,
     verify: Column | None = None,
     max_block_size: int | None = 2000,
+    max_candidate_pairs: int | None = 200_000_000,
 ) -> DataFrame:
     """Blocking self-join + string verify → match edges (src, dst).
 
@@ -55,41 +56,59 @@ def blocked_candidate_pairs(
     quadratic verify — is Σ_b |b|², tunable entirely by block
     granularity.
 
-    ``max_block_size`` is the block-level ``assert_small_side``: the
-    in-block pair volume is quadratic in block size, so ONE oversized
-    block (a hub key — empty name, duplicated record cloned 100x, a
-    catch-all phonetic code) can dominate the whole job.  Before building
-    the join, one map-side-combinable count over ``block_cols`` checks
-    every block; any block above the cap raises, naming the offenders and
-    the real mitigations — exact-dedup the records FIRST (a duplicated
-    entity contributes |dups|² candidate pairs and zero new information;
-    operators/dedup.exact_dedup), or refine ``block_cols`` (the $1000→$10
-    band narrowing cut sf1 candidates 100x, DESIGN_SCALE.md).  Pass
-    ``max_block_size=None`` to skip the pre-count (callers that already
-    bound their blocks by construction).  Default 2000 ⇒ ≤ ~2M verify
-    pairs per block; observed real-data max block is 5 at sf0.1.
+    ``max_block_size`` / ``max_candidate_pairs`` are the block-level
+    ``assert_small_side`` (round-8 verdict #4): the in-block pair volume
+    is quadratic in block size, so ONE oversized block (a hub key —
+    empty name, duplicated record cloned 100x, a catch-all phonetic
+    code) OR uniformly densified blocks (every block grown k× grows the
+    TOTAL candidate volume k²×, the sf10 clone regime) can turn the
+    verify stage unbounded.  Before building the join, ONE map-side-
+    combinable count over ``block_cols`` checks both the max block and
+    the exact total Σ|b|(|b|-1)/2; breaching either raises, naming the
+    offenders and the real mitigations — exact-dedup the records FIRST
+    (a duplicated entity contributes |dups|² candidate pairs and zero
+    new information; operators/dedup.exact_dedup), or refine
+    ``block_cols`` (the $1000→$10 band narrowing cut sf1 candidates
+    100x, DESIGN_SCALE.md).  Pass ``None`` to skip either check
+    (callers that already bound their blocks by construction).
+    Defaults: 2000/block (≤ ~2M verify pairs per block; observed
+    real-data max block is 5 at sf0.1) and 2e8 total (~minutes of
+    Levenshtein work; sf1 runs at ~22M).
     """
-    if max_block_size is not None:
-        oversized = (
+    if max_block_size is not None or max_candidate_pairs is not None:
+        stats = (
             records.groupBy(*[F.col(c) for c in block_cols])
             .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") > max_block_size)
-            .orderBy(F.desc("_n"))
-            .limit(5)
-            .collect()
-        )
-        if oversized:
-            worst = ", ".join(
-                "(" + ", ".join(f"{c}={r[c]!r}" for c in block_cols) + f"): {r['_n']}"
-                for r in oversized
+            .agg(
+                F.max("_n").alias("max_block"),
+                F.sum(F.col("_n") * (F.col("_n") - 1) / 2)
+                .cast("long")
+                .alias("total_pairs"),
             )
+            .collect()[0]
+        )
+        mitigation = (
+            "Exact-dedup the records first (operators/dedup), refine "
+            "block_cols, or pass max_block_size=None / "
+            "max_candidate_pairs=None if the blocks are bounded by "
+            "construction."
+        )
+        if max_block_size is not None and (stats["max_block"] or 0) > max_block_size:
             raise ValueError(
-                f"blocked_candidate_pairs: block(s) over max_block_size="
-                f"{max_block_size} would make the in-block pair join "
-                f"quadratic in a hub key — worst: {worst}. Exact-dedup the "
-                f"records first (operators/dedup), refine block_cols, or "
-                f"pass max_block_size=None if the blocks are bounded by "
-                f"construction."
+                f"blocked_candidate_pairs: largest block has "
+                f"{stats['max_block']} records (> max_block_size="
+                f"{max_block_size}) — the in-block pair join is quadratic "
+                f"in a hub key. {mitigation}"
+            )
+        if (
+            max_candidate_pairs is not None
+            and (stats["total_pairs"] or 0) > max_candidate_pairs
+        ):
+            raise ValueError(
+                f"blocked_candidate_pairs: Σ|block|·(|block|-1)/2 = "
+                f"{stats['total_pairs']} candidate pairs (> "
+                f"max_candidate_pairs={max_candidate_pairs}) — the verify "
+                f"stage would be effectively unbounded. {mitigation}"
             )
     a, b = records.alias("a"), records.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")

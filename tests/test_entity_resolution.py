@@ -72,3 +72,25 @@ def test_hash_fn_validation_raises(spark):
         ngram_hash_postings(df, "doc_id", "text", 2, hash_fn="sha1")
     with pytest.raises(ValueError, match="hash_fn"):
         _shingle_hashes(F.col("text"), 4, "char", hash_fn="sha1")
+
+
+def test_block_size_guard_raises(records):
+    # 'records' has a 3-record block; a cap of 2 must trip the guard
+    with pytest.raises(ValueError, match="max_block_size"):
+        blocked_candidate_pairs(records, ["nat", "band"], max_block_size=2)
+
+
+def test_candidate_volume_guard_raises(records):
+    # total pairs = C(3,2) = 3 in the shared fixture; cap at 2
+    with pytest.raises(ValueError, match="max_candidate_pairs"):
+        blocked_candidate_pairs(
+            records, ["nat", "band"], max_candidate_pairs=2
+        )
+
+
+def test_guards_disabled_passthrough(records):
+    pairs = blocked_candidate_pairs(
+        records, ["nat", "band"], max_block_size=None,
+        max_candidate_pairs=None, max_distance=1,
+    )
+    assert pairs.count() > 0
