@@ -43,7 +43,7 @@ def blocked_candidate_pairs(
     max_distance: int = 1,
     verify: Column | None = None,
     max_block_size: int | None = 2000,
-    max_candidate_pairs: int | None = 200_000_000,
+    max_candidate_pairs: int | None = 500_000_000,
 ) -> DataFrame:
     """Blocking self-join + string verify → match edges (src, dst).
 
@@ -72,8 +72,10 @@ def blocked_candidate_pairs(
     100x, DESIGN_SCALE.md).  Pass ``None`` to skip either check
     (callers that already bound their blocks by construction).
     Defaults: 2000/block (≤ ~2M verify pairs per block; observed
-    real-data max block is 5 at sf0.1) and 2e8 total (~minutes of
-    Levenshtein work; sf1 runs at ~22M).
+    real-data max block is 5 at sf0.1) and 5e8 total (~10 minutes of
+    distributed Levenshtein work — sf1 runs at ~22M in ~23 s, the sf10
+    clone-densified probe at ~2.1e8; genuinely unbounded inputs sit
+    orders of magnitude above).
     """
     if max_block_size is not None or max_candidate_pairs is not None:
         stats = (
