@@ -38,6 +38,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iters: int = 50,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Return (node, component) with component = min node id reachable.
 
@@ -46,10 +47,38 @@ def connected_components(
     (union their ids into the edge list as self-loops, or union the
     result with the node universe).  Node ids must be non-null and
     orderable (the canonical representative is the minimum).
+
+    Shuffle width: every iteration re-shuffles the SYMMETRIZED edge
+    relation (the large input), so the session's shuffle-partition
+    default — sized for row-sized relations — undersizes dense match
+    graphs the same way gram explodes do (gate_r7i._gram_parallelism):
+    the round-9 sf10 entity-resolution probe pushed ~2.8e8 symmetric
+    edge rows per round through 32 reducers.  Unless the caller passes
+    ``shuffle_partitions``, the loop derives a width from the measured
+    symmetric edge count (~2M edge rows ≈ 64 MB per reducer — the count
+    is free, `sym` is already checkpoint-materialized) and scopes
+    ``spark.sql.shuffle.partitions`` to the iteration, restoring it
+    after; AQE still coalesces small stages down, so sparse graphs are
+    unaffected.
     """
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     sym = sym.localCheckpoint(eager=True)
+
+    spark = edges.sparkSession
+    if shuffle_partitions is None:
+        shuffle_partitions = max(
+            spark.sparkContext.defaultParallelism, sym.count() // 2_000_000 + 1
+        )
+    prev_width = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        return _cc_min_label_loop(sym, max_iters)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_width)
+
+
+def _cc_min_label_loop(sym: DataFrame, max_iters: int) -> DataFrame:
 
     # seed with the 1-hop minimum (min(self, neighbors)) — one aggregation
     # that replaces the first propagation round
