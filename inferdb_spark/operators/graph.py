@@ -48,28 +48,23 @@ def connected_components(
     result with the node universe).  Node ids must be non-null and
     orderable (the canonical representative is the minimum).
 
-    Shuffle width: every iteration re-shuffles the SYMMETRIZED edge
-    relation (the large input), so the session's shuffle-partition
-    default — sized for row-sized relations — undersizes dense match
-    graphs the same way gram explodes do (gate_r7i._gram_parallelism):
-    the round-9 sf10 entity-resolution probe pushed ~2.8e8 symmetric
-    edge rows per round through 32 reducers.  Unless the caller passes
-    ``shuffle_partitions``, the loop derives a width from the measured
-    symmetric edge count (~2M edge rows ≈ 64 MB per reducer — the count
-    is free, `sym` is already checkpoint-materialized) and scopes
-    ``spark.sql.shuffle.partitions`` to the iteration, restoring it
-    after; AQE still coalesces small stages down, so sparse graphs are
-    unaffected.
+    ``shuffle_partitions`` (optional) scopes
+    ``spark.sql.shuffle.partitions`` to the iteration loop — an explicit
+    knob for callers whose edge relations dwarf the session default.
+    It is deliberately NOT auto-derived: the round-9 sf10 A/B on the
+    126M-edge clone match graph measured auto-widening (~64 MB/reducer,
+    the gram-explode heuristic) at 3330 s vs 2318 s with the session
+    default — per-round localCheckpoint materialization and task
+    overhead dominate this loop, not reduce width, so widening by
+    default is a measured LOSS (BASELINE.md round-9 profile).
     """
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     sym = sym.localCheckpoint(eager=True)
 
-    spark = edges.sparkSession
     if shuffle_partitions is None:
-        shuffle_partitions = max(
-            spark.sparkContext.defaultParallelism, sym.count() // 2_000_000 + 1
-        )
+        return _cc_min_label_loop(sym, max_iters)
+    spark = edges.sparkSession
     prev_width = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     try:
