@@ -144,6 +144,10 @@ def _ensure_registered() -> None:
         "inferdb_spark.gate_r9a",
         "inferdb_spark.gate_r9b",
         "inferdb_spark.gate_r9c",
+        "inferdb_spark.gate_r10a",
+        "inferdb_spark.gate_r10b",
+        "inferdb_spark.gate_r10c",
+        "inferdb_spark.gate_r10d",
     ):
         try:
             importlib.import_module(mod)
@@ -163,57 +167,58 @@ def _ensure_registered() -> None:
 # headliners, TPC-H battery) is now the oldest tier and leads; any gate
 # added this round is never-checked and must be inserted ABOVE this block.
 _PRIORITY: list[str] = [
-    "cronbach_alpha",
-    "kendall_w_concordance",
-    "rouge_n_halves",
-    "hosmer_lemeshow_fixedbins",
-    "cusum_control_chart",
-    "holt_linear_forecast",
-    "cvm_energy_two_sample",
-    "rdd_local_linear",
-    "theil_sen_weekly_pairs",
-    "prefixspan_bigrams",
-    "anova_oneway_priority",
-    "kruskal_wallis_binned",
-    "bartlett_variance_test",
-    "bfs_shortest_paths",
-    "cochran_armitage_trend",
-    "ks_hash_uniformity",
-    "dunn_posthoc_pairs",
-    "mood_median_test",
-    "partial_correlation",
-    "pacf_durbin_levinson",
-    "ranking_eval_shortlist",
-    "welch_t_test",
-    "effect_sizes_two_group",
-    "cliffs_delta_binned",
-    "g_test_independence",
-    "icc_oneway_customer",
-    "krippendorff_alpha_nominal",
-    "concentration_indices",
-    "err_rbp_retrieval",
-    "boxcox_loglik_grid",
-    "filter_project",
-    "topk_orders",
-    "join_enrich_revenue",
-    "semi_anti_customers",
-    "cross_join_domains",
-    "group_mode_majority",
-    "window_topk_per_group",
-    "argmax_price_part",
-    "linear_score_dense",
-    "doc_fingerprint",
-    "embedding_lsh_buckets",
-    "vocab_id_assignment",
-    "feature_hashing",
-    "bigram_lm_score",
-    "doc_chunking",
-    "gopher_repetition",
-    "reservoir_group_sample",
-    "boilerplate_ngrams",
-    "priority_weighted_sample",
-    "embedding_label_centroids",
+    "wilcoxon_signed_rank_binned",
+    "sign_test_paired",
+    "ljung_box_weekly",
+    "granger_lag1_weekly",
+    "quantile_transform_binned",
+    "e2e_curation_index",
+    "mcc_matthews_eval",
+    "iv_wald_estimator",
+    "weibull_survival_fit",
+    "ridge_regression_gram",
+    "dickey_fuller_unitroot",
+    "kpss_level_stat",
+    "newey_west_hac",
+    "variance_ratio_test",
+    "theta_method_forecast",
+    "jonckheere_terpstra_trend",
+    "hellinger_bhattacharyya_drift",
+    "hotelling_t2_two_sample",
+    "degree_assortativity",
+    "t_closeness_audit",
+    "route_agg_join",
+    "pca_projection",
+    "outlier_impute",
+    "index_score_classification",
+    "query_integration_lr",
+    "featurizer_chain",
+    "window_rownumber",
+    "rolling_window_avg",
+    "union_distinct",
+    "query_integration",
+    "auc_rank_sum",
+    "benford_first_digit",
+    "calibration_bins",
+    "target_encode_loo",
+    "grouped_ols_slope",
+    "exact_quantiles",
+    "lead_lag_deltas",
+    "regexp_extract_parse",
+    "embedding_near_pairs",
+    "not_in_null_semantics",
+    "cooccurrence_pmi",
+    "sessionize_events",
+    "asof_join_rates",
+    "interval_join_counts",
+    "funnel_stages",
+    "cohort_retention",
+    "resample_daily_ffill",
+    "stream_windowed_agg",
+    "session_window_batch",
+    "connected_components",
 ]
+
 
 
 
