@@ -97,7 +97,10 @@ def fit_bpe_merges(
     needs ~32k/batch_m Spark jobs instead of 32k — the rounds-vs-vocab
     bound is documented in DESIGN_SCALE.md.  Driver traffic: ~4*batch_m
     candidate rows per round."""
+    from inferdb_spark.scale import rotate_local_checkpoint
+
     vocab = _word_vocab(df, text_col).localCheckpoint()
+    last_ckpt = vocab
     merges: list[tuple[str, str, int]] = []
     done = 0
     while done < n_merges:
@@ -134,7 +137,8 @@ def fit_bpe_merges(
         merges.extend(batch)
         done += len(batch)
         if (done // max(batch_m, 1)) % checkpoint_every == 0 or len(batch) < want:
-            vocab = vocab.localCheckpoint()
+            vocab = rotate_local_checkpoint(vocab, last_ckpt)
+            last_ckpt = vocab
     return merges, vocab
 
 

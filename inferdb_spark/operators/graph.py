@@ -74,6 +74,7 @@ def connected_components(
 
 
 def _cc_min_label_loop(sym: DataFrame, max_iters: int) -> DataFrame:
+    from inferdb_spark.scale import free_local_checkpoint, rotate_local_checkpoint
 
     # seed with the 1-hop minimum (min(self, neighbors)) — one aggregation
     # that replaces the first propagation round
@@ -82,6 +83,7 @@ def _cc_min_label_loop(sym: DataFrame, max_iters: int) -> DataFrame:
         .agg(F.least(F.first("v"), F.min("u")).alias("lbl"))
         .localCheckpoint(eager=True)
     )
+    last_ckpt = labels
 
     prev_sum = None
     for _ in range(max_iters):
@@ -96,15 +98,16 @@ def _cc_min_label_loop(sym: DataFrame, max_iters: int) -> DataFrame:
         lbl_map = new_labels.select(
             F.col("node").alias("lbl_node"), F.col("lbl").alias("lbl2")
         )
-        new_labels = (
+        new_labels = rotate_local_checkpoint(
             new_labels.join(lbl_map, new_labels["lbl"] == lbl_map["lbl_node"], "left")
             .select(
                 "node",
                 F.coalesce("lbl2", "lbl").alias("lbl"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            last_ckpt,
         )
         labels = new_labels
+        last_ckpt = new_labels
         # labels only decrease, so an unchanged SUM is a fixpoint — one
         # scalar aggregate instead of a join-based change count
         cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
@@ -112,6 +115,8 @@ def _cc_min_label_loop(sym: DataFrame, max_iters: int) -> DataFrame:
             break
         prev_sum = cur_sum
 
+    # the edge checkpoint is dead once the final labels materialized
+    free_local_checkpoint(sym)
     return labels.select(F.col("node"), F.col("lbl").alias("component"))
 
 
@@ -162,6 +167,9 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    from inferdb_spark.scale import rotate_local_checkpoint
+
+    last_ckpt = e
     prev_chk = None
     for _ in range(max_iters):
         # large-star: per node x, attach every LARGER neighbor to the
@@ -182,13 +190,14 @@ def connected_components_star(
         # except v == m itself (skipped as a self-loop)
         m2 = e.groupBy("u").agg(F.min("v").alias("m"))
         j = e.join(m2, "u")
-        e = (
+        e = rotate_local_checkpoint(
             j.filter(F.col("v") != F.col("m"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .unionByName(j.select(F.col("u"), F.col("m").alias("v")))
-            .distinct()
-            .localCheckpoint(eager=True)
+            .distinct(),
+            last_ckpt,
         )
+        last_ckpt = e
         # fixpoint when the edge set stops changing: count + an
         # order-independent XOR fingerprint (overflow-free), one scalar
         # aggregate over the already-distinct edge relation
@@ -267,8 +276,11 @@ def pagerank_integer(
         .distinct()
         .cache()
     )
+    from inferdb_spark.scale import rotate_local_checkpoint
+
     base = F.lit(1000000 - damping_micro).cast("long")
     ranks = nodes.withColumn("rank_micro", F.lit(1000000).cast("long"))
+    last_ckpt = None
     for _ in range(n_iters):
         # `div` is Spark's *integral* division — exact BIGINT floor-quotient
         # semantics matching the oracle's `//`.  The earlier floor(a / b)
@@ -293,14 +305,15 @@ def pagerank_integer(
             f"cast(floor(cast({int(damping_micro)} as decimal(38,0)) "
             f"* coalesce(contrib, 0L) / 1000000) as long)"
         )
-        ranks = (
+        ranks = rotate_local_checkpoint(
             nodes.join(contrib, F.col("node") == F.col("dst"), "left")
             .select(
                 "node",
                 (base + F.expr(damp_expr)).alias("rank_micro"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            last_ckpt,
         )
+        last_ckpt = ranks
     return ranks
 
 
@@ -330,9 +343,12 @@ def k_core(
     engine builds is small; callers that need a guaranteed fixpoint can
     compare edge counts across rounds and stop early.
     """
+    from inferdb_spark.scale import rotate_local_checkpoint
+
     e = edges.select(F.col(u).alias("u"), F.col(v).alias("v")).localCheckpoint(
         eager=True
     )
+    last_ckpt = e
     for _ in range(n_rounds):
         deg = (
             e.select(F.col("u").alias("n"))
@@ -341,9 +357,10 @@ def k_core(
             .agg(F.count("*").alias("d"))
         )
         keep = deg.filter(F.col("d") >= k).select("n")
-        e = (
+        e = rotate_local_checkpoint(
             e.join(keep, e["u"] == keep["n"], "left_semi")
-            .join(keep, F.col("v") == keep["n"], "left_semi")
-            .localCheckpoint(eager=True)
+            .join(keep, F.col("v") == keep["n"], "left_semi"),
+            last_ckpt,
         )
+        last_ckpt = e
     return e

@@ -126,11 +126,18 @@ def unigram_em_round(
     seg = words.select(
         F.col(cnt_col).alias("_cnt"), vit.alias("_v")
     ).localCheckpoint()
-    counts = (
+    # reduce to the vocab-sized count relation eagerly, then release the
+    # corpus-sized segmentation checkpoint — otherwise each EM round
+    # leaks one corpus-scale block set until py4j GC (the trainer
+    # repeat-execution degradation; see scale.free_local_checkpoint)
+    from inferdb_spark.scale import rotate_local_checkpoint
+
+    counts = rotate_local_checkpoint(
         seg.where(F.col("_v").isNotNull())
         .select("_cnt", F.explode(F.split(F.col("_v.seg"), "/")).alias("piece"))
         .groupBy("piece")
-        .agg(F.sum("_cnt").cast("long").alias("n"))
+        .agg(F.sum("_cnt").cast("long").alias("n")),
+        seg,
     )
     tot = counts.agg(F.sum("n").cast("long").alias("tot"))
     return counts.crossJoin(F.broadcast(tot)).select(
@@ -223,8 +230,14 @@ def fit_unigram_lm(
     pieces = {p: _quantize_ln_ratio(w, tot0) for p, w in weights.items()}
 
     table: list[tuple[str, int, int]] = []
+    from inferdb_spark.scale import free_plan_checkpoints
+
     for _ in range(n_rounds):
-        rows = unigram_em_round(words, pieces, L).collect()
+        rnd = unigram_em_round(words, pieces, L)
+        rows = rnd.collect()
+        # the round result's only leaf is its internal counts checkpoint
+        # (seg was already rotated away); collected -> release it
+        free_plan_checkpoints(rnd)
         got = {r["piece"]: (int(r["n"]), int(r["score_q"])) for r in rows}
         multis = sorted(
             ((p, n, s) for p, (n, s) in got.items() if p not in char_set),
@@ -251,6 +264,9 @@ def fit_unigram_lm(
             key=lambda t: (-t[1], t[0]),
         )
         pieces.update({p: s for p, _, s in table if p in char_set})
+    from inferdb_spark.scale import free_local_checkpoint
+
+    free_local_checkpoint(words)
     return table
 
 

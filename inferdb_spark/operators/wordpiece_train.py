@@ -101,7 +101,10 @@ def fit_wordpiece_merges(
     with the symbol relation broadcast (vocabulary-sized), then ONE
     argmax row to the driver.  Merge application is a literal replace —
     the corpus is never touched after the first aggregation."""
+    from inferdb_spark.scale import rotate_local_checkpoint
+
     vocab = _wp_word_vocab(df, text_col).localCheckpoint()
+    last_ckpt = vocab
     merges: list[tuple[str, str, int, int]] = []
     for r in range(int(n_merges)):
         syms = _sym_counts(vocab)
@@ -140,7 +143,8 @@ def fit_wordpiece_merges(
             ),
         )
         if (r + 1) % checkpoint_every == 0:
-            vocab = vocab.localCheckpoint()
+            vocab = rotate_local_checkpoint(vocab, last_ckpt)
+            last_ckpt = vocab
     return merges, vocab
 
 
