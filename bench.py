@@ -42,15 +42,24 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# (load_1min_before, load_1min_after) per timed() call, in call order —
+# zipped to query names post-sweep.  BENCH_r09's 3-16x inflated cluster
+# was adjudicated environmental only after forensic re-timing; recording
+# the box load per query makes that call one lookup (round-9 verdict #3).
+_LOAD_TRACE: list[tuple[float, float]] = []
+
+
 def timed(fn, clear_cache_spark=None) -> float:
     fn()  # untimed warm-up: JIT/codegen compile of the plan (the wide
     # md5 expression trees cost ~5 s to compile, ~2 s to run; steady-state
     # throughput is the number that scales to the cluster)
+    la0 = os.getloadavg()[0]
     runs = []
     for _ in range(ITERS):
         t0 = time.perf_counter()
         fn()
         runs.append(time.perf_counter() - t0)
+    _LOAD_TRACE.append((round(la0, 2), round(os.getloadavg()[0], 2)))
     if clear_cache_spark is not None:
         # cache hygiene (round-7 verdict #3): gate fns pin fresh relations
         # each call — 4 copies per query across warm-up + iters.  Over a
@@ -355,6 +364,38 @@ def main() -> None:
                 lambda f=fn: materialize(f(spark, SF_DIR)), clear_cache_spark=spark
             )
 
+    loads = dict(zip(results.keys(), _LOAD_TRACE))
+
+    # outlier re-time (round-9 verdict #3): any gate query whose sweep
+    # median exceeds 2.5x its recorded baseline median is re-run in
+    # ISOLATION after the sweep; both numbers publish, the isolated one
+    # becomes the query's figure (the sweep figure carries whatever
+    # box-load transient hit it mid-sweep).  Non-gate queries (the
+    # index/scoring closures) depend on sweep-time pinned caches and are
+    # excluded — none of them was in BENCH_r09's inflated cluster.
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BASELINE_QUERIES.json")
+    retimed: dict[str, dict[str, float]] = {}
+    if os.path.exists(base_path) and abs(sf - 0.1) < 1e-9:
+        with open(base_path) as fh:
+            base_q = json.load(fh).get("queries", {})
+        for name, sec in list(results.items()):
+            b = base_q.get(name)
+            if b and sec > 2.5 * b and name in gq:
+                fn = gq[name]
+                iso = timed(
+                    lambda f=fn: materialize(f(spark, SF_DIR)),
+                    clear_cache_spark=spark,
+                )
+                iso_load = _LOAD_TRACE.pop()
+                retimed[name] = {
+                    "sweep": round(sec, 3),
+                    "isolated": round(iso, 3),
+                    "baseline": b,
+                    "isolated_load": list(iso_load),
+                }
+                results[name] = iso
+
     payload = {
         "metric": "headline_total",
         "value": round(sum(results.values()), 3),
@@ -365,6 +406,10 @@ def main() -> None:
         # external wrapper re-running the whole script cannot under-sample
         # the per-query medians below this
         "iters": ITERS,
+        # per-query 1-min loadavg (before, after) — environmental-noise
+        # adjudication without forensics
+        "loads": loads,
+        "retimed": retimed,
     }
     # full per-query map to a repo file (committed per round; the judge
     # reads it next to BASELINE.md)...
@@ -377,6 +422,11 @@ def main() -> None:
     # overflowed it).  Keep the summary fields, cap the inline query map to
     # the heaviest entries that fit the byte budget, and point at the file.
     line = dict(payload)
+    # per-query loads/retime detail live in the file; the stdout line
+    # keeps only the aggregate signals so it fits the capture buffer
+    del line["loads"]
+    line["retimed"] = sorted(retimed)
+    line["load_max"] = max((b for _, b in _LOAD_TRACE), default=0.0)
     line["n_queries"] = len(results)
     line["queries_full_file"] = "BENCH_FULL.json"
     budget = 1800

@@ -226,8 +226,9 @@ def q_hellinger_bhattacharyya_drift(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Hellinger distance and Bhattacharyya distance between the
-    pre-1995 and post-1995 order-value distributions on the shared $100
-    grid — the sqrt-affinity members of the drift-detection family
+    pre-1998 and post-1998 order-value distributions (split at
+    _HB_SPLIT = 1998-01-01, mid-range of the 1995-2001 span) on the
+    shared $100 grid — the sqrt-affinity members of the drift-detection family
     (PSI, JS divergence, binned Wasserstein, KS already gated; Hellinger
     is the one that is a true metric AND bounded, the usual choice for
     monitoring curation-mix drift).

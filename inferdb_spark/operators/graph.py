@@ -57,6 +57,12 @@ def connected_components(
     default — per-round localCheckpoint materialization and task
     overhead dominate this loop, not reduce width, so widening by
     default is a measured LOSS (BASELINE.md round-9 profile).
+
+    Concurrency: passing ``shuffle_partitions`` mutates the session-wide
+    ``spark.sql.shuffle.partitions`` for the loop's duration — callers
+    running concurrent queries on the same SparkSession must either
+    leave it ``None`` or serialize around this call (single-threaded
+    driver assumed, which is how every pipeline in this repo runs).
     """
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()

@@ -111,7 +111,9 @@ def main() -> int:
     ])
     audit("large_volume_orders", [
         ("HAVING filter applied on aggregated side before join",
-         lambda p: p.index("Filter (qty") < p.index("Join ")
+         # find() not index(): a regressed plan with no Join node must
+         # print FAIL, not crash the audit with ValueError
+         lambda p: p.index("Filter (qty") < p.find("Join ")
          if "Filter (qty" in p else ("HashAggregate" in p)),
     ])
     audit("multi_count_distinct", [
@@ -411,7 +413,7 @@ def main() -> int:
          "the deepest HashAggregate must sit under the Window node: windows "
          "run on the per-hour relation, never raw events)",
          lambda p: "Window" in p
-         and p.rindex("HashAggregate") > p.index("Window")),
+         and p.rfind("HashAggregate") > p.index("Window")),
     ])
     audit("mahalanobis_outliers", [
         ("moment constants broadcast back onto one scoring scan, top-k "

@@ -58,13 +58,20 @@ def main() -> int:
         w = loads.index(min(loads))
         shards[w].append(n)
         loads[w] += times[n]
-    for i, n in enumerate(unknown):
-        shards[i % n_workers].append(n)
+    # unmeasured gates join the LIGHTEST shard at a nominal weight (the
+    # median measured time, else 5 s) — round-robin from shard 0 ignored
+    # the LPT loads already assigned and skewed the balance whenever the
+    # logdir came from a different scale factor
+    nominal = sorted(times.values())[len(times) // 2] if times else 5.0
+    for n in unknown:
+        w = loads.index(min(loads))
+        shards[w].append(n)
+        loads[w] += nominal
     if known:
         print(
             f"LPT-balanced {len(known)} measured gates "
             f"(predicted spread {min(loads):.0f}-{max(loads):.0f}s per shard); "
-            f"{len(unknown)} unmeasured round-robined"
+            f"{len(unknown)} unmeasured LPT-placed at {nominal:.0f}s nominal"
         )
 
     cpus = max(2, (os.cpu_count() or 8) // n_workers)
