@@ -94,3 +94,81 @@ def test_guards_disabled_passthrough(records):
         max_candidate_pairs=None, max_distance=1,
     )
     assert pairs.count() > 0
+
+
+def test_resolve_variants_agree(records):
+    """star CC and the exact-clone quotient chain must produce the exact
+    assignments of the plain min-label chain."""
+    from inferdb_spark.operators.entity_resolution import (
+        resolve_entities_contracted,
+    )
+
+    pairs = blocked_candidate_pairs(records, ["nat", "band"], max_distance=1)
+    want = {
+        (r["node"], r["component"])
+        for r in resolve_entities(records, pairs).collect()
+    }
+    star = {
+        (r["node"], r["component"])
+        for r in resolve_entities(records, pairs, variant="star").collect()
+    }
+    assert star == want
+    for variant in ("min_label", "star"):
+        got = {
+            (r["node"], r["component"])
+            for r in resolve_entities_contracted(
+                records, ["nat", "band"], max_distance=1, variant=variant
+            ).collect()
+        }
+        assert got == want, variant
+
+
+def test_contracted_matches_plain_on_gate_shaped_data(spark, sf_dir):
+    """Full gate chain (dirty twins over customer) — contracted quotient
+    assignments must equal the uncontracted chain's exactly."""
+    from inferdb_spark.functions.hashing import h52
+    from inferdb_spark.catalog import load_table
+    from inferdb_spark.operators.entity_resolution import (
+        resolve_entities_contracted,
+    )
+
+    c = load_table(spark, sf_dir, "customer")
+    base = c.select(
+        F.col("c_custkey").cast("long").alias("rec_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nat"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    hsel = h52(F.concat(F.lit("er"), F.col("c_custkey").cast("string")))
+    pos = (
+        F.lit(1)
+        + h52(F.concat(F.lit("pos"), F.col("c_custkey").cast("string")))
+        % F.length("c_name")
+    )
+    twins = c.filter(hsel % 3 == 0).select(
+        (F.col("c_custkey") + 1000000).cast("long").alias("rec_id"),
+        F.concat(
+            F.substring(F.col("c_name"), F.lit(1), pos - 1),
+            F.col("c_name").substr(pos + 1, F.length("c_name")),
+        ).alias("name"),
+        F.col("c_nationkey").alias("nat"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    rec = base.unionByName(twins)
+    blocked = rec.withColumn("band", F.floor(F.col("cents") / 1000).cast("long"))
+    pairs = blocked_candidate_pairs(
+        blocked, ["nat", "band"], id_col="rec_id", name_col="name",
+        max_distance=1,
+    )
+    want = sorted(
+        (r["node"], r["component"])
+        for r in resolve_entities(rec, pairs, id_col="rec_id").collect()
+    )
+    got = sorted(
+        (r["node"], r["component"])
+        for r in resolve_entities_contracted(
+            blocked, ["nat", "band"], id_col="rec_id", name_col="name",
+            max_distance=1,
+        ).collect()
+    )
+    assert got == want
