@@ -61,11 +61,13 @@ def _paired_d(spark: SparkSession, sf_dir: str) -> DataFrame:
 # z = (W2 - n(n+1)/2) / (2 * sqrt(n(n+1)(2n+1)/24 - ties/48)),
 # W2 = doubled positive rank sum (exact BIGINT)
 _WILCOX_Z = (
+    # nullif: n = 0 or all-ties zero the variance — z undefined, never
+    # NaN/Inf (degenerate-battery contract; shared by both engines)
     "((CAST(w2_pos AS DOUBLE)"
     " - CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE) / 2.0)"
-    " / (2.0 * sqrt(CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)"
+    " / nullif(2.0 * sqrt(CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)"
     " * CAST(2 * n + 1 AS DOUBLE) / 24.0"
-    " - CAST(tie_term AS DOUBLE) / 48.0)))"
+    " - CAST(tie_term AS DOUBLE) / 48.0), 0.0))"
 )
 _WILCOX_OUT = [
     "n",
@@ -145,11 +147,12 @@ def q_wilcoxon_signed_rank_binned(spark: SparkSession, sf_dir: str) -> DataFrame
 _SIGN_OUT = [
     "m",
     "k_pos",
+    # nullif: zero non-tied pairs (m = 0) makes the sign z undefined
     "CAST(round((2.0 * CAST(k_pos AS DOUBLE) - CAST(m AS DOUBLE))"
-    " / sqrt(CAST(m AS DOUBLE)), 6) AS DOUBLE) AS z6",
+    " / nullif(sqrt(CAST(m AS DOUBLE)), 0.0), 6) AS DOUBLE) AS z6",
     # continuity-corrected magnitude (the classic small-sample guard)
     "CAST(round((abs(2.0 * CAST(k_pos AS DOUBLE) - CAST(m AS DOUBLE)) - 1.0)"
-    " / sqrt(CAST(m AS DOUBLE)), 6) AS DOUBLE) AS z_cc6",
+    " / nullif(sqrt(CAST(m AS DOUBLE)), 0.0), 6) AS DOUBLE) AS z_cc6",
 ]
 
 
@@ -189,10 +192,12 @@ def q_sign_test_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LB_CHI2_CRIT = 7.814728
 
 _LB_Q = (
+    # nullif: Q(3) needs n_weeks > 3 — shorter series zero a lag
+    # denominator and the statistic is undefined, never Inf
     "(CAST(n_weeks AS DOUBLE) * (CAST(n_weeks AS DOUBLE) + 2.0)"
-    " * (rho1_6 * rho1_6 / (CAST(n_weeks AS DOUBLE) - 1.0)"
-    " + rho2_6 * rho2_6 / (CAST(n_weeks AS DOUBLE) - 2.0)"
-    " + rho3_6 * rho3_6 / (CAST(n_weeks AS DOUBLE) - 3.0)))"
+    " * (rho1_6 * rho1_6 / nullif(CAST(n_weeks AS DOUBLE) - 1.0, 0.0)"
+    " + rho2_6 * rho2_6 / nullif(CAST(n_weeks AS DOUBLE) - 2.0, 0.0)"
+    " + rho3_6 * rho3_6 / nullif(CAST(n_weeks AS DOUBLE) - 3.0, 0.0)))"
 )
 _LB_OUT = [
     "n_weeks",
@@ -352,13 +357,17 @@ def _granger_f(dep_q: str, dep_s: str, p_own: str, p_oth: str,
     s12 = _c(cross_p, own_s, oth_s)
     s1y = _c(p_own, own_s, dep_s)
     s2y = _c(p_oth, oth_s, dep_s)
-    ssr_r = f"({syy} - {s1y} * {s1y} / {s11})"
+    # nullif on every Cramer denominator: constant own-lag (s11 = 0),
+    # collinear lags (det = 0), and a perfect unrestricted fit
+    # (ssr_u = 0) all make F undefined — NULL, never NaN/Inf
+    ssr_r = f"({syy} - {s1y} * {s1y} / nullif({s11}, 0.0))"
     det = f"({s11} * {s22} - {s12} * {s12})"
-    b = f"(({s1y} * {s22} - {s2y} * {s12}) / {det})"
-    c = f"(({s2y} * {s11} - {s1y} * {s12}) / {det})"
+    b = f"(({s1y} * {s22} - {s2y} * {s12}) / nullif({det}, 0.0))"
+    c = f"(({s2y} * {s11} - {s1y} * {s12}) / nullif({det}, 0.0))"
     ssr_u = f"({syy} - {b} * {s1y} - {c} * {s2y})"
     return (
-        f"(({ssr_r} - {ssr_u}) * (CAST(n AS DOUBLE) - 3.0) / {ssr_u})"
+        f"(({ssr_r} - {ssr_u}) * (CAST(n AS DOUBLE) - 3.0)"
+        f" / nullif({ssr_u}, 0.0))"
     )
 
 

@@ -240,7 +240,11 @@ _NW_OUT = [
     "CAST(round(CAST(g0 AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6)"
     " AS DOUBLE) AS gamma0_m6",
     f"CAST(round({_NW_LRV} / 1000000.0, 6) AS DOUBLE) AS lrv_m6",
-    f"CAST(round(sqrt({_NW_LRV} / CAST(n AS DOUBLE)), 6) AS DOUBLE)"
+    # CASE guard: Bartlett weights make the LRV nonnegative in exact
+    # arithmetic, but a quantized near-zero-variance corner can dip
+    # epsilon-negative — the se is then undefined (NULL), never NaN
+    f"CAST(round(CASE WHEN {_NW_LRV} >= 0.0"
+    f" THEN sqrt({_NW_LRV} / CAST(n AS DOUBLE)) END, 6) AS DOUBLE)"
     " AS se_mean6",
 ]
 

@@ -182,8 +182,12 @@ _HB_OUT = [
     "nb",
     "n_bins",
     "CAST(round(CAST(bc_nano AS DOUBLE) / 1000000000.0, 6) AS DOUBLE) AS bc6",
-    "CAST(round(sqrt(greatest(0.0, 1.0 - CAST(bc_nano AS DOUBLE)"
-    " / 1000000000.0)), 6) AS DOUBLE) AS hellinger6",
+    # CASE wrapper: greatest() IGNORES nulls in both engines, so an
+    # undefined BC (empty side) would silently read as hellinger 0.0 —
+    # propagate NULL instead
+    "CAST(round(CASE WHEN bc_nano IS NOT NULL THEN"
+    " sqrt(greatest(0.0, 1.0 - CAST(bc_nano AS DOUBLE)"
+    " / 1000000000.0)) END, 6) AS DOUBLE) AS hellinger6",
     "CAST(round(-ln(nullif(CAST(bc_nano AS DOUBLE) / 1000000000.0, 0.0)), 6)"
     " AS DOUBLE) AS bhattacharyya6",
 ]
@@ -266,9 +270,11 @@ def q_hellinger_bhattacharyya_drift(
 # written-order-double centered SS within group g over (x1, x2):
 def _ht_ss(g: str, a: str, b: str) -> str:
     q = f"q{a}{b}_{g}"
+    # nullif: an empty group's otherwise(0) moments would hit an ANSI
+    # DIVIDE_BY_ZERO here (degenerate battery row)
     return (
         f"(CAST({q} AS DOUBLE) - CAST(s{a}_{g} AS DOUBLE)"
-        f" * CAST(s{b}_{g} AS DOUBLE) / CAST(n_{g} AS DOUBLE))"
+        f" * CAST(s{b}_{g} AS DOUBLE) / nullif(CAST(n_{g} AS DOUBLE), 0.0))"
     )
 
 
@@ -277,13 +283,15 @@ _HT_DOF = "nullif(CAST(n_a + n_b - 2 AS DOUBLE), 0.0)"
 _HT_S11 = f"(({_ht_ss('a', '1', '1')} + {_ht_ss('b', '1', '1')}) / {_HT_DOF})"
 _HT_S22 = f"(({_ht_ss('a', '2', '2')} + {_ht_ss('b', '2', '2')}) / {_HT_DOF})"
 _HT_S12 = f"(({_ht_ss('a', '1', '2')} + {_ht_ss('b', '1', '2')}) / {_HT_DOF})"
+# nullif: an empty group has sum 0 with count 0 (the otherwise(0)
+# moments), so the mean is 0/0 = NaN without the guard — NULL instead
 _HT_D1 = (
-    "(CAST(s1_a AS DOUBLE) / CAST(n_a AS DOUBLE)"
-    " - CAST(s1_b AS DOUBLE) / CAST(n_b AS DOUBLE))"
+    "(CAST(s1_a AS DOUBLE) / nullif(CAST(n_a AS DOUBLE), 0.0)"
+    " - CAST(s1_b AS DOUBLE) / nullif(CAST(n_b AS DOUBLE), 0.0))"
 )
 _HT_D2 = (
-    "(CAST(s2_a AS DOUBLE) / CAST(n_a AS DOUBLE)"
-    " - CAST(s2_b AS DOUBLE) / CAST(n_b AS DOUBLE))"
+    "(CAST(s2_a AS DOUBLE) / nullif(CAST(n_a AS DOUBLE), 0.0)"
+    " - CAST(s2_b AS DOUBLE) / nullif(CAST(n_b AS DOUBLE), 0.0))"
 )
 _HT_DET = f"({_HT_S11} * {_HT_S22} - {_HT_S12} * {_HT_S12})"
 # d' S^-1 d with the 2x2 closed-form inverse
@@ -298,7 +306,8 @@ _HT_OUT = [
     f"CAST(round({_HT_D1}, 6) AS DOUBLE) AS d1_6",
     f"CAST(round({_HT_D2} / 100.0, 6) AS DOUBLE) AS d2_6",
     f"CAST(round(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)"
-    f" / CAST(n_a + n_b AS DOUBLE) * {_HT_QUAD}, 6) AS DOUBLE) AS t2_6",
+    f" / nullif(CAST(n_a + n_b AS DOUBLE), 0.0) * {_HT_QUAD}, 6)"
+    " AS DOUBLE) AS t2_6",
 ]
 
 
