@@ -608,9 +608,18 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     deleted) → blocking on (nation, $10 acctbal band) so the pairwise
     Levenshtein verify is quadratic only WITHIN blocks → edges at
     distance ≤ 1 → distributed connected components (min-label + path
-    halving) → canonical record = lowest rec_id per cluster.  The oracle
-    replays the identical chain with a recursive-CTE fixpoint.  Scale:
-    blocking bounds the candidate join; everything else is linear."""
+    halving) → canonical record = lowest rec_id per cluster.  The
+    oracle replays the identical chain with a recursive-CTE fixpoint.
+
+    Scale routing (round-10 A/B, fingerprints identical at every
+    point): this gate keeps the PLAIN chain — best at the benched
+    scales (sf0.1: plain 3.3 s vs contracted+star 8.0 s) — while
+    `resolve_entities_contracted(variant="star")` is the measured scale
+    form past ~1M records (sf1: 32.8→16.4 s; sf10 clone regime, 61%
+    clone candidates: 2318→44 s, two independent CC algorithms
+    agreeing exactly).  The crossover is encoded as an explicit caller
+    choice, not auto-derived — the round-9 CC-width refutation
+    precedent."""
     from inferdb_spark.functions.hashing import h52
     from inferdb_spark.operators.entity_resolution import (
         blocked_candidate_pairs,
