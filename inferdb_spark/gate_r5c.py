@@ -398,14 +398,18 @@ _BOOT_ORACLE = (
 
 
 def _boot_w_col(b: int):
-    u = h52(
-        F.concat(F.col("o_orderkey").cast("string"), F.lit(f"|{b}"))
-    ) / F.lit(_H52_SPACE_F)
-    w = None
-    for j, t in enumerate(_POIS_CDF):
-        cond = u < F.lit(t)
-        w = F.when(cond, j) if w is None else w.when(cond, j)
-    return w.otherwise(F.lit(6)).cast("long")
+    """Replica-b Poisson weight as ONE `F.expr` over an assembled SQL
+    string — the textual twin of the previous Column-chain form (same
+    CASE/md5/division tree, bit-identical values).  32 replicas built
+    Column-by-Column cost ~1.8 s of py4j round trips per bench run;
+    one parse call per replica is ~50x cheaper (guide §1 measure-first:
+    construction, not execution, dominated this gate)."""
+    from inferdb_spark.functions.hashing import spark_h52_sql
+
+    key = f"concat(CAST(o_orderkey AS STRING), '|{b}')"
+    u = f"({spark_h52_sql(key)} / {_H52_SPACE_F!r}D)"
+    whens = " ".join(f"WHEN {u} < {t!r}D THEN {j}" for j, t in enumerate(_POIS_CDF))
+    return F.expr(f"CAST(CASE {whens} ELSE 6 END AS BIGINT)")
 
 
 @gate("poisson_bootstrap_ci", oracle=_BOOT_ORACLE)
@@ -423,15 +427,22 @@ def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
         "o_orderkey",
     )
+    # weights materialize ONCE per row in this projection: the previous
+    # form repeated each replica's md5 tree inside both of its aggregate
+    # children (sum(w*cents), sum(w)) — 64 md5 evaluations per row where
+    # 32 suffice.  Identical values, half the hash work (guide §2.3:
+    # project before the aggregate).
+    wod = od.select(
+        "cents", *[_boot_w_col(b).alias(f"w{b}") for b in range(BOOT_B)]
+    )
     aggs = [
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("cents").alias("sx"),
     ]
     for b in range(BOOT_B):
-        w = _boot_w_col(b)
-        aggs.append(F.sum(w * F.col("cents")).alias(f"swx{b}"))
-        aggs.append(F.sum(w).alias(f"sw{b}"))
-    s = od.agg(*aggs)
+        aggs.append(F.sum(F.col(f"w{b}") * F.col("cents")).alias(f"swx{b}"))
+        aggs.append(F.sum(f"w{b}").alias(f"sw{b}"))
+    s = wod.agg(*aggs)
     means = F.sort_array(
         F.array(
             *[

@@ -207,6 +207,8 @@ def q_permutation_test_signflip(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs on identical doubles in both engines.  Scale: one scan, one
     reduce row, driver sees a single row.
     """
+    from inferdb_spark.functions.hashing import spark_h52_sql
+
     od = load_table(spark, sf_dir, "orders")
     base = od.filter(
         F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
@@ -214,6 +216,21 @@ def q_permutation_test_signflip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").cast("string").alias("k"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
         F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("g"),
+    )
+    # per-replica flip flags materialize ONCE per row here (the previous
+    # form re-evaluated each replica's md5 inside both of its aggregate
+    # children), and each flag is ONE parsed SQL expression instead of a
+    # py4j Column chain — same CASE/md5 tree, bit-identical values, ~2 s
+    # less driver-side construction per bench run (guide §1/§2.3).
+    flagged = base.select(
+        "cents",
+        "g",
+        *[
+            F.expr(
+                "((" + spark_h52_sql(f"concat(k, '|{r}')") + ") % 2) = 0"
+            ).alias(f"f{r}")
+            for r in range(1, _PERM_R + 1)
+        ],
     )
     aggs = [
         F.sum("cents").cast("long").alias("st"),
@@ -224,14 +241,14 @@ def q_permutation_test_signflip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("g").cast("long").alias("c_obs"),
     ]
     for r in range(1, _PERM_R + 1):
-        flag = h52(F.concat(F.col("k"), F.lit(f"|{r}"))) % 2 == 0
+        flag = F.col(f"f{r}")
         aggs.append(
             F.sum(F.when(flag, F.col("cents")).otherwise(0))
             .cast("long")
             .alias(f"s{r}")
         )
         aggs.append(F.sum(F.when(flag, 1).otherwise(0)).cast("long").alias(f"c{r}"))
-    sums = base.agg(*aggs)
+    sums = flagged.agg(*aggs)
 
     def diff(s, c):
         return F.abs(
