@@ -704,11 +704,18 @@ def q_quantile_regression_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         learning_rate=QR_LR, scale=QR_SCALE,
     )
     m = model.prediction()
+    # floor-snap instead of F.round(m, 6): m is a raw double, and on
+    # exact-boundary cells Spark's exact-decimal HALF_UP round and
+    # DuckDB's float-scaled nearbyint round disagree by 1 micro (sf0.001
+    # row 5681: 1.023137 vs 1.023136).  floor(m*1e6+0.5)/1e6 runs the
+    # identical float op sequence in both engines.
     return li.select(
         (F.col("l_orderkey") * 10 + F.col("l_linenumber"))
         .cast("long")
         .alias("row_id"),
-        F.round(m, 6).cast("double").alias("qpred"),
+        (F.floor(m * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0))
+        .cast("double")
+        .alias("qpred"),
         (F.col("yq") <= m).cast("long").alias("under"),
     )
 

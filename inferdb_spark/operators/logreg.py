@@ -68,14 +68,61 @@ def _xq(col: str, scale: int) -> Column:
     return F.floor(F.col(col) * F.lit(float(scale)) + F.lit(0.5)).cast("long")
 
 
+def _margin_from_ts(ts: list[Column], coefs: list[float], intercept: float) -> Column:
+    m = F.lit(float(intercept))
+    for t, b in zip(ts, coefs):
+        m = m + F.lit(float(b)) * t
+    return m
+
+
 def _margin_expr(
     feature_cols: list[str], coefs: list[float], intercept: float, scale: int
 ) -> Column:
-    m = F.lit(float(intercept))
-    for c, b in zip(feature_cols, coefs):
-        t = _xq(c, scale).cast("double") / F.lit(float(scale))
-        m = m + F.lit(float(b)) * t
-    return m
+    ts = [_xq(c, scale).cast("double") / F.lit(float(scale)) for c in feature_cols]
+    return _margin_from_ts(ts, coefs, intercept)
+
+
+# -- quantize-once fit-loop input (optimization round 10) -------------------
+#
+# Every GD fit here runs n_steps sequential one-row aggregations.  The
+# original loops aggregated over the RAW df, so each step re-scanned the
+# parquet and re-quantized every feature — and on the single-row-group
+# local files that scan is ONE task, serializing each step's per-row work
+# (floor/exp/compare) on one core.  The prep below materializes the
+# integer quantizations ONCE into a spread, persisted projection; steps
+# then aggregate cached BIGINTs in parallel.
+#
+# Bit-exactness: the cached column _xq{j} holds exactly _xq(col, scale);
+# margins rebuild t = cast(_xq{j} AS DOUBLE) / scale — the same long
+# cast to the same double the inline form produces, so every
+# margin/probability/gradient value (and therefore every fitted
+# coefficient and the oracle replay) is unchanged.  The per-step sums are
+# exact BIGINTs, so the repartition cannot reorder anything observable.
+
+
+def _gd_input(
+    df: DataFrame, feature_cols: list[str], label_col: str, scale: int
+) -> DataFrame:
+    from inferdb_spark.scale import spread
+
+    proj = df.select(
+        *[_xq(c, scale).alias(f"_xq{j}") for j, c in enumerate(feature_cols)],
+        F.col(label_col).alias("_y"),
+    )
+    return spread(proj).persist()
+
+
+def _q_ts(p: int, scale: int) -> list[Column]:
+    return [
+        F.col(f"_xq{j}").cast("double") / F.lit(float(scale)) for j in range(p)
+    ]
+
+
+def _gd_sums(qdf: DataFrame, p: int, gq: Column) -> DataFrame:
+    aggs = [F.count(F.lit(1)).alias("n"), F.sum(gq).alias("sg")]
+    for j in range(p):
+        aggs.append(F.sum(gq * F.col(f"_xq{j}")).alias(f"sgx_{j}"))
+    return qdf.agg(*aggs)
 
 
 def _snap_prob(margin: Column) -> Column:
@@ -119,16 +166,21 @@ def fit_logreg_gd(
     coefs = [0.0] * p
     intercept = 0.0
     lr = float(learning_rate)
-    for _ in range(n_steps):
-        row = gradient_relation(
-            df, feature_cols, label_col, coefs, intercept, scale
-        ).collect()[0]
-        n = row["n"]
-        intercept = intercept - lr * (row["sg"] / (1000000.0 * n))
-        coefs = [
-            coefs[j] - lr * (row[f"sgx_{j}"] / (1000000.0 * scale * n))
-            for j in range(p)
-        ]
+    qdf = _gd_input(df, feature_cols, label_col, scale)
+    try:
+        y = F.col("_y").cast("double")
+        for _ in range(n_steps):
+            prob = _snap_prob(_margin_from_ts(_q_ts(p, scale), coefs, intercept))
+            gq = F.floor((prob - y) * F.lit(float(GRID)) + F.lit(0.5)).cast("long")
+            row = _gd_sums(qdf, p, gq).collect()[0]
+            n = row["n"]
+            intercept = intercept - lr * (row["sg"] / (1000000.0 * n))
+            coefs = [
+                coefs[j] - lr * (row[f"sgx_{j}"] / (1000000.0 * scale * n))
+                for j in range(p)
+            ]
+    finally:
+        qdf.unpersist()
     return LogRegModel(
         feature_cols=list(feature_cols),
         coefs=coefs,
@@ -157,10 +209,12 @@ def fit_logreg_gd_history(
     intercept = 0.0
     lr = float(learning_rate)
     history: list[LogRegModel] = []
+    qdf = _gd_input(df, feature_cols, label_col, scale)
+    y = F.col("_y").cast("double")
     for _ in range(n_steps):
-        row = gradient_relation(
-            df, feature_cols, label_col, coefs, intercept, scale
-        ).collect()[0]
+        prob = _snap_prob(_margin_from_ts(_q_ts(p, scale), coefs, intercept))
+        gq = F.floor((prob - y) * F.lit(float(GRID)) + F.lit(0.5)).cast("long")
+        row = _gd_sums(qdf, p, gq).collect()[0]
         n = row["n"]
         intercept = intercept - lr * (row["sg"] / (1000000.0 * n))
         coefs = [
@@ -177,6 +231,7 @@ def fit_logreg_gd_history(
                 learning_rate=lr,
             )
         )
+    qdf.unpersist()
     return history
 
 
@@ -466,16 +521,23 @@ def fit_quantile_gd(
     coefs = [0.0] * p
     intercept = 0.0
     lr = float(learning_rate)
-    for _ in range(n_steps):
-        row = quantile_gradient_relation(
-            df, feature_cols, label_col, coefs, intercept, scale, tau_micro
-        ).collect()[0]
-        n = row["n"]
-        intercept = intercept - lr * (row["sg"] / (1000000.0 * n))
-        coefs = [
-            coefs[j] - lr * (row[f"sgx_{j}"] / (1000000.0 * scale * n))
-            for j in range(p)
-        ]
+    qdf = _gd_input(df, feature_cols, label_col, scale)
+    try:
+        y = F.col("_y").cast("double")
+        for _ in range(n_steps):
+            m = _margin_from_ts(_q_ts(p, scale), coefs, intercept)
+            gq = (
+                F.when(y > m, F.lit(-tau_micro)).otherwise(F.lit(GRID - tau_micro))
+            ).cast("long")
+            row = _gd_sums(qdf, p, gq).collect()[0]
+            n = row["n"]
+            intercept = intercept - lr * (row["sg"] / (1000000.0 * n))
+            coefs = [
+                coefs[j] - lr * (row[f"sgx_{j}"] / (1000000.0 * scale * n))
+                for j in range(p)
+            ]
+    finally:
+        qdf.unpersist()
     return QuantRegModel(
         feature_cols=list(feature_cols), coefs=coefs, intercept=intercept,
         scale=scale, tau_micro=tau_micro, n_steps=n_steps, learning_rate=lr,
@@ -548,7 +610,13 @@ def fit_predict_quantile_sql(
     return (
         "WITH "
         + ", ".join(ctes)
-        + f" SELECT row_id, CAST(round({m}, 6) AS DOUBLE) AS qpred, "
+        # floor-snap, NOT round(,6): the margin is a raw (unsnapped)
+        # double, and on exact-boundary cells Spark's round (exact-decimal
+        # HALF_UP) and DuckDB's (float-scaled nearbyint, half-even)
+        # disagree by 1e-6 — seen at sf0.001 row 5681.  floor(x*1e6+0.5)
+        # is the same float op sequence in both engines, so it cannot.
+        + f" SELECT row_id, CAST(floor({m} * 1000000.0 + 0.5) / 1000000.0 "
+        "AS DOUBLE) AS qpred, "
         f"CAST(CASE WHEN y <= {m} THEN 1 ELSE 0 END AS BIGINT) AS under "
         f"FROM b CROSS JOIN {final} ORDER BY row_id"
     )
@@ -651,10 +719,15 @@ def fit_svm_gd(
     intercept = 0.0
     lr = float(learning_rate)
     lamf = float(lam)
+    qdf = _gd_input(df, feature_cols, label_col, scale)
+    y_sign = F.lit(2.0) * F.col("_y").cast("double") - F.lit(1.0)
     for _ in range(n_steps):
-        row = svm_gradient_relation(
-            df, feature_cols, label_col, coefs, intercept, scale
-        ).collect()[0]
+        m = _margin_from_ts(_q_ts(p, scale), coefs, intercept)
+        gq = (
+            F.when((y_sign * m) < F.lit(1.0), (-y_sign) * F.lit(float(GRID)))
+            .otherwise(F.lit(0.0))
+        ).cast("long")
+        row = _gd_sums(qdf, p, gq).collect()[0]
         n = row["n"]
         intercept = intercept - lr * (row["sg"] / (1000000.0 * n))
         coefs = [
@@ -662,6 +735,7 @@ def fit_svm_gd(
             - lr * (row[f"sgx_{j}"] / (1000000.0 * scale * n) + lamf * coefs[j])
             for j in range(p)
         ]
+    qdf.unpersist()
     return SVMModel(
         feature_cols=list(feature_cols), coefs=coefs, intercept=intercept,
         scale=scale, lam=lamf, n_steps=n_steps, learning_rate=lr,

@@ -101,76 +101,147 @@ def fit_mf_gd(
     n_steps: int = 3,
     learning_rate: float = 1.0,
 ) -> MFModel:
-    """Joint full-batch GD.  Per step: join ratings⋈U⋈V -> eq, then both
-    factor relations update from the SAME error snapshot (checkpointed so
-    the join subtree runs once)."""
+    """Joint full-batch GD, ONE materialization barrier per step.
+
+    The original loop paid 3 eager localCheckpoint jobs per step (error
+    snapshot E, new U, new V) + 2 for the inits — 11 barriers for the
+    3-step gate fit, and the barriers (not the arithmetic) dominated the
+    bench (guide §1 profiling: 4.7 s construct vs 1.4 s exec).  This form
+    holds BOTH factor matrices in one tagged relation
+    W = (tag 0|1, key, q0..q{k-1}) and per step:
+      - rebuilds the error join from the cached triples + checkpointed W,
+      - emits each rating row's user-gradient and item-gradient records
+        in ONE pass via a 2-element posexplode-free array-of-structs
+        explode (no double evaluation of the join subtree),
+      - aggregates both gradient tables in ONE groupBy(tag, key) shuffle,
+      - left-joins the updates back onto W and checkpoints the new W —
+        the single barrier.
+    1 + n_steps barriers total (4 for the gate fit vs 11).
+
+    Bit-exactness vs the 3-barrier form: the per-(tag,key) gradient sums
+    are exact BIGINT sums of the identical eq*factor terms (grouping by
+    (tag, key) partitions them identically to the old per-side groupBys),
+    and the update expression text is unchanged, so every intermediate
+    factor — and the DuckDB replay — is unchanged.  Superseded W
+    checkpoints are freed each step (round-9 verdict #2 leak rule).
+    """
+    from inferdb_spark.scale import free_local_checkpoint, spread
+
     lr = float(learning_rate)
-    r = ratings.select(
-        F.col(user_col).cast("long").alias("u"),
-        F.col(item_col).cast("long").alias("i"),
-        F.col(rating_col).cast("double").alias("rating"),
+    # The triple projection is referenced by every step's error join —
+    # spread it across cores (the local one-row-group parquet scans as
+    # ONE task otherwise) and persist so the n_steps consumers read the
+    # cache instead of re-scanning (guide §1/§2).
+    r = spread(
+        ratings.select(
+            F.col(user_col).cast("long").alias("u"),
+            F.col(item_col).cast("long").alias("i"),
+            F.col(rating_col).cast("double").alias("rating"),
+        )
+    ).persist()
+
+    # Fused init: ONE distinct shuffle over the tagged (0,u)/(1,i) key
+    # union instead of two separate distinct+checkpoint jobs.  The h52
+    # seed text per (tag, key, f) is identical to _init_factors' per-side
+    # form ('u'||key||'_f' / 'v'||key||'_f'), so every initial factor is
+    # unchanged.
+    keys = (
+        r.select(
+            F.explode(
+                F.array(
+                    F.struct(F.lit(0).alias("tag"), F.col("u").alias("key")),
+                    F.struct(F.lit(1).alias("tag"), F.col("i").alias("key")),
+                )
+            ).alias("rec")
+        )
+        .select("rec.*")
+        .distinct()
     )
-    U = _init_factors(r, "u", "u", k).localCheckpoint(eager=True)
-    V = _init_factors(r, "i", "v", k).localCheckpoint(eager=True)
+    prefix = F.when(F.col("tag") == 0, F.lit("u")).otherwise(F.lit("v"))
+    W = keys.select(
+        "tag",
+        "key",
+        *[
+            (
+                h52(F.concat(prefix, F.col("key").cast("string"), F.lit(f"_{f}")))
+                % F.lit(2 * INIT_RANGE + 1)
+                - F.lit(INIT_RANGE)
+            )
+            .cast("long")
+            .alias(f"q{f}")
+            for f in range(k)
+        ],
+    ).localCheckpoint(eager=True)
+
+    def _side(tag: int, key: str, prefix: str) -> DataFrame:
+        return W.filter(F.col("tag") == tag).select(
+            F.col("key").alias(key),
+            *[F.col(f"q{f}").alias(f"{prefix}q{f}") for f in range(k)],
+        )
+
     for _ in range(n_steps):
         E = (
-            r.join(U, "u").join(V, "i")
+            r.join(_side(0, "u", "u"), "u")
+            .join(_side(1, "i", "v"), "i")
             .withColumn("eq", _error_micro(k))
-            .localCheckpoint(eager=True)
         )
-        u_aggs = [F.count(F.lit(1)).alias("n_u")] + [
-            F.sum(F.col("eq") * F.col(f"vq{f}")).alias(f"s{f}") for f in range(k)
-        ]
-        gu = E.groupBy("u").agg(*u_aggs)
-        U = (
-            U.join(gu, "u", "left")
+        grad_recs = F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("tag"),
+                    F.col("u").alias("key"),
+                    *[
+                        (F.col("eq") * F.col(f"vq{f}")).alias(f"g{f}")
+                        for f in range(k)
+                    ],
+                ),
+                F.struct(
+                    F.lit(1).alias("tag"),
+                    F.col("i").alias("key"),
+                    *[
+                        (F.col("eq") * F.col(f"uq{f}")).alias(f"g{f}")
+                        for f in range(k)
+                    ],
+                ),
+            )
+        )
+        G = (
+            E.select(grad_recs.alias("rec"))
+            .select("rec.*")
+            .groupBy("tag", "key")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.sum(F.col(f"g{f}")).alias(f"s{f}") for f in range(k)],
+            )
+        )
+        W_prev = W
+        W = (
+            W.join(G, ["tag", "key"], "left")
             .select(
-                "u",
+                "tag",
+                "key",
                 *[
                     F.when(
-                        F.col("n_u").isNotNull(),
-                        F.col(f"uq{f}")
+                        F.col("n").isNotNull(),
+                        F.col(f"q{f}")
                         + F.floor(
                             F.lit(lr) * F.col(f"s{f}").cast("double")
-                            / (F.lit(1e6) * F.col("n_u").cast("double"))
+                            / (F.lit(1e6) * F.col("n").cast("double"))
                             + F.lit(0.5)
                         ).cast("long"),
                     )
-                    .otherwise(F.col(f"uq{f}"))
-                    .alias(f"uq{f}")
+                    .otherwise(F.col(f"q{f}"))
+                    .alias(f"q{f}")
                     for f in range(k)
                 ],
             )
             .localCheckpoint(eager=True)
         )
-        v_aggs = [F.count(F.lit(1)).alias("n_v")] + [
-            F.sum(F.col("eq") * F.col(f"uq{f}")).alias(f"s{f}") for f in range(k)
-        ]
-        gv = E.groupBy("i").agg(*v_aggs)
-        V = (
-            V.join(gv, "i", "left")
-            .select(
-                "i",
-                *[
-                    F.when(
-                        F.col("n_v").isNotNull(),
-                        F.col(f"vq{f}")
-                        + F.floor(
-                            F.lit(lr) * F.col(f"s{f}").cast("double")
-                            / (F.lit(1e6) * F.col("n_v").cast("double"))
-                            + F.lit(0.5)
-                        ).cast("long"),
-                    )
-                    .otherwise(F.col(f"vq{f}"))
-                    .alias(f"vq{f}")
-                    for f in range(k)
-                ],
-            )
-            .localCheckpoint(eager=True)
-        )
+        free_local_checkpoint(W_prev)
+    r.unpersist()
     return MFModel(
         user_col="u", item_col="i", k=k,
-        user_factors=U, item_factors=V,
+        user_factors=_side(0, "u", "u"), item_factors=_side(1, "i", "v"),
         n_steps=n_steps, learning_rate=lr,
     )
 

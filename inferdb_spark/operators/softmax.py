@@ -123,6 +123,45 @@ def gradient_relation(
     return df.agg(*aggs)
 
 
+def _gradient_relation_q(
+    qdf: DataFrame,
+    p: int,
+    label_col: str,
+    coefs: list[list[float]],
+    intercepts: list[float],
+    scale: int,
+) -> DataFrame:
+    """gradient_relation reading the PRE-QUANTIZED fit input (_xq{j}
+    BIGINT columns): identical expression tree except the xq leaves are
+    cached longs instead of floor(col*scale+0.5) recomputed per row —
+    same values, same written-order parenthesization, same snapping."""
+    n_classes = len(coefs)
+    ms = []
+    for c in range(n_classes):
+        m = F.lit(float(intercepts[c]))
+        for j in range(p):
+            t = F.col(f"_xq{j}").cast("double") / F.lit(float(scale))
+            m = m + F.lit(float(coefs[c][j])) * t
+        ms.append(m)
+    denom = F.exp(ms[0])
+    for m in ms[1:]:
+        denom = denom + F.exp(m)
+    ps = [
+        F.floor(F.exp(m) / denom * F.lit(float(GRID)) + F.lit(0.5))
+        / F.lit(float(GRID))
+        for m in ms
+    ]
+    y = F.col(label_col).cast("long")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in range(n_classes):
+        yc = (y == c).cast("double")
+        gq = F.floor((ps[c] - yc) * F.lit(float(GRID)) + F.lit(0.5)).cast("long")
+        aggs.append(F.sum(gq).alias(f"sg_{c}"))
+        for j in range(p):
+            aggs.append(F.sum(gq * F.col(f"_xq{j}")).alias(f"sgx_{c}_{j}"))
+    return qdf.agg(*aggs)
+
+
 def fit_softmax_gd(
     df: DataFrame,
     feature_cols: list[str],
@@ -138,10 +177,26 @@ def fit_softmax_gd(
     coefs = [[0.0] * p for _ in range(n_classes)]
     intercepts = [0.0] * n_classes
     lr = float(learning_rate)
+    # quantize-once fit input (see operators/logreg._gd_input): the
+    # integer feature quantizations and the label are materialized into a
+    # spread, persisted projection so each of the n_steps aggregations
+    # reads cached BIGINTs in parallel instead of re-scanning the (one-
+    # row-group, one-task) parquet and re-quantizing per row per step.
+    # The cached _xq{j} is exactly _xq(col, scale); margins rebuild
+    # t = cast(_xq{j} AS DOUBLE)/scale — bit-identical to the inline form,
+    # and the gradient sums are exact BIGINTs, so the fitted matrix (and
+    # the DuckDB fit replay) is unchanged.
+    from inferdb_spark.scale import spread
+
+    qdf = spread(
+        df.select(
+            *[_xq(c, scale).alias(f"_xq{j}") for j, c in enumerate(feature_cols)],
+            F.col(label_col).alias("_y"),
+        )
+    ).persist()
     for _ in range(n_steps):
-        row = gradient_relation(
-            df, feature_cols, label_col, coefs, intercepts, scale
-        ).collect()[0]
+        row = _gradient_relation_q(qdf, p, label_col="_y", coefs=coefs,
+                                   intercepts=intercepts, scale=scale).collect()[0]
         n = row["n"]
         intercepts = [
             intercepts[c] - lr * (row[f"sg_{c}"] / (1000000.0 * n))
@@ -155,6 +210,7 @@ def fit_softmax_gd(
             ]
             for c in range(n_classes)
         ]
+    qdf.unpersist()
     return SoftmaxModel(
         feature_cols=list(feature_cols), n_classes=n_classes, coefs=coefs,
         intercepts=intercepts, scale=scale, n_steps=n_steps, learning_rate=lr,

@@ -6,6 +6,8 @@ local tests exercise correctness, the docstrings carry the sizing rules.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -112,6 +114,61 @@ def repartition_for_output(
         return df.coalesce(max(1, df.rdd.getNumPartitions()))
     n = max(1, estimated_total_mb // target_file_mb)
     return df.repartition(n)
+
+
+@contextmanager
+def no_adaptive(spark):
+    """Disable AQE around a driver-side fit loop of small, fixed-shape
+    aggregate jobs.
+
+    AQE materializes every exchange as a separate re-planned stage; for a
+    one-row global aggregate whose reduce side is a single partition by
+    construction, that re-planning is pure per-job latency (measured on
+    the softmax fit step over a cached 600k-row relation: collect 0.43 s
+    with AQE vs 0.16 s without — the values are identical, AQE only
+    rewrites physical plans).  Worth it ONLY for loops issuing many tiny
+    jobs; leave AQE on for anything with joins (it is what upgrades a
+    checkpointed-relation join to broadcast) or real shuffle volume.
+
+    Session-wide and therefore single-threaded by assumption — the same
+    contract as graph.connected_components' shuffle_partitions knob.
+    Restores the previous setting on exit.
+    """
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition a NARROW relation up to the session's core
+    count when its current layout yields fewer tasks than cores.
+
+    Why: a parquet file is task-split only at row-group boundaries, so a
+    single-row-group file (every local sf table here) scans as ONE task —
+    and any heavy per-row compute placed before the first exchange (md5
+    replica trees, feature quantization, tokenization) then serializes on
+    one core no matter how many exist.  Spreading the *projected* narrow
+    columns is a few MB of shuffle that buys cores-x parallelism for the
+    map work (guide §2.2 "fewer, larger map tasks" read in reverse: here
+    the map side is pathologically NARROW, one task).
+
+    Scale-adaptive, not a local[32] constant: the target is the session's
+    defaultParallelism and the repartition only fires when the actual
+    plan layout has fewer partitions — at cluster scale a 100 TB scan
+    already yields >= cores row-group splits and this is a no-op.
+
+    Only safe where downstream arithmetic is partitioning-insensitive
+    (exact-integer aggregation, per-row projections) — the house
+    determinism rules (CLAUDE.md) make every gate qualify.
+    """
+    spark = df.sparkSession
+    target = partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 def assert_small_side(
