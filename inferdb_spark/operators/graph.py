@@ -100,18 +100,31 @@ def _cc_min_label_loop(sym: DataFrame, max_iters: int) -> DataFrame:
             .unionByName(labels)
         )
         new_labels = cand.groupBy("node").agg(F.min("lbl").alias("lbl"))
-        # path halving: lbl := lbl(lbl) — collapses chains exponentially
-        lbl_map = new_labels.select(
-            F.col("node").alias("lbl_node"), F.col("lbl").alias("lbl2")
-        )
-        new_labels = rotate_local_checkpoint(
-            new_labels.join(lbl_map, new_labels["lbl"] == lbl_map["lbl_node"], "left")
-            .select(
-                "node",
-                F.coalesce("lbl2", "lbl").alias("lbl"),
-            ),
-            last_ckpt,
-        )
+        # path compression: lbl := lbl(lbl), applied THREE times against
+        # the round's node→lbl map.  One application (classic halving)
+        # converged in 13 rounds on the co-purchase gate graph; each
+        # extra application is only a broadcast self-join of the
+        # node-count relation INSIDE the same checkpoint job (no extra
+        # barrier), and three cut the loop to 6 rounds — per-round job
+        # latency, not data volume, dominates this loop (guide §1.2).
+        # The map is monotone (map[x] <= x), so iterating it preserves
+        # the fixpoint exactly: final labels are component minima either
+        # way, and the loop exits on the same unchanged-sum test.
+        resolved = new_labels
+        for h in range(3):
+            lbl_map = new_labels.select(
+                F.col("node").alias(f"_ln{h}"), F.col("lbl").alias(f"_lv{h}")
+            )
+            resolved = (
+                resolved.join(
+                    lbl_map, resolved["lbl"] == lbl_map[f"_ln{h}"], "left"
+                )
+                .select(
+                    "node",
+                    F.coalesce(f"_lv{h}", "lbl").alias("lbl"),
+                )
+            )
+        new_labels = rotate_local_checkpoint(resolved, last_ckpt)
         labels = new_labels
         last_ckpt = new_labels
         # labels only decrease, so an unchanged SUM is a fixpoint — one
