@@ -390,14 +390,30 @@ def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     calibration split of billions of rows."""
     from inferdb_spark.functions.hashing import h52
     from inferdb_spark.operators.order_stats import exact_kth_smallest
+    from inferdb_spark.scale import spread
 
     li = load_table(spark, sf_dir, "lineitem")
     rid = (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("long")
-    base = li.select(
-        rid.alias("row_id"),
-        (h52(F.concat(F.lit("cp"), rid.cast("string"))) % 100).alias("h"),
-        (F.col("l_partkey") % 50).alias("key"),
-        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y_cents"),
+    # spread + persist the split base: the md5 split hash is the gate's
+    # dominant per-row cost and the plan referenced it FOUR times (model,
+    # calib inside the eager bisection, then test + model again in the
+    # final job), each a single-task pass over the one-row-group scan
+    # (guide §2.2, §5.2).  One parallel pass now feeds all three splits;
+    # h52 is per-row deterministic and every aggregate downstream is
+    # exact-integer, so values are unchanged.
+    base = (
+        spread(
+            li.select(
+                "l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice"
+            )
+        )
+        .select(
+            rid.alias("row_id"),
+            (h52(F.concat(F.lit("cp"), rid.cast("string"))) % 100).alias("h"),
+            (F.col("l_partkey") % 50).alias("key"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("y_cents"),
+        )
+        .persist()
     )
     model = (
         base.filter(F.col("h") < 60)
