@@ -350,8 +350,17 @@ def q_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     Encode + assign are argmin-over-literal projections: no Python, no
     extra shuffle beyond the top-k."""
     from inferdb_spark.operators.similarity import ivf_build, ivf_pq_search
+    from inferdb_spark.scale import spread
 
-    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 3 == 0)
+    # The one-row-group scan serializes the whole per-row HOF pipeline
+    # (centroid argmin + PQ encode + LUT sum) on a single task; spreading
+    # the filtered vectors first (<1 MB shuffle here) buys cores-x
+    # parallelism for that compute (guide §2.2 via scale.spread — no-op on
+    # a multi-split cluster scan).  Output is a TakeOrderedAndProject over
+    # exact integers with (adc_q, id) ties, so layout cannot change it.
+    e = spread(
+        load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 3 == 0)
+    )
     indexed = ivf_build(e, "embedding", SD_CENTROIDS)
     return ivf_pq_search(
         indexed,

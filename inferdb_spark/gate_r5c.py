@@ -397,19 +397,19 @@ _BOOT_ORACLE = (
 )
 
 
-def _boot_w_col(b: int):
-    """Replica-b Poisson weight as ONE `F.expr` over an assembled SQL
-    string — the textual twin of the previous Column-chain form (same
-    CASE/md5/division tree, bit-identical values).  32 replicas built
-    Column-by-Column cost ~1.8 s of py4j round trips per bench run;
-    one parse call per replica is ~50x cheaper (guide §1 measure-first:
-    construction, not execution, dominated this gate)."""
+def _boot_w_sql_spark(b: int) -> str:
+    """Replica-b Poisson weight as an assembled Spark-SQL string — the
+    textual twin of the original Column-chain form (same CASE/md5/
+    division tree, bit-identical values).  32 replicas built
+    Column-by-Column cost ~1.8 s of py4j round trips per bench run; all
+    32 strings now parse JVM-side in ONE selectExpr call (guide §1
+    measure-first: construction, not execution, dominated this gate)."""
     from inferdb_spark.functions.hashing import spark_h52_sql
 
     key = f"concat(CAST(o_orderkey AS STRING), '|{b}')"
     u = f"({spark_h52_sql(key)} / {_H52_SPACE_F!r}D)"
     whens = " ".join(f"WHEN {u} < {t!r}D THEN {j}" for j, t in enumerate(_POIS_CDF))
-    return F.expr(f"CAST(CASE {whens} ELSE 6 END AS BIGINT)")
+    return f"CAST(CASE {whens} ELSE 6 END AS BIGINT)"
 
 
 @gate("poisson_bootstrap_ci", oracle=_BOOT_ORACLE)
@@ -423,44 +423,55 @@ def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     [2nd, 31st] order statistic of the 32 replica means (6dp) — sorting
     32 doubles driver-free via sort_array.  At 100 TB: still one scan, one
     combiner row per partition."""
+    from inferdb_spark.scale import spread
+
     od = load_table(spark, sf_dir, "orders").select(
         F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
         "o_orderkey",
     )
+    # The single-row-group parquet scans as ONE task, which would put all
+    # 32 md5 trees per row on one core; spreading the 2-column base first
+    # is a ~2 MB round-robin shuffle that buys cores-x parallelism for the
+    # hash work (guide §2.2 via scale.spread; no-op once the scan itself
+    # is multi-split).  Every aggregate below is an exact BIGINT sum, so
+    # the layout cannot affect values (isolated A/B: exec 4.4 s -> 1.0 s).
+    od = spread(od)
     # weights materialize ONCE per row in this projection: the previous
     # form repeated each replica's md5 tree inside both of its aggregate
     # children (sum(w*cents), sum(w)) — 64 md5 evaluations per row where
     # 32 suffice.  Identical values, half the hash work (guide §2.3:
-    # project before the aggregate).
-    wod = od.select(
-        "cents", *[_boot_w_col(b).alias(f"w{b}") for b in range(BOOT_B)]
+    # project before the aggregate).  ONE selectExpr call parses all 32
+    # replica expressions JVM-side (the per-replica F.expr form still
+    # paid 32 py4j round trips of construction — guide §1, same textual
+    # SQL so the parsed trees are identical).
+    wod = od.selectExpr(
+        "cents",
+        *[f"{_boot_w_sql_spark(b)} AS w{b}" for b in range(BOOT_B)],
     )
+    # the aggregate and order-statistic projections are textual twins of
+    # the previous Column chains (~550 py4j construction calls between
+    # them): one parse per agg column + ONE selectExpr for the final row
     aggs = [
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("cents").alias("sx"),
+        F.expr("CAST(count(1) AS BIGINT) AS n"),
+        F.expr("sum(cents) AS sx"),
     ]
     for b in range(BOOT_B):
-        aggs.append(F.sum(F.col(f"w{b}") * F.col("cents")).alias(f"swx{b}"))
-        aggs.append(F.sum(f"w{b}").alias(f"sw{b}"))
+        aggs.append(F.expr(f"sum(w{b} * cents) AS swx{b}"))
+        aggs.append(F.expr(f"sum(w{b}) AS sw{b}"))
     s = wod.agg(*aggs)
-    means = F.sort_array(
-        F.array(
-            *[
-                F.round(
-                    F.col(f"swx{b}").cast("double") / F.col(f"sw{b}").cast("double"),
-                    6,
-                )
-                for b in range(BOOT_B)
-            ]
+    means_sql = (
+        "sort_array(array("
+        + ", ".join(
+            f"round(CAST(swx{b} AS DOUBLE) / CAST(sw{b} AS DOUBLE), 6)"
+            for b in range(BOOT_B)
         )
+        + "))"
     )
-    return s.select(
+    return s.selectExpr(
         "n",
-        F.round(F.col("sx").cast("double") / F.col("n"), 6)
-        .cast("double")
-        .alias("point6"),
-        F.element_at(means, 2).cast("double").alias("lo6"),
-        F.element_at(means, BOOT_B - 1).cast("double").alias("hi6"),
+        "CAST(round(CAST(sx AS DOUBLE) / n, 6) AS DOUBLE) AS point6",
+        f"CAST(element_at({means_sql}, 2) AS DOUBLE) AS lo6",
+        f"CAST(element_at({means_sql}, {BOOT_B - 1}) AS DOUBLE) AS hi6",
     )
 
 

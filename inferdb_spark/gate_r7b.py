@@ -217,57 +217,73 @@ def q_permutation_test_signflip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
         F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("g"),
     )
+    # Spread the narrow filtered base across cores before the md5 work:
+    # the one-row-group scan is a single task, and 32 md5 trees per row
+    # on one core dominate this gate's execution (guide §2.2 via
+    # scale.spread; exact BIGINT sums below are layout-insensitive).
+    from inferdb_spark.scale import spread
+
+    base = spread(base)
     # per-replica flip flags materialize ONCE per row here (the previous
     # form re-evaluated each replica's md5 inside both of its aggregate
-    # children), and each flag is ONE parsed SQL expression instead of a
-    # py4j Column chain — same CASE/md5 tree, bit-identical values, ~2 s
-    # less driver-side construction per bench run (guide §1/§2.3).
-    flagged = base.select(
+    # children); all 32 flag expressions parse JVM-side in ONE selectExpr
+    # call — the per-replica F.expr form still paid 32 py4j round trips
+    # of construction.  Same SQL text, so the parsed trees and values are
+    # bit-identical (guide §1/§2.3).
+    flagged = base.selectExpr(
         "cents",
         "g",
         *[
-            F.expr(
-                "((" + spark_h52_sql(f"concat(k, '|{r}')") + ") % 2) = 0"
-            ).alias(f"f{r}")
+            "(((" + spark_h52_sql(f"concat(k, '|{r}')") + ") % 2) = 0)"
+            f" AS f{r}"
             for r in range(1, _PERM_R + 1)
         ],
     )
+    # textual twins of the previous Column chains (the 64 conditional
+    # sums + 32 replica diffs cost ~1.5 s of py4j construction): one
+    # parse per agg column + ONE selectExpr for the final row — same
+    # CASE/abs/division trees, bit-identical values (guide §1)
     aggs = [
-        F.sum("cents").cast("long").alias("st"),
-        F.count("*").cast("long").alias("ct"),
-        F.sum(F.when(F.col("g") == 1, F.col("cents")).otherwise(0))
-        .cast("long")
-        .alias("s_obs"),
-        F.sum("g").cast("long").alias("c_obs"),
+        F.expr("CAST(sum(cents) AS BIGINT) AS st"),
+        F.expr("CAST(count(*) AS BIGINT) AS ct"),
+        F.expr(
+            "CAST(sum(CASE WHEN g = 1 THEN cents ELSE 0 END) AS BIGINT)"
+            " AS s_obs"
+        ),
+        F.expr("CAST(sum(g) AS BIGINT) AS c_obs"),
     ]
     for r in range(1, _PERM_R + 1):
-        flag = F.col(f"f{r}")
         aggs.append(
-            F.sum(F.when(flag, F.col("cents")).otherwise(0))
-            .cast("long")
-            .alias(f"s{r}")
+            F.expr(
+                f"CAST(sum(CASE WHEN f{r} THEN cents ELSE 0 END) AS BIGINT)"
+                f" AS s{r}"
+            )
         )
-        aggs.append(F.sum(F.when(flag, 1).otherwise(0)).cast("long").alias(f"c{r}"))
+        aggs.append(
+            F.expr(
+                f"CAST(sum(CASE WHEN f{r} THEN 1 ELSE 0 END) AS BIGINT)"
+                f" AS c{r}"
+            )
+        )
     sums = flagged.agg(*aggs)
 
-    def diff(s, c):
-        return F.abs(
-            F.col(s).cast("double") / F.col(c).cast("double")
-            - (F.col("st") - F.col(s)).cast("double")
-            / (F.col("ct") - F.col(c)).cast("double")
+    def diff_sql(s: str, c: str) -> str:
+        return (
+            f"abs(CAST({s} AS DOUBLE) / CAST({c} AS DOUBLE)"
+            f" - CAST(st - {s} AS DOUBLE) / CAST(ct - {c} AS DOUBLE))"
         )
 
-    d_obs = diff("s_obs", "c_obs")
-    exceed = None
-    for r in range(1, _PERM_R + 1):
-        term = F.when(diff(f"s{r}", f"c{r}") >= d_obs, 1).otherwise(0)
-        exceed = term if exceed is None else exceed + term
-    return sums.select(
-        F.col("ct").alias("n"),
-        F.round(d_obs / F.lit(100.0), 6).alias("obs_diff"),
-        F.round(
-            (F.lit(1.0) + exceed.cast("double")) / F.lit(float(_PERM_R + 1)), 6
-        ).alias("p_value"),
+    d_obs = diff_sql("s_obs", "c_obs")
+    exceed = " + ".join(
+        f"(CASE WHEN {diff_sql(f's{r}', f'c{r}')} >= {d_obs}"
+        " THEN 1 ELSE 0 END)"
+        for r in range(1, _PERM_R + 1)
+    )
+    return sums.selectExpr(
+        "ct AS n",
+        f"round({d_obs} / 100.0D, 6) AS obs_diff",
+        f"round((1.0D + CAST({exceed} AS DOUBLE)) / {float(_PERM_R + 1)!r}D, 6)"
+        " AS p_value",
     )
 
 

@@ -250,6 +250,7 @@ def q_gbt_train_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges=GBT_EDGES,
         base_score=GBT_BASE_SCORE,
         learning_rate=0.5,
+        track_loss=False,
     )
     return li.select(
         (F.col("l_orderkey") * 10 + F.col("l_linenumber"))
@@ -294,6 +295,7 @@ def q_gbt_train_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges=GBT_EDGES,
         base_score=0.0,
         learning_rate=0.5,
+        track_loss=False,
     )
     return li.select(
         (F.col("l_orderkey") * 10 + F.col("l_linenumber"))

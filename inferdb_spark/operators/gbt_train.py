@@ -493,6 +493,7 @@ def fit_hist_gbt(
     valid_df: DataFrame | None = None,
     early_stopping_rounds: int | None = None,
     tol: float = 1e-7,
+    track_loss: bool = True,
 ) -> HistGBTModel:
     """Distributed histogram-GBT fit.  See module docstring for the
     scale/determinism contract.
@@ -501,7 +502,12 @@ def fit_hist_gbt(
     evaluated each round (the fitted tree's real-valued expression scores
     the validation relation — one extra map-only pass); training stops
     after that many rounds without improvement and the model is truncated
-    to the best iteration, XGBoost semantics."""
+    to the best iteration, XGBoost semantics.
+
+    `track_loss=False` skips the per-round train-loss aggregation (one
+    cluster job per tree whose only product is the informational
+    `train_rounds` log — it never feeds back into the fit); the fitted
+    trees, leaf weights and predictions are identical either way."""
     if edges is None:
         edges = quantile_edges(df, feature_cols, n_bins)
     nb = [len(edges[c]) for c in feature_cols]
@@ -542,8 +548,15 @@ def fit_hist_gbt(
             "_hq", _quantize_expr(h)
         ).withColumn("_nid", F.lit(0))
 
-        # level-wise growth
+        # level-wise growth.  node_totals accumulates every open node's
+        # exact (sum_gq, sum_hq, count) as it is first seen: the root's
+        # from the level-0 histogram, each child's from the parent's
+        # prefix sums over the split feature's bins — the SAME integer
+        # additions a groupBy over the routed rows would perform, so the
+        # final leaf weights are derivable on the driver with no extra
+        # cluster job (the former per-tree `groupBy(_nid)` collect).
         splits_by_node: dict[int, tuple[int, int]] = {}
+        node_totals: dict[int, tuple[int, int, int]] = {}
         open_nodes = [0]
         for _depth in range(max_depth):
             if not open_nodes:
@@ -582,6 +595,16 @@ def fit_hist_gbt(
                 hist, open_nodes, len(feature_cols), nb,
                 reg_lambda, gamma, min_child_weight,
             )
+            # record each open node's exact totals from feature 0's bin
+            # slice (every row lands in exactly one bin of feature 0)
+            for nid in open_nodes:
+                tg = th = tc = 0
+                for b in range(nb[0] + 1):
+                    g_, h_, c_ = hist.get((nid, 0, b), (0, 0, 0))
+                    tg += g_
+                    th += h_
+                    tc += c_
+                node_totals[nid] = (tg, th, tc)
             # one flat when-chain routes every split node's rows
             next_open: list[int] = []
             route_expr = None
@@ -591,6 +614,17 @@ def fit_hist_gbt(
                     continue
                 f_idx, sb, gain, cover = d
                 splits_by_node[nid] = (f_idx, sb)
+                # children totals: left = prefix sums over bins <= sb of
+                # the split feature, right = node minus left (exact ints)
+                lg = lh = lc = 0
+                for b in range(sb + 1):
+                    g_, h_, c_ = hist.get((nid, f_idx, b), (0, 0, 0))
+                    lg += g_
+                    lh += h_
+                    lc += c_
+                tg, th, tc = node_totals[nid]
+                node_totals[2 * nid + 1] = (lg, lh, lc)
+                node_totals[2 * nid + 2] = (tg - lg, th - lh, tc - lc)
                 split_stats.append((feature_cols[f_idx], gain, cover))
                 is_n = F.col("_nid") == nid
                 goes_left = is_n & (F.col(f"_b{f_idx}") <= F.lit(sb))
@@ -612,18 +646,30 @@ def fit_hist_gbt(
             )
             open_nodes = next_open
 
-        # leaf weights from final per-node integer sums
-        leaf_rows = (
-            cur.groupBy("_nid")
-            .agg(F.sum("_gq").alias("g"), F.sum("_hq").alias("h"))
-            .collect()
-        )
-        leaf_w = {
-            int(r["_nid"]): _leaf_weight(
-                int(r["g"]), int(r["h"]), reg_lambda, learning_rate
+        # leaf weights from final per-node integer sums.  The totals were
+        # accumulated level by level above (same BIGINT additions the old
+        # `groupBy(_nid)` job performed, zero-count nodes excluded exactly
+        # as that collect excluded them); the cluster job is gone.  The
+        # degenerate max_depth=0 loop (no histogram ever built) keeps the
+        # aggregation fallback.
+        if node_totals:
+            leaf_w = {
+                nid: _leaf_weight(g, h, reg_lambda, learning_rate)
+                for nid, (g, h, c) in node_totals.items()
+                if nid not in splits_by_node and c > 0
+            }
+        else:
+            leaf_rows = (
+                cur.groupBy("_nid")
+                .agg(F.sum("_gq").alias("g"), F.sum("_hq").alias("h"))
+                .collect()
             )
-            for r in leaf_rows
-        }
+            leaf_w = {
+                int(r["_nid"]): _leaf_weight(
+                    int(r["g"]), int(r["h"]), reg_lambda, learning_rate
+                )
+                for r in leaf_rows
+            }
         tree = _assemble_tree(
             0, splits_by_node, leaf_w, feature_cols, edges
         )
@@ -644,18 +690,20 @@ def fit_hist_gbt(
         if (t + 1) % checkpoint_every == 0:
             work = work.localCheckpoint()
 
-        if objective == "logistic":
-            loss = work.select(
-                F.avg(
-                    F.ln(F.lit(1.0) + F.exp(-F.col("_m")))
-                    + (F.lit(1.0) - F.col("_y")) * F.col("_m")
-                )
-            ).collect()[0][0]
-        else:
-            loss = work.select(
-                F.avg((F.col("_m") - F.col("_y")) ** 2)
-            ).collect()[0][0]
-        entry = {"round": t, "train_loss": float(loss)}
+        entry: dict[str, float] = {"round": t}
+        if track_loss:
+            if objective == "logistic":
+                loss = work.select(
+                    F.avg(
+                        F.ln(F.lit(1.0) + F.exp(-F.col("_m")))
+                        + (F.lit(1.0) - F.col("_y")) * F.col("_m")
+                    )
+                ).collect()[0][0]
+            else:
+                loss = work.select(
+                    F.avg((F.col("_m") - F.col("_y")) ** 2)
+                ).collect()[0][0]
+            entry["train_loss"] = float(loss)
 
         if vwork is not None:
             from inferdb_spark.operators import trees as T

@@ -190,6 +190,55 @@ def fit_ivf_centroids(
     return [[float(x) for x in c] for c in model.clusterCenters()]
 
 
+def _sql_dlit(x: float) -> str:
+    """A Spark-SQL DOUBLE literal with the exact bits of ``F.lit(float(x))``
+    (repr round-trips doubles; exponent forms are already DOUBLE in SQL)."""
+    r = repr(float(x))
+    return r if ("e" in r or "E" in r or "n" in r) else r + "D"
+
+
+def ivf_assign_sql(vec_sql: str, centroids: list[list[float]]) -> str:
+    """Textual twin of :func:`ivf_assign` over a SQL vector expression —
+    the SAME argmin tree (zip_with/aggregate fold per centroid, array_min
+    over (d, list_id) structs) assembled as one string so it parses
+    JVM-side in a single call.  Building it Column-by-Column costs
+    ~|centroids| x dim py4j round trips of pure driver latency (measured
+    ~3 s of construct on the ivf_pq_search gate, guide §1); the parsed
+    tree and every IEEE operation are identical, so assignments are
+    bit-equal."""
+    v = f"CAST({vec_sql} AS ARRAY<DOUBLE>)"
+    entries = []
+    for i, c in enumerate(centroids):
+        arr = "array(" + ", ".join(_sql_dlit(x) for x in c) + ")"
+        d = (
+            f"aggregate(zip_with({v}, {arr}, (a, b) -> (a - b) * (a - b)), "
+            "0.0D, (acc, x) -> acc + x)"
+        )
+        entries.append(f"named_struct('d', {d}, 'list_id', {i})")
+    return "array_min(array(" + ", ".join(entries) + ")).list_id"
+
+
+def pq_encode_sql(vec_sql: str, codebooks: list[list[list[float]]]) -> str:
+    """Textual twin of :func:`pq_encode` (same per-subspace argmin trees,
+    one JVM-side parse instead of thousands of py4j literal calls — the
+    dominant construction cost of the IVF-PQ query).  Exact same IEEE
+    arithmetic and struct ordering, so codes are bit-equal."""
+    v = f"CAST({vec_sql} AS ARRAY<DOUBLE>)"
+    sub = len(codebooks[0][0])
+    codes = []
+    for s, book in enumerate(codebooks):
+        cands = []
+        for c in range(len(book)):
+            terms = "0.0D"
+            for j in range(sub):
+                e = f"element_at({v}, {s * sub + j + 1})"
+                b = _sql_dlit(book[c][j])
+                terms += f" + ({e} - {b}) * ({e} - {b})"
+            cands.append(f"named_struct('d', {terms}, 'c', {c})")
+        codes.append("array_min(array(" + ", ".join(cands) + ")).c")
+    return "array(" + ", ".join(codes) + ")"
+
+
 def ivf_assign(vec_col: Column, centroids: list[list[float]]) -> Column:
     """Nearest-centroid (list) id as a projection: argmin over literal
     centroids by squared L2 — no join, no shuffle, lowest-id tiebreak.
@@ -237,8 +286,12 @@ def ivf_build(
 ) -> DataFrame:
     """Assign every vector to its inverted list.  At scale, persist this
     partitioned/bucketed BY list_id so a probe touches only the probed
-    lists' files (partition pruning does the index lookup)."""
-    return df.withColumn("list_id", ivf_assign(F.col(vec_col), centroids))
+    lists' files (partition pruning does the index lookup).  Uses the
+    SQL-assembled twin of ivf_assign: one parse call instead of
+    ~|centroids| x dim py4j round trips (bit-identical tree)."""
+    return df.withColumn(
+        "list_id", F.expr(ivf_assign_sql(f"`{vec_col}`", centroids))
+    )
 
 
 def coarse_probe_ids(
@@ -576,7 +629,12 @@ def ivf_pq_search(
             adc_q = term if adc_q is None else adc_q + term
         return adc_q
 
-    adc = bind_once(pq_encode(F.col(vec_col), codebooks), with_codes)
+    # SQL-assembled encode (textual twin of pq_encode): one parse call
+    # instead of thousands of py4j literal round trips — construction,
+    # not execution, dominated this query (guide §1)
+    adc = bind_once(
+        F.expr(pq_encode_sql(f"`{vec_col}`", codebooks)), with_codes
+    )
     return (
         indexed.filter(F.col("list_id").isin(probe_ids))
         .select(F.col(id_col), adc.cast("long").alias("adc_q"))

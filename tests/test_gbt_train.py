@@ -291,6 +291,61 @@ def _exact_greedy_one_tree(
     return G._assemble_tree(0, splits, leaf_w, feats, edges)
 
 
+def test_track_loss_off_same_model(synth):
+    """track_loss=False must fit the IDENTICAL model (trees, base score)
+    while skipping the per-round train-loss job — the loss is purely
+    informational and never feeds back into the fit.  Also guards the
+    derived-leaf-weight path: weights now come from driver-side prefix
+    sums over the level histograms instead of a per-tree groupBy collect,
+    and both fits here flow through that derivation."""
+    df, X, y, ybin = synth
+    kw = dict(n_trees=3, max_depth=2, edges=EDGES, base_score=0.0)
+    for obj, label in (("squared", "y"), ("logistic", "ybin")):
+        a = G.fit_hist_gbt(df, FEATS, label, objective=obj, **kw)
+        b = G.fit_hist_gbt(
+            df, FEATS, label, objective=obj, track_loss=False, **kw
+        )
+        assert a.trees == b.trees
+        assert a.base_score == b.base_score
+        assert all("train_loss" in r for r in a.train_rounds)
+        assert all("train_loss" not in r for r in b.train_rounds)
+
+
+def test_derived_leaf_weights_match_row_aggregation(synth):
+    """The driver-derived leaf totals (histogram prefix sums) must equal a
+    direct groupBy over the routed rows — the invariant that let the
+    per-tree leaf collect be removed."""
+    df, X, y, _ = synth
+    m = G.fit_hist_gbt(
+        df, FEATS, "y", objective="squared", n_trees=1, max_depth=3,
+        edges=EDGES, base_score=0.0, track_loss=False,
+    )
+    # recompute each leaf's quantized gradient sums from the raw rows
+    tree = m.trees[0]
+    leaves: dict[tuple, float] = {}
+
+    def walk(node, path):
+        if "value" in node:
+            leaves[tuple(path)] = node["value"]
+            return
+        step = (node["feature"], node["threshold"])
+        walk(node["left"], path + [step + ("L",)])
+        walk(node["right"], path + [step + ("R",)])
+
+    walk(tree, [])
+    for path, value in leaves.items():
+        cond = F.lit(True)
+        for feat, thr, side in path:
+            c = F.col(feat) <= F.lit(thr)
+            cond = cond & (c if side == "L" else ~c)
+        rows = df.where(cond).select(
+            G._quantize_expr(F.lit(0.0) - F.col("y")).alias("gq"),
+            G._quantize_expr(F.lit(1.0)).alias("hq"),
+        ).agg(F.sum("gq").alias("g"), F.sum("hq").alias("h")).collect()[0]
+        want = G._leaf_weight(int(rows["g"]), int(rows["h"]), 1.0, 0.3)
+        assert value == want, (path, value, want)
+
+
 def test_one_tree_matches_exact_greedy(synth):
     """Histogram trainer == brute-force exact greedy on one tree.  Guards
     the node-totals bug class: totals summed over ALL features' histogram

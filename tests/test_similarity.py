@@ -63,3 +63,45 @@ def test_sq8_codes_bounded_and_rank_matches_float(spark):
     zs = fit_sq8_scales(zdf, "embedding")
     assert all(s == 0.0 for s in zs)
     assert sq8_quantize_query(query, zs) == [0] * 8
+
+
+def test_sql_twins_match_column_forms(spark):
+    """The SQL-assembled twins of ivf_assign / pq_encode (one JVM-side
+    parse instead of thousands of py4j literal calls) must produce
+    bit-identical assignments and codes to the Column-built originals on
+    every row — the equivalence that let ivf_build / ivf_pq_search switch
+    to them."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from inferdb_spark.operators.similarity import (
+        ivf_assign,
+        ivf_assign_sql,
+        pq_encode,
+        pq_encode_sql,
+    )
+
+    rng = np.random.RandomState(11)
+    vecs = rng.uniform(-1, 1, size=(200, 16)).astype(np.float32)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": range(200), "embedding": [v.tolist() for v in vecs]}
+        )
+    )
+    cents = [
+        [round(float(x), 3) for x in rng.uniform(-1, 1, 16)] for _ in range(5)
+    ]
+    books = [
+        [[round(float(x), 3) for x in rng.uniform(-1, 1, 4)] for _ in range(8)]
+        for _ in range(4)
+    ]
+    rows = df.select(
+        ivf_assign(F.col("embedding"), cents).alias("a_col"),
+        F.expr(ivf_assign_sql("`embedding`", cents)).alias("a_sql"),
+        pq_encode(F.col("embedding"), books).alias("c_col"),
+        F.expr(pq_encode_sql("`embedding`", books)).alias("c_sql"),
+    ).collect()
+    for r in rows:
+        assert r["a_col"] == r["a_sql"]
+        assert list(r["c_col"]) == list(r["c_sql"])
