@@ -31,6 +31,10 @@ def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFram
     Returns the deduplicated frame.  The shuffle key is md5(content), never
     the raw content — constant-width keys regardless of document size."""
     h = F.md5(F.concat_ws("\x1f", *[F.col(c) for c in content_cols]))
+    # NOTE (r10): spreading before the md5 was A/B-measured a small
+    # regression (0.28 -> 0.40 s isolated) and is wrong at scale anyway —
+    # it round-robins the full CONTENT to parallelize one md5 per row
+    # (guide §2.3: never shuffle the payload for light map work).
     keep = (
         df.select(F.col(id_col), h.alias("_h"))
         .groupBy("_h")
@@ -119,6 +123,14 @@ def lsh_band_relation(
     rpb = n_hashes // bands
     if parallelism:
         df = df.repartition(parallelism)
+    else:
+        from inferdb_spark.scale import spread
+
+        # spread: the signature (shingle + n_hashes permutation mins per
+        # row, md5-heavy) is the minhash bottleneck; a one-row-group scan
+        # runs it on ONE core (guide §2.2).  Signatures are per-row
+        # deterministic — layout cannot affect the band relation.
+        df = spread(df.select(F.col(id_col), F.col(text_col)))
     sig = df.select(
         F.col(id_col),
         minhash_signature(
@@ -337,7 +349,14 @@ def simhash_near_pairs(
     """Near-dup pairs by SimHash: block on `n_bits/band_bits` disjoint bit
     bands (a pair within hamming d must agree on ≥1 band if bands >
     max_hamming), verify with exact hamming distance."""
-    fp_df = df.select(F.col(id_col), simhash(F.col(text_col), n_bits).alias("fp"))
+    from inferdb_spark.scale import spread
+
+    # spread: the per-row simhash (shingle + md5 per shingle) is the
+    # heavy map work; a one-row-group scan runs it on ONE core
+    # (guide §2.2).  Fingerprints are per-row deterministic.
+    fp_df = spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), simhash(F.col(text_col), n_bits).alias("fp")
+    )
     n_bands = n_bits // band_bits
     bands = fp_df.select(
         id_col,
@@ -413,7 +432,12 @@ def prefix_filter_pairs(
         if shingle_n > 0
         else tokens(F.col(text_col))
     )
-    sets = df.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("s"))
+    from inferdb_spark.scale import spread
+
+    # spread: shingle explode off the one-task scan (guide §2.2)
+    sets = spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), F.explode(F.array_distinct(sh)).alias("s")
+    )
     dfreq = sets.groupBy("s").agg(F.count("*").alias("df"))
     sized = sets.join(dfreq, "s").withColumn(
         "sz", F.count("*").over(Window.partitionBy(id_col))

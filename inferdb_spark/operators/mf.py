@@ -80,11 +80,21 @@ class MFModel:
     item_factors: DataFrame  # (item, vq0..vq{k-1})
     n_steps: int
     learning_rate: float
+    broadcast_factors: bool = True
 
     def predict(self, ratings: DataFrame) -> DataFrame:
-        """Append `pred_micro2` = Σ_f uq_f·vq_f (exact BIGINT, 1e-12 units)."""
-        joined = ratings.join(self.user_factors, self.user_col, "left").join(
-            self.item_factors, self.item_col, "left"
+        """Append `pred_micro2` = Σ_f uq_f·vq_f (exact BIGINT, 1e-12 units).
+
+        The factor sides come out of localCheckpoint (RDD scans with NO
+        size statistics), so without a hint the planner falls back to
+        SortMergeJoin and shuffles the full rating relation by user and
+        again by item (r10 plan audit: 2 Exchange + 2 sorts).  With
+        `broadcast_factors` (the default) both probes are map-only;
+        results are identical either way — broadcast only changes WHERE
+        the hash table lives."""
+        wrap = F.broadcast if self.broadcast_factors else (lambda d: d)
+        joined = ratings.join(wrap(self.user_factors), self.user_col, "left").join(
+            wrap(self.item_factors), self.item_col, "left"
         )
         dot = F.col("uq0") * F.col("vq0")
         for f in range(1, self.k):
@@ -100,8 +110,21 @@ def fit_mf_gd(
     k: int = 2,
     n_steps: int = 3,
     learning_rate: float = 1.0,
+    broadcast_factors: bool = True,
 ) -> MFModel:
     """Joint full-batch GD, ONE materialization barrier per step.
+
+    `broadcast_factors` (default True): hint the factor relation W and
+    the per-step gradient table G as broadcast sides.  Both are
+    O(users + items) rows of k+2 BIGINTs and come out of
+    localCheckpoint/groupBy with no usable size statistics, so the
+    planner otherwise picks SortMergeJoin and shuffles the RATINGS
+    relation by u, again by i, and W by (tag, key) — five exchanges per
+    step where one (the gradient groupBy) suffices.  Values are
+    join-strategy-independent (exact BIGINT arithmetic, same rows).
+    Pass False beyond ~10^8 distinct keys, where the factor relation
+    outgrows a broadcast (8 GB / 512M-row cap) — the SMJ shape is the
+    prior behavior and stays correct.
 
     The original loop paid 3 eager localCheckpoint jobs per step (error
     snapshot E, new U, new V) + 2 for the inits — 11 barriers for the
@@ -179,10 +202,11 @@ def fit_mf_gd(
             *[F.col(f"q{f}").alias(f"{prefix}q{f}") for f in range(k)],
         )
 
+    wrap = F.broadcast if broadcast_factors else (lambda d: d)
     for _ in range(n_steps):
         E = (
-            r.join(_side(0, "u", "u"), "u")
-            .join(_side(1, "i", "v"), "i")
+            r.join(wrap(_side(0, "u", "u")), "u")
+            .join(wrap(_side(1, "i", "v")), "i")
             .withColumn("eq", _error_micro(k))
         )
         grad_recs = F.explode(
@@ -216,7 +240,7 @@ def fit_mf_gd(
         )
         W_prev = W
         W = (
-            W.join(G, ["tag", "key"], "left")
+            W.join(wrap(G), ["tag", "key"], "left")
             .select(
                 "tag",
                 "key",
@@ -243,6 +267,7 @@ def fit_mf_gd(
         user_col="u", item_col="i", k=k,
         user_factors=_side(0, "u", "u"), item_factors=_side(1, "i", "v"),
         n_steps=n_steps, learning_rate=lr,
+        broadcast_factors=broadcast_factors,
     )
 
 

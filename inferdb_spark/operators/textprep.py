@@ -203,9 +203,14 @@ def build_vocab(
     from pyspark.sql import Window
 
     from inferdb_spark.functions import text as TXT
+    from inferdb_spark.scale import spread
 
+    # parallelize the single-task tokenize+explode on one-row-group scans
+    # (guide §2.2, the poisson/char_entropy pattern; no-op on multi-split
+    # scans).  Counts are exact integers — layout cannot affect values.
     counts = (
-        df.select(F.explode(TXT.tokens(F.col(text_col))).alias("term"))
+        spread(df.select(F.col(text_col)))
+        .select(F.explode(TXT.tokens(F.col(text_col))).alias("term"))
         .groupBy("term")
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= min_count)
@@ -226,7 +231,13 @@ def apply_vocab(
     strategy from stats otherwise."""
     from inferdb_spark.functions import text as TXT
 
-    toks = df.select(F.col(id_col), F.explode(TXT.tokens(F.col(text_col))).alias("term"))
+    from inferdb_spark.scale import spread
+
+    # spread: single-task scan -> cores-x tokenize (guide §2.2); join is
+    # per-row against a broadcast, so layout cannot affect values.
+    toks = spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), F.explode(TXT.tokens(F.col(text_col))).alias("term")
+    )
     return toks.join(F.broadcast(vocab.select("term", "term_id")), "term", "left")
 
 
@@ -246,7 +257,13 @@ def hash_features(
     from inferdb_spark.functions import text as TXT
     from inferdb_spark.functions.hashing import h52
 
-    toks = df.select(F.col(id_col), F.explode(TXT.tokens(F.col(text_col))).alias("term"))
+    # spread: parallelize tokenize+h52 off the one-task scan (guide §2.2);
+    # the bucket sums are exact integers — layout-insensitive.
+    from inferdb_spark.scale import spread
+
+    toks = spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), F.explode(TXT.tokens(F.col(text_col))).alias("term")
+    )
     h = h52(F.col("term"))
     signed = toks.select(
         F.col(id_col),
@@ -291,6 +308,10 @@ def bigram_counts(df: DataFrame, text_col: str = "text") -> tuple[DataFrame, Dat
     (one scan here vs three)."""
     from inferdb_spark.functions import text as TXT
 
+    # NOTE (r10): spreading before this cached tokenize was A/B-measured
+    # a wash-to-regression (the three vocab-bound aggregates over the
+    # small cached relation pay 32-task scheduling overhead per pass that
+    # exceeds the single-task tokenize it parallelizes) — reverted.
     toks = df.select(TXT.tokens(F.col(text_col)).alias("t")).cache()
     pairs = toks.select(F.explode(_bigram_structs("t")).alias("b")).select(
         "b.w1", "b.w2"
@@ -444,8 +465,12 @@ def ngram_hash_postings(
     """
     from inferdb_spark.functions.hashing import h52
     from inferdb_spark.functions.text import word_ngrams
+    from inferdb_spark.scale import spread
 
-    out = df.select(
+    # spread: gram explode + hash is the heavy map work; one-row-group
+    # scans would run it on ONE core (guide §2.2).  Output is a distinct
+    # posting set keyed by exact hashes — layout-insensitive.
+    out = spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("g")
     )
     if hash_fn not in ("md5", "xxhash64"):
@@ -596,7 +621,11 @@ def paragraph_dedup(
 
     # F.split takes a Java regex; the separator is a LITERAL (the DuckDB
     # oracle twin uses string_split), so quote any metacharacters.
-    paras = df.select(
+    from inferdb_spark.scale import spread
+
+    # spread: paragraph split/explode off the one-task scan (guide §2.2);
+    # the keep decision is a (_id, _pos)-min per paragraph — exact.
+    paras = spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("_id"),
         F.posexplode(
             F.split(F.col(text_col), re.escape(sep))
@@ -903,9 +932,13 @@ def dsir_bucket_weights(
     quantization absorbs libm-vs-JVM ULPs."""
     from inferdb_spark.functions import text as TXT
     from inferdb_spark.functions.hashing import h52
+    from inferdb_spark.scale import spread
 
     def bucket_counts(df: DataFrame, name: str) -> DataFrame:
-        toks = df.select(F.explode(TXT.tokens(F.col(text_col))).alias("term"))
+        # spread: cores-x tokenize+hash (guide §2.2); exact-int counts.
+        toks = spread(df.select(F.col(text_col))).select(
+            F.explode(TXT.tokens(F.col(text_col))).alias("term")
+        )
         return (
             toks.select((h52(F.col("term")) % dim).alias("bucket"))
             .groupBy("bucket")
@@ -963,8 +996,11 @@ def dsir_select(
     from inferdb_spark.functions import text as TXT
     from inferdb_spark.functions.hashing import h52
 
+    from inferdb_spark.scale import spread
+
     w = dsir_bucket_weights(target, raw, text_col, dim)
-    toks = raw.select(
+    # spread: cores-x tokenize+hash (guide §2.2); exact-int scores.
+    toks = spread(raw.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.explode(TXT.tokens(F.col(text_col))).alias("_term")
     ).select(F.col(id_col), (h52(F.col("_term")) % dim).alias("bucket"))
     scored = (
@@ -1031,8 +1067,13 @@ def substring_dedup(
         measured 34.8s -> 14.9s median at sf1 (full 50k-doc rewrite)."""
     from pyspark.sql.window import Window
 
+    from inferdb_spark.scale import spread
+
     arr = tokens(F.col(text_col))
-    base = df.select(F.col(id_col).alias("_id"), arr.alias("_a"))
+    # spread: the k-gram md5 transform is the heavy map work (guide §2.2)
+    base = spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col).alias("_id"), arr.alias("_a")
+    )
     grams = base.where(F.size("_a") >= k).select(
         "_id",
         F.posexplode(
@@ -1154,6 +1195,10 @@ def ngram_lm_counts(
     lets a 100 TB corpus train at n-gram-table cost."""
     from inferdb_spark.functions import text as TXT
 
+    # NOTE (r10): spread-before-cache A/B-measured a regression here
+    # (trigram_backoff_lm 2.0-2.3 -> 3.0-3.6 s; perplexity_bucket_select
+    # 2.7-3.3 -> 3.9-5.3 s): the vocab-bound aggregates pay 32-task
+    # scheduling per pass over a tiny cached relation.  Reverted.
     toks = df.select(TXT.tokens(F.col(text_col)).alias("t")).cache()
     tri = (
         toks.select(F.explode(_trigram_structs("t")).alias("g"))
@@ -1345,7 +1390,17 @@ def char_entropy(
             ),
         ).otherwise(F.array().cast("array<string>")),
     )
-    chars = df.select(F.col(id_col), F.explode(ch_arr).alias("_ch"))
+    from inferdb_spark.scale import spread
+
+    # the per-character explode is the expensive map work; on a
+    # single-row-group local file the scan is ONE task, which would
+    # serialize normalize+explode on one core.  Spreading the narrow
+    # (id, text) projection first buys cores-x parallelism and is a no-op
+    # once the scan is multi-split (guide §2.2; the poisson/ivf pattern).
+    # All downstream aggregates are exact integer sums, so layout cannot
+    # affect values.
+    base = spread(df.select(F.col(id_col), F.col(text_col)))
+    chars = base.select(F.col(id_col), F.explode(ch_arr).alias("_ch"))
     cnt = chars.groupBy(id_col, "_ch").agg(
         F.count("*").cast("long").alias("_c")
     )
