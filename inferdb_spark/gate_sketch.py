@@ -173,13 +173,8 @@ def q_bm25_ranked_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     training data needs.  Extends gate:tfidf_top_terms to the IR-standard
     scoring the reference's corpus tooling lacks.
     """
-    from inferdb_spark.scale import spread
-
     d = load_table(spark, sf_dir, "documents")
-    # spread: cores-x tokenize off the one-task scan (guide §2.2)
-    tok = spread(d.select("doc_id", "text")).select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
-    )
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
     # ONE tokenize pass: dl and dfreq both derive from the (much smaller)
     # tf relation — dl = Σ tf per doc — and tf feeds scoring, so cache it
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).cache()
@@ -504,14 +499,11 @@ def q_cms_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     est ≥ true always; the absent term estimates 0 unless all four of its
     counters collide.  Build is one posexplode + map-side-combined count.
     """
-    from inferdb_spark.scale import spread
-
     d = load_table(spark, sf_dir, "documents")
-    # spread: cores-x tokenize off the one-task scan; tok is consumed
-    # twice (build + truth join), both exact-count aggregations (§2.2)
-    tok = spread(d.select("text")).select(
-        F.explode(tokens(F.col("text"))).alias("term")
-    )
+    # NOTE (r10): spread() before this tokenize REFUTED by alternating
+    # A/B (min 1.97 -> 2.29 s) — same tokenize->groupBy shape as
+    # fit_vocab; the refutation note there carries the analysis.
+    tok = d.select(F.explode(tokens(F.col("text"))).alias("term"))
     cms = cms_build(tok, F.col("term"), CMS_D, CMS_W)
     probes = spark.createDataFrame([(t,) for t in CMS_PROBES], "probe string")
     est = cms_estimate(cms, probes, F.col("probe"), CMS_D, CMS_W)

@@ -203,14 +203,13 @@ def build_vocab(
     from pyspark.sql import Window
 
     from inferdb_spark.functions import text as TXT
-    from inferdb_spark.scale import spread
 
-    # parallelize the single-task tokenize+explode on one-row-group scans
-    # (guide §2.2, the poisson/char_entropy pattern; no-op on multi-split
-    # scans).  Counts are exact integers — layout cannot affect values.
+    # NOTE (r10): spread() before this tokenize was REFUTED by an
+    # alternating A/B (tfidf_top_terms min 1.55 -> 1.80 s): tokenize ->
+    # immediate map-side-combined groupBy gains less from parallelism
+    # than the extra exchange + 32-task scheduling costs.
     counts = (
-        spread(df.select(F.col(text_col)))
-        .select(F.explode(TXT.tokens(F.col(text_col))).alias("term"))
+        df.select(F.explode(TXT.tokens(F.col(text_col))).alias("term"))
         .groupBy("term")
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= min_count)
@@ -231,13 +230,7 @@ def apply_vocab(
     strategy from stats otherwise."""
     from inferdb_spark.functions import text as TXT
 
-    from inferdb_spark.scale import spread
-
-    # spread: single-task scan -> cores-x tokenize (guide §2.2); join is
-    # per-row against a broadcast, so layout cannot affect values.
-    toks = spread(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col), F.explode(TXT.tokens(F.col(text_col))).alias("term")
-    )
+    toks = df.select(F.col(id_col), F.explode(TXT.tokens(F.col(text_col))).alias("term"))
     return toks.join(F.broadcast(vocab.select("term", "term_id")), "term", "left")
 
 
@@ -257,13 +250,7 @@ def hash_features(
     from inferdb_spark.functions import text as TXT
     from inferdb_spark.functions.hashing import h52
 
-    # spread: parallelize tokenize+h52 off the one-task scan (guide §2.2);
-    # the bucket sums are exact integers — layout-insensitive.
-    from inferdb_spark.scale import spread
-
-    toks = spread(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col), F.explode(TXT.tokens(F.col(text_col))).alias("term")
-    )
+    toks = df.select(F.col(id_col), F.explode(TXT.tokens(F.col(text_col))).alias("term"))
     h = h52(F.col("term"))
     signed = toks.select(
         F.col(id_col),
