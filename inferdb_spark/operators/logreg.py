@@ -125,6 +125,56 @@ def _gd_sums(qdf: DataFrame, p: int, gq: Column) -> DataFrame:
     return qdf.agg(*aggs)
 
 
+# --- assembled-SQL twins of the per-step expressions (r10, guide §7.3) ---
+# The Column forms above build the margin/probability/gradient trees one
+# py4j call at a time, and _gd_sums re-evaluates the FULL gq tree (incl.
+# its exp) inside every aggregate child — p+1 evaluations per row where
+# one suffices (the poisson_bootstrap_ci finding, §1/§6 of
+# OPTIMIZATION_r10.md).  The twins below parse the identical expression
+# trees JVM-side in a handful of calls and project gq ONCE per row
+# before the aggregate.  Exactness: `{x!r}D` double literals round-trip
+# (the gate_r5c house pattern), every sub-tree is parenthesized to the
+# Column form's association, and the gradient sums are exact BIGINTs —
+# the numpy-parity tests and the full DuckDB fit replays pin the models.
+
+
+def _t_sql(j: int, scale: int) -> str:
+    """Textual twin of _q_ts()[j]."""
+    return f"(CAST(_xq{j} AS DOUBLE) / {float(scale)!r}D)"
+
+
+def _margin_sql(p: int, coefs: list[float], intercept: float, scale: int) -> str:
+    """Textual twin of _margin_from_ts(_q_ts(p, scale), coefs, intercept)."""
+    m = f"{float(intercept)!r}D"
+    for j in range(p):
+        m = f"({m} + ({float(coefs[j])!r}D * {_t_sql(j, scale)}))"
+    return m
+
+
+def _gd_step_row(qdf: DataFrame, p: int, gq_sql: str):
+    """One GD step's exact sums: project gq once per row (single
+    selectExpr parse), aggregate n/sg/sgx_j.  Same BIGINT sums as
+    _gd_sums over the same gq tree."""
+    g = qdf.selectExpr(
+        f"{gq_sql} AS _gq", *[f"_xq{j}" for j in range(p)]
+    )
+    return g.agg(
+        F.expr("count(1) AS n"),
+        F.expr("sum(_gq) AS sg"),
+        *[F.expr(f"sum(_gq * _xq{j}) AS sgx_{j}") for j in range(p)],
+    ).collect()[0]
+
+
+def _logreg_gq_sql(p: int, coefs: list[float], intercept: float, scale: int) -> str:
+    """Twin of floor((snap_prob(margin) − y)·GRID + 0.5) cast long."""
+    gr = f"{float(GRID)!r}D"
+    m = _margin_sql(p, coefs, intercept, scale)
+    prob = f"(FLOOR(((1.0D / (1.0D + EXP(-({m})))) * {gr}) + 0.5D) / {gr})"
+    return (
+        f"CAST(FLOOR((({prob} - CAST(_y AS DOUBLE)) * {gr}) + 0.5D) AS BIGINT)"
+    )
+
+
 def _snap_prob(margin: Column) -> Column:
     p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
     return F.floor(p * F.lit(float(GRID)) + F.lit(0.5)) / F.lit(float(GRID))
@@ -168,11 +218,10 @@ def fit_logreg_gd(
     lr = float(learning_rate)
     qdf = _gd_input(df, feature_cols, label_col, scale)
     try:
-        y = F.col("_y").cast("double")
         for _ in range(n_steps):
-            prob = _snap_prob(_margin_from_ts(_q_ts(p, scale), coefs, intercept))
-            gq = F.floor((prob - y) * F.lit(float(GRID)) + F.lit(0.5)).cast("long")
-            row = _gd_sums(qdf, p, gq).collect()[0]
+            row = _gd_step_row(
+                qdf, p, _logreg_gq_sql(p, coefs, intercept, scale)
+            )
             n = row["n"]
             intercept = intercept - lr * (row["sg"] / (1000000.0 * n))
             coefs = [
@@ -210,11 +259,8 @@ def fit_logreg_gd_history(
     lr = float(learning_rate)
     history: list[LogRegModel] = []
     qdf = _gd_input(df, feature_cols, label_col, scale)
-    y = F.col("_y").cast("double")
     for _ in range(n_steps):
-        prob = _snap_prob(_margin_from_ts(_q_ts(p, scale), coefs, intercept))
-        gq = F.floor((prob - y) * F.lit(float(GRID)) + F.lit(0.5)).cast("long")
-        row = _gd_sums(qdf, p, gq).collect()[0]
+        row = _gd_step_row(qdf, p, _logreg_gq_sql(p, coefs, intercept, scale))
         n = row["n"]
         intercept = intercept - lr * (row["sg"] / (1000000.0 * n))
         coefs = [
@@ -523,13 +569,13 @@ def fit_quantile_gd(
     lr = float(learning_rate)
     qdf = _gd_input(df, feature_cols, label_col, scale)
     try:
-        y = F.col("_y").cast("double")
         for _ in range(n_steps):
-            m = _margin_from_ts(_q_ts(p, scale), coefs, intercept)
-            gq = (
-                F.when(y > m, F.lit(-tau_micro)).otherwise(F.lit(GRID - tau_micro))
-            ).cast("long")
-            row = _gd_sums(qdf, p, gq).collect()[0]
+            m = _margin_sql(p, coefs, intercept, scale)
+            gq_sql = (
+                f"CAST(CASE WHEN CAST(_y AS DOUBLE) > {m} THEN {-tau_micro} "
+                f"ELSE {GRID - tau_micro} END AS BIGINT)"
+            )
+            row = _gd_step_row(qdf, p, gq_sql)
             n = row["n"]
             intercept = intercept - lr * (row["sg"] / (1000000.0 * n))
             coefs = [
@@ -720,14 +766,16 @@ def fit_svm_gd(
     lr = float(learning_rate)
     lamf = float(lam)
     qdf = _gd_input(df, feature_cols, label_col, scale)
-    y_sign = F.lit(2.0) * F.col("_y").cast("double") - F.lit(1.0)
+    # textual twin of  y_sign = 2.0·y − 1.0  (duplicated where the Column
+    # form reused the subexpression — identical tree either way)
+    ys = "((2.0D * CAST(_y AS DOUBLE)) - 1.0D)"
     for _ in range(n_steps):
-        m = _margin_from_ts(_q_ts(p, scale), coefs, intercept)
-        gq = (
-            F.when((y_sign * m) < F.lit(1.0), (-y_sign) * F.lit(float(GRID)))
-            .otherwise(F.lit(0.0))
-        ).cast("long")
-        row = _gd_sums(qdf, p, gq).collect()[0]
+        m = _margin_sql(p, coefs, intercept, scale)
+        gq_sql = (
+            f"CAST(CASE WHEN ({ys} * {m}) < 1.0D "
+            f"THEN (-{ys}) * {float(GRID)!r}D ELSE 0.0D END AS BIGINT)"
+        )
+        row = _gd_step_row(qdf, p, gq_sql)
         n = row["n"]
         intercept = intercept - lr * (row["sg"] / (1000000.0 * n))
         coefs = [

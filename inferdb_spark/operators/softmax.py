@@ -162,6 +162,52 @@ def _gradient_relation_q(
     return qdf.agg(*aggs)
 
 
+def _gradient_step_row_sql(
+    qdf: DataFrame,
+    p: int,
+    label_col: str,
+    coefs: list[list[float]],
+    intercepts: list[float],
+    scale: int,
+):
+    """Assembled-SQL twin of _gradient_relation_q + collect (r10, guide
+    §7.3 — the operators/logreg._gd_step_row pattern): the Column form
+    paid C·(p+1) py4j-built aggregate children, each re-evaluating the
+    full softmax (C exps) per row; here every per-class gq projects ONCE
+    per row from one selectExpr parse and the aggregates read the
+    projected BIGINTs.  Identical expression trees ({x!r}D literals,
+    Column-form association), exact integer sums — the numpy-parity test
+    and the DuckDB full-fit replay pin the fitted matrix."""
+    n_classes = len(coefs)
+    gr = f"{float(GRID)!r}D"
+    ms = []
+    for c in range(n_classes):
+        m = f"{float(intercepts[c])!r}D"
+        for j in range(p):
+            m = (
+                f"({m} + ({float(coefs[c][j])!r}D *"
+                f" (CAST(_xq{j} AS DOUBLE) / {float(scale)!r}D)))"
+            )
+        ms.append(m)
+    denom = f"EXP({ms[0]})"
+    for m in ms[1:]:
+        denom = f"({denom} + EXP({m}))"
+    gqs = []
+    for c in range(n_classes):
+        pc = f"(FLOOR(((EXP({ms[c]}) / {denom}) * {gr}) + 0.5D) / {gr})"
+        yc = f"CAST((CAST({label_col} AS BIGINT) = {c}) AS DOUBLE)"
+        gqs.append(
+            f"CAST(FLOOR((({pc} - {yc}) * {gr}) + 0.5D) AS BIGINT) AS _gq{c}"
+        )
+    g = qdf.selectExpr(*gqs, *[f"_xq{j}" for j in range(p)])
+    aggs = [F.expr("count(1) AS n")]
+    for c in range(n_classes):
+        aggs.append(F.expr(f"sum(_gq{c}) AS sg_{c}"))
+        for j in range(p):
+            aggs.append(F.expr(f"sum(_gq{c} * _xq{j}) AS sgx_{c}_{j}"))
+    return g.agg(*aggs).collect()[0]
+
+
 def fit_softmax_gd(
     df: DataFrame,
     feature_cols: list[str],
@@ -195,8 +241,8 @@ def fit_softmax_gd(
         )
     ).persist()
     for _ in range(n_steps):
-        row = _gradient_relation_q(qdf, p, label_col="_y", coefs=coefs,
-                                   intercepts=intercepts, scale=scale).collect()[0]
+        row = _gradient_step_row_sql(qdf, p, label_col="_y", coefs=coefs,
+                                     intercepts=intercepts, scale=scale)
         n = row["n"]
         intercepts = [
             intercepts[c] - lr * (row[f"sg_{c}"] / (1000000.0 * n))
