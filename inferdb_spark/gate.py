@@ -148,6 +148,9 @@ def _ensure_registered() -> None:
         "inferdb_spark.gate_r10b",
         "inferdb_spark.gate_r10c",
         "inferdb_spark.gate_r10d",
+        "inferdb_spark.gate_r11a",
+        "inferdb_spark.gate_r11b",
+        "inferdb_spark.gate_r11c",
     ):
         try:
             importlib.import_module(mod)
@@ -167,57 +170,58 @@ def _ensure_registered() -> None:
 # headliners, TPC-H battery) is now the oldest tier and leads; any gate
 # added this round is never-checked and must be inserted ABOVE this block.
 _PRIORITY: list[str] = [
-    "wilcoxon_signed_rank_binned",
-    "sign_test_paired",
-    "ljung_box_weekly",
-    "granger_lag1_weekly",
-    "quantile_transform_binned",
-    "e2e_curation_index",
-    "mcc_matthews_eval",
-    "iv_wald_estimator",
-    "weibull_survival_fit",
-    "ridge_regression_gram",
-    "dickey_fuller_unitroot",
-    "kpss_level_stat",
-    "newey_west_hac",
-    "variance_ratio_test",
-    "theta_method_forecast",
-    "jonckheere_terpstra_trend",
-    "hellinger_bhattacharyya_drift",
-    "hotelling_t2_two_sample",
-    "degree_assortativity",
-    "t_closeness_audit",
-    "route_agg_join",
-    "pca_projection",
-    "outlier_impute",
-    "index_score_classification",
-    "query_integration_lr",
-    "featurizer_chain",
-    "window_rownumber",
-    "rolling_window_avg",
-    "union_distinct",
-    "query_integration",
-    "auc_rank_sum",
-    "benford_first_digit",
-    "calibration_bins",
-    "target_encode_loo",
-    "grouped_ols_slope",
-    "exact_quantiles",
-    "lead_lag_deltas",
-    "regexp_extract_parse",
-    "embedding_near_pairs",
-    "not_in_null_semantics",
-    "cooccurrence_pmi",
-    "sessionize_events",
-    "asof_join_rates",
-    "interval_join_counts",
-    "funnel_stages",
-    "cohort_retention",
-    "resample_daily_ffill",
-    "stream_windowed_agg",
-    "session_window_batch",
-    "connected_components",
+    "bradley_terry_mm",
+    "elo_weekly_batch",
+    "dawid_skene_round",
+    "ndcg_at_k",
+    "mrr_first_relevant",
+    "gumbel_block_maxima",
+    "negbin_moments_fit",
+    "lognormal_conversion_fit",
+    "shannon_simpson_diversity",
+    "herfindahl_concentration",
+    "lasso_cd_replay",
+    "raking_ipf_weights",
+    "connected_components_star",
+    "hof_battery",
+    "decimal_exact_money",
+    "triangle_count",
+    "knn_regress",
+    "gbt_grad_histogram",
+    "kmv_distinct_sketch",
+    "media_image_decode",
+    "media_resize_roundtrip",
+    "media_audio_decode",
+    "media_video_frames",
+    "isotonic_calibration",
+    "winnowing_fingerprints",
+    "weighted_median",
+    "ks_statistic",
+    "regression_metrics",
+    "pii_redaction",
+    "paragraph_dedup_corpus",
+    "token_histogram",
+    "multiclass_metrics",
+    "distinct_paths",
+    "collect_sorted_list",
+    "hash_split_sample",
+    "date_arithmetic",
+    "edit_distance_pairs",
+    "sql_shared_text",
+    "cooccurrence_pairs",
+    "ntile_decile_stats",
+    "unpivot_measures",
+    "stratified_sample",
+    "tfidf_top_terms",
+    "group_zscore",
+    "stats_moments",
+    "array_functions",
+    "string_functions",
+    "json_extract",
+    "pivot_event_counts",
+    "range_frame_sum",
 ]
+
 
 
 

@@ -122,7 +122,11 @@ def lsh_band_relation(
     assert n_hashes % bands == 0
     rpb = n_hashes // bands
     if parallelism:
-        df = df.repartition(parallelism)
+        # narrow FIRST: the explicit-width branch must shuffle only the
+        # (id, text) columns the signature reads, like the spread branch
+        # below — repartitioning the full-width df ships every payload
+        # column through the exchange (round-10 advice item 4, guide §2.3)
+        df = df.select(F.col(id_col), F.col(text_col)).repartition(parallelism)
     else:
         from inferdb_spark.scale import spread
 

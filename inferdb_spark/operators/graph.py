@@ -79,6 +79,27 @@ def connected_components(
         spark.conf.set("spark.sql.shuffle.partitions", prev_width)
 
 
+# Number of lbl := lbl(lbl) path-compression applications per round.
+# Module-level so the A/B harness can toggle it without a process restart;
+# the fixpoint is identical for any value >= 0 (the map is monotone).
+# Round-11 alternating A/B at sf0.1 (tools/ab_alternate.py, 6 reps/side,
+# two independent sessions): x1 min 4.40/4.14 s, x2 4.55/4.36, x3
+# 4.76/4.60 — the round-10 x3 setting (13→6 rounds) was a measured LOSS
+# locally (each extra application triples per-round join work faster
+# than it shrinks the round count), confirming the round-10 driver
+# regression (0.72x).  x1 = classic path halving is the shipped form.
+_PATH_COMPRESSIONS = 1
+
+# Broadcast-hint the per-round label map when the node count is at most
+# this (round-10 verdict item 1: the compression joins were plain shuffled
+# self-joins; the candidate join also re-shuffles the FULL edge list every
+# round when the node map would hash-join map-side for free).  Two longs
+# per row keeps 2e7 rows well under the 8 GB broadcast cap; past the cap
+# the prior shuffled shape is the correct plan (the mf.py guard pattern).
+# The node count is read once from the already-checkpointed seed labels.
+_BROADCAST_LABELS_CAP = 20_000_000
+
+
 def _cc_min_label_loop(sym: DataFrame, max_iters: int) -> DataFrame:
     from inferdb_spark.scale import free_local_checkpoint, rotate_local_checkpoint
 
@@ -91,11 +112,23 @@ def _cc_min_label_loop(sym: DataFrame, max_iters: int) -> DataFrame:
     )
     last_ckpt = labels
 
+    # one cheap count on the checkpointed seed decides the join placement
+    # for every round: labels only ever shrink-or-hold in row count, so a
+    # seed under the cap stays under it
+    wrap = (
+        F.broadcast
+        if labels.count() <= _BROADCAST_LABELS_CAP
+        else (lambda d: d)
+    )
+
     prev_sum = None
     for _ in range(max_iters):
-        # candidate labels = own ∪ neighbors' — one join + one min-agg
+        # candidate labels = own ∪ neighbors' — one join + one min-agg.
+        # Broadcasting the node→lbl map makes the probe map-side: the
+        # (much larger) edge relation is no longer re-shuffled each round
+        # (guide §3.1); values are placement-independent.
         cand = (
-            sym.join(labels, sym["u"] == labels["node"])
+            sym.join(wrap(labels), sym["u"] == labels["node"])
             .select(sym["v"].alias("node"), "lbl")
             .unionByName(labels)
         )
@@ -111,13 +144,13 @@ def _cc_min_label_loop(sym: DataFrame, max_iters: int) -> DataFrame:
         # the fixpoint exactly: final labels are component minima either
         # way, and the loop exits on the same unchanged-sum test.
         resolved = new_labels
-        for h in range(3):
+        for h in range(_PATH_COMPRESSIONS):
             lbl_map = new_labels.select(
                 F.col("node").alias(f"_ln{h}"), F.col("lbl").alias(f"_lv{h}")
             )
             resolved = (
                 resolved.join(
-                    lbl_map, resolved["lbl"] == lbl_map[f"_ln{h}"], "left"
+                    wrap(lbl_map), resolved["lbl"] == lbl_map[f"_ln{h}"], "left"
                 )
                 .select(
                     "node",

@@ -145,6 +145,16 @@ def _t_sql(j: int, scale: int) -> str:
 
 def _margin_sql(p: int, coefs: list[float], intercept: float, scale: int) -> str:
     """Textual twin of _margin_from_ts(_q_ts(p, scale), coefs, intercept)."""
+    import math
+
+    # repr(inf/nan) is not a valid SQL double literal — a diverged fit
+    # (oversized learning_rate) must fail with a diagnosis, not a
+    # ParseException deep in the step (round-10 advice item 1).
+    if not all(math.isfinite(c) for c in [intercept, *coefs]):
+        raise ValueError(
+            "fit diverged: non-finite coefficient/intercept "
+            f"(intercept={intercept!r}, coefs={coefs!r}); lower learning_rate"
+        )
     m = f"{float(intercept)!r}D"
     for j in range(p):
         m = f"({m} + ({float(coefs[j])!r}D * {_t_sql(j, scale)}))"

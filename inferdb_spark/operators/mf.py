@@ -44,6 +44,12 @@ from inferdb_spark.functions.hashing import duckdb_h52, h52
 
 INIT_RANGE = 100_000  # ±0.1 in micro-units
 
+# broadcast_factors auto-disables above this many (tag, key) factor rows:
+# k+2 BIGINT columns per row keeps 1e8 rows within the 8 GB / 512M-row
+# broadcast cap with headroom; past it the SMJ shape is the correct plan
+# (round-10 advice item 3 — degrade, don't OOM).
+MF_BROADCAST_CAP_ROWS = 100_000_000
+
 
 def _init_factors(df: DataFrame, key: str, prefix: str, k: int) -> DataFrame:
     """Distinct keys -> k hash-initialized BIGINT micro-unit factors."""
@@ -201,6 +207,14 @@ def fit_mf_gd(
             F.col("key").alias(key),
             *[F.col(f"q{f}").alias(f"{prefix}q{f}") for f in range(k)],
         )
+
+    # size guard on the hint (round-10 advice item 3): W is already
+    # materialized (eager localCheckpoint), so the count is a metadata-
+    # cheap scan of cached partitions; above the cap the hint would hit
+    # the 8 GB / 512M-row broadcast wall at runtime — fall back to the
+    # SMJ shape instead (identical values, different placement).
+    if broadcast_factors and W.count() > MF_BROADCAST_CAP_ROWS:
+        broadcast_factors = False
 
     wrap = F.broadcast if broadcast_factors else (lambda d: d)
     for _ in range(n_steps):

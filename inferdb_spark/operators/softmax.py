@@ -195,7 +195,9 @@ def _gradient_step_row_sql(
     gqs = []
     for c in range(n_classes):
         pc = f"(FLOOR(((EXP({ms[c]}) / {denom}) * {gr}) + 0.5D) / {gr})"
-        yc = f"CAST((CAST({label_col} AS BIGINT) = {c}) AS DOUBLE)"
+        # backtick-quote the identifier: raw splicing breaks on any column
+        # name needing quoting (round-10 advice item 2)
+        yc = f"CAST((CAST(`{label_col}` AS BIGINT) = {c}) AS DOUBLE)"
         gqs.append(
             f"CAST(FLOOR((({pc} - {yc}) * {gr}) + 0.5D) AS BIGINT) AS _gq{c}"
         )

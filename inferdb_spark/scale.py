@@ -142,9 +142,24 @@ def no_adaptive(spark):
         spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
+# spread() sizes its width from Catalyst's size estimate: one task per
+# this many estimated input bytes.  Deliberately TINY compared to the
+# 64-128 MB/task of byte-bound shuffles because spread's consumers are
+# CPU-bound per-row map work (md5 signature trees, shingle explodes,
+# feature quantization) where bytes understate cost by orders of
+# magnitude — locally a 584 KB documents projection measurably wants all
+# 32 cores (round-10 §7 alternating A/Bs).  The quotient is capped at
+# defaultParallelism, so on a large cluster a small filtered relation no
+# longer explodes to thousands of 1-row tasks (round-10 verdict item 2:
+# several spread consumers ran FASTER on 8 cores than 32 — scheduling
+# overhead past the width the data supports).
+SPREAD_BYTES_PER_TASK = 16 << 10
+
+
 def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
-    """Round-robin repartition a NARROW relation up to the session's core
-    count when its current layout yields fewer tasks than cores.
+    """Round-robin repartition a NARROW relation toward the session's
+    core count when its current layout yields fewer tasks than the data
+    supports.
 
     Why: a parquet file is task-split only at row-group boundaries, so a
     single-row-group file (every local sf table here) scans as ONE task —
@@ -155,17 +170,30 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     map work (guide §2.2 "fewer, larger map tasks" read in reverse: here
     the map side is pathologically NARROW, one task).
 
-    Scale-adaptive, not a local[32] constant: the target is the session's
-    defaultParallelism and the repartition only fires when the actual
-    plan layout has fewer partitions — at cluster scale a 100 TB scan
-    already yields >= cores row-group splits and this is a no-op.
+    Scale-adaptive in both directions: the width is
+    min(defaultParallelism, estimated_bytes / SPREAD_BYTES_PER_TASK) — at
+    cluster scale a 100 TB scan already yields >= cores splits and this
+    is a no-op, while a kB-sized filtered relation stays at the handful
+    of tasks its bytes support instead of one per core (round-10 verdict
+    item 2).  Relations with no usable estimate (post-checkpoint RDD
+    scans report 8 EB) fall back to full core width, the prior behavior.
 
     Only safe where downstream arithmetic is partitioning-insensitive
     (exact-integer aggregation, per-row projections) — the house
     determinism rules (CLAUDE.md) make every gate qualify.
     """
     spark = df.sparkSession
-    target = partitions or spark.sparkContext.defaultParallelism
+    cores = spark.sparkContext.defaultParallelism
+    if partitions:
+        target = partitions
+    else:
+        try:
+            est = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:  # noqa: BLE001 — estimate is advisory only
+            est = 1 << 62
+        target = min(cores, max(1, est // SPREAD_BYTES_PER_TASK + 1))
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)

@@ -1,7 +1,8 @@
 """Capture `.explain("formatted")` output for named gate queries.
 
 Usage: python3 tools/capture_plans.py <suffix> <query> [query ...]
-Writes plans/r10/<query>_<suffix>.txt for each query.
+Writes plans/$PLANS_ROUND/<query>_<suffix>.txt for each query
+(PLANS_ROUND defaults to r11).
 """
 
 from __future__ import annotations
@@ -13,7 +14,7 @@ sys.path.insert(0, "/root/repo")
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                       "plans", "r10")
+                       "plans", os.environ.get("PLANS_ROUND", "r11"))
 
 
 def main() -> None:
