@@ -67,6 +67,17 @@ def timed(fn, clear_cache_spark=None) -> float:
         # queries past 2x their quiet-box medians.  Dropping all cached
         # relations between queries restores isolation semantics.
         clear_cache_spark.catalog.clearCache()
+        # shuffle-state hygiene (round-11, measurement-isolation fix,
+        # disclosed in OPTIMIZATION_r11.md): Spark's ContextCleaner only
+        # releases shuffle/broadcast state when the DRIVER GCs, and a
+        # 48 GB heap almost never does — across a 100-query single-JVM
+        # sweep the backlog grew until shuffle-heavy queries ran 3-4x
+        # their isolated medians (diagnosed on item_item_topk: 5.0-6.5 s
+        # stable for 8 consecutive runs with a GC between runs, degrading
+        # 5.9 -> 22.4 s by run 5 without).  One untimed driver GC between
+        # queries keeps each query's timing independent of sweep position,
+        # exactly like the clearCache above.  OUTSIDE the timed region.
+        clear_cache_spark._jvm.System.gc()
     return statistics.median(runs)
 
 

@@ -221,6 +221,16 @@ def connected_components_star(
     )
     from inferdb_spark.scale import rotate_local_checkpoint
 
+    # same bounded hint as the min-label loop: the per-round star maps m1
+    # and m2 are node-count relations joined onto the (larger) edge
+    # relation — broadcasting them keeps the edge side un-shuffled
+    # (guide §3.1); past the cap the shuffled shape is the correct plan
+    wrap = (
+        F.broadcast
+        if nodes.count() <= _BROADCAST_LABELS_CAP
+        else (lambda d: d)
+    )
+
     last_ckpt = e
     prev_chk = None
     for _ in range(max_iters):
@@ -232,7 +242,7 @@ def connected_components_star(
         )
         m1 = nb.groupBy("x").agg(F.least(F.first("x"), F.min("y")).alias("m"))
         e = (
-            nb.join(m1, "x")
+            nb.join(wrap(m1), "x")
             .filter(F.col("y") > F.col("x"))
             .select(F.col("y").alias("u"), F.col("m").alias("v"))
             .distinct()
@@ -241,7 +251,7 @@ def connected_components_star(
         # its smaller neighbors to m = min(N(u)); both v and u are > m
         # except v == m itself (skipped as a self-loop)
         m2 = e.groupBy("u").agg(F.min("v").alias("m"))
-        j = e.join(m2, "u")
+        j = e.join(wrap(m2), "u")
         e = rotate_local_checkpoint(
             j.filter(F.col("v") != F.col("m"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))

@@ -11,8 +11,11 @@ Usage:
 <toggle> is "module.attr" set before each sample, e.g.
     python3 tools/ab_alternate.py connected_components \
         inferdb_spark.operators.graph._PATH_COMPRESSIONS 1 2 3
+or "conf:<spark.conf.key>" to toggle a runtime-settable Spark conf, e.g.
+    python3 tools/ab_alternate.py bm25_ranked_retrieval \
+        conf:spark.sql.adaptive.coalescePartitions.parallelismFirst true false
 Values parse as int when possible, else float, else string
-("True"/"False" parse as bools).
+("True"/"False" parse as bools; conf values are passed as strings).
 """
 
 from __future__ import annotations
@@ -50,10 +53,6 @@ def main() -> None:
         if a.startswith("--reps"):
             reps = int(a.split("=", 1)[1]) if "=" in a else reps
     query, toggle = args[0], args[1]
-    values = [_parse(v) for v in args[2:]]
-    mod_name, attr = toggle.rsplit(".", 1)
-    mod = importlib.import_module(mod_name)
-    orig = getattr(mod, attr)
 
     from inferdb_spark.gate import queries as gate_queries
     from inferdb_spark.session import get_spark
@@ -61,27 +60,53 @@ def main() -> None:
     spark = get_spark("ab-alternate")
     fn = gate_queries()[query]
 
+    if toggle.startswith("conf:"):
+        key = toggle[5:]
+        values = list(args[2:])  # conf values stay strings
+        orig = spark.conf.get(key, None)
+
+        def setattr_toggle(v):
+            spark.conf.set(key, v)
+
+        def restore():
+            if orig is not None:
+                spark.conf.set(key, orig)
+    else:
+        values = [_parse(v) for v in args[2:]]
+        mod_name, attr = toggle.rsplit(".", 1)
+        mod = importlib.import_module(mod_name)
+        orig = getattr(mod, attr)
+
+        def setattr_toggle(v):
+            setattr(mod, attr, v)
+
+        def restore():
+            setattr(mod, attr, orig)
+
     def run_once() -> float:
         t0 = time.perf_counter()
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         dt = time.perf_counter() - t0
         spark.catalog.clearCache()
+        # drive the ContextCleaner between samples so neither side
+        # inherits the other's shuffle-state backlog (bench.timed parity)
+        spark._jvm.System.gc()
         return dt
 
     # untimed warm-up on each side (JIT/codegen)
     for v in values:
-        setattr(mod, attr, v)
+        setattr_toggle(v)
         run_once()
 
     samples: dict[object, list[float]] = {v: [] for v in values}
     for r in range(reps):
         for v in values:
-            setattr(mod, attr, v)
+            setattr_toggle(v)
             la = os.getloadavg()[0]
             dt = run_once()
             samples[v].append(dt)
             print(f"rep {r} {toggle}={v}: {dt:.3f}s (load {la:.1f})", flush=True)
-    setattr(mod, attr, orig)
+    restore()
 
     print(f"\n== {query} / {toggle} (reps={reps}) ==")
     for v in values:
