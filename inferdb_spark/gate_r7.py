@@ -848,7 +848,15 @@ def q_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b.w1", "b.w2"
     )
     pairs.cache()
-    big = pairs.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c12"))
+    # right_size_cached: big cached at the session shuffle width made the
+    # three downstream groupBys + the final join pay one task per kB-
+    # sized partition; coalesce the cache to its byte-supported width
+    # (scale-adaptive no-op on genuinely large bigram tables)
+    from inferdb_spark.scale import right_size_cached
+
+    big = right_size_cached(
+        pairs.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c12"))
+    )
     big.cache()
     uni = pairs.groupBy("w1").agg(F.count("*").cast("long").alias("c1"))
     fert = big.groupBy("w1").agg(F.count("*").cast("long").alias("f1"))

@@ -173,11 +173,23 @@ def q_bm25_ranked_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     training data needs.  Extends gate:tfidf_top_terms to the IR-standard
     scoring the reference's corpus tooling lacks.
     """
+    from inferdb_spark.scale import right_size_cached
+
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
     # ONE tokenize pass: dl and dfreq both derive from the (much smaller)
-    # tf relation — dl = Σ tf per doc — and tf feeds scoring, so cache it
-    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).cache()
+    # tf relation — dl = Σ tf per doc — and tf feeds scoring, so cache it.
+    # right_size_cached: tf cached at the session shuffle width left six
+    # downstream stages paying one task per kB-sized partition (the r10
+    # driver's 8-core:32-core ratio 0.53 — ANTI-scaling); coalescing the
+    # cache to its byte-supported width removes that per-stage task
+    # overhead without touching cluster-scale behavior.  r11 alternating
+    # A/B at sf0.1/local[32] was a WASH (median 3.52 vs 3.55 — the 32
+    # extra tasks cost little on a 32-core box); kept for the low-core
+    # ratio and the cluster shape, not a local win.
+    tf = right_size_cached(
+        tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    ).cache()
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count("*").cast("double").alias("n_docs"),

@@ -199,6 +199,36 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     return df.repartition(target)
 
 
+# right_size_cached(): one cached partition per this many estimated bytes.
+# Cached relations are re-SCANNED by every consumer stage, so a cache
+# materialized at the session shuffle width leaves kB-sized partitions
+# that cost a task each in every downstream stage (bm25's tf cache paid
+# 32 tasks x 6 stages at sf0.1 for ~300 KB of data).  32 MB/task is the
+# cheap-scan regime; CPU-dense cached projections (the GD quantized
+# inputs) must NOT use this — they keep spread()'s width on purpose.
+CACHE_BYTES_PER_TASK = 32 << 20
+
+
+def right_size_cached(df: DataFrame) -> DataFrame:
+    """Coalesce a relation to the width its bytes support before caching
+    it (guide §2.2 "fewer, larger partitions", applied to the cache).
+
+    Uses the same Catalyst size estimate as spread() and only ever
+    REDUCES the partition count (coalesce, no shuffle) — on a cluster
+    where the relation is genuinely large the estimate exceeds
+    width x 32 MB and this is a no-op, so it is scale-adaptive, not a
+    local constant.  Values are partitioning-insensitive by the house
+    determinism rules."""
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # noqa: BLE001 — estimate is advisory only
+        return df
+    target = max(1, est // CACHE_BYTES_PER_TASK + 1)
+    if target >= df.rdd.getNumPartitions():
+        return df
+    return df.coalesce(target)
+
+
 def assert_small_side(
     df: DataFrame, max_rows: int, caller: str, alternative: str
 ) -> DataFrame:

@@ -30,15 +30,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # let AQE re-optimize (and coalesce) the plans that materialize
-        # .cache()/.persist() relations and the stages that scan them —
-        # off by default upstream only out of partitioning-stability
-        # conservatism; every gate here is partitioning-insensitive by
-        # the house determinism rules.  Width decisions stay AQE's (byte-
-        # based at runtime), so this is scale-adaptive, not a local
-        # constant: r11 alternating A/B, bm25_ranked_retrieval median
-        # 3.58 -> 1.92 s, kneser_ney_bigram 2.44 -> 1.99 s, others a wash.
-        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+        # NOTE (r11): spark.sql.optimizer.canChangeCachedPlanOutputPartitioning
+        # was trialed here (it let AQE coalesce cached plans: bm25 median
+        # 3.58 -> 1.92 s, kneser_ney 2.44 -> 1.99 s in isolation) and
+        # REVERTED: it also lets AQE coalesce the persisted spread()
+        # projections the GD/ANN paths rely on (byte-small, CPU-dense),
+        # and the full-sweep A/B showed the persist-heavy tier inflating
+        # (ivf_pq +11%, softmax outliers, index/semantic/bpe all up).
+        # The two wins are taken IN-GATE instead (scale.right_size_cached).
         # long-running shuffle-heavy apps must drive the ContextCleaner:
         # shuffle files and tracker state are released only when the
         # driver GCs, which a large quiet heap never does (default
