@@ -376,7 +376,8 @@ def q_embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return (
         e.select(
-            SIM.hyperplane_bucket(F.col("embedding"), PLANES).alias("bucket"), "vec_id"
+            F.expr(SIM.hyperplane_bucket_sql("`embedding`", PLANES)).alias("bucket"),
+            "vec_id",
         )
         .groupBy("bucket")
         .agg(F.count("*").alias("n"), F.min("vec_id").alias("min_id"))

@@ -177,16 +177,21 @@ def lsh_shortlist_pairs(
     cells around random centroids collapse — measured in the round-8
     ranking-eval report."""
     from inferdb_spark.operators.similarity import (
-        hyperplane_bucket,
-        hyperplane_multiprobe,
+        hyperplane_bucket_sql,
+        hyperplane_multiprobe_sql,
     )
 
+    # SQL textual twins (similarity.hyperplane_*_sql): one JVM-side parse
+    # instead of ~|planes| x dim py4j literal calls per side — the same
+    # ivf_assign_sql pattern that removed the construct floor of the IVF
+    # gates in r10 (guide §1/§4); trees and values are bit-identical
+    # (tests/test_similarity.py pins both twins).
     cand = candidates.withColumn(
-        "list_id", hyperplane_bucket(F.col("cv"), planes)
+        "list_id", F.expr(hyperplane_bucket_sql("`cv`", planes))
     )
     qprobe = queries.withColumn(
         "list_id",
-        F.explode(hyperplane_multiprobe(F.col("qv"), planes, n_probe)),
+        F.explode(F.expr(hyperplane_multiprobe_sql("`qv`", planes, n_probe))),
     )
     return _scored_probe_join(qprobe, cand)
 

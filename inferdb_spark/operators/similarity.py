@@ -239,6 +239,62 @@ def pq_encode_sql(vec_sql: str, codebooks: list[list[list[float]]]) -> str:
     return "array(" + ", ".join(codes) + ")"
 
 
+def _hyperplane_projs_sql(v: str, planes: list[list[float]]) -> list[str]:
+    """Per-plane projection expressions (the dot() fold, textual)."""
+    projs = []
+    for p in planes:
+        arr = "array(" + ", ".join(_sql_dlit(x) for x in p) + ")"
+        projs.append(
+            f"aggregate(zip_with({v}, {arr}, (x, y) -> x * y), "
+            "0.0D, (acc, x) -> acc + x)"
+        )
+    return projs
+
+
+def _hyperplane_bucket_sql_from(projs: list[str]) -> str:
+    terms = ["CAST(0 AS BIGINT)"]
+    for i, pr in enumerate(projs):
+        terms.append(
+            f"CASE WHEN ({pr} > 0) THEN CAST({2 ** i} AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END"
+        )
+    return " + ".join(terms)
+
+
+def hyperplane_bucket_sql(vec_sql: str, planes: list[list[float]]) -> str:
+    """Textual twin of :func:`hyperplane_bucket` — the SAME sign-bit sum
+    (zip_with/aggregate fold per plane) assembled as one string so it
+    parses JVM-side in a single call instead of ~|planes| x dim py4j
+    literal round trips (the ivf_assign_sql pattern, guide §1/§4).  The
+    parsed tree and every IEEE operation are identical, so bucket ids are
+    bit-equal (tests/test_similarity.py pins this)."""
+    v = f"CAST({vec_sql} AS ARRAY<DOUBLE>)"
+    return _hyperplane_bucket_sql_from(_hyperplane_projs_sql(v, planes))
+
+
+def hyperplane_multiprobe_sql(
+    vec_sql: str, planes: list[list[float]], n_probe: int
+) -> str:
+    """Textual twin of :func:`hyperplane_multiprobe`: own bucket followed
+    by the (n_probe - 1) weakest-plane flips, same |proj| struct-sort and
+    integer flip arithmetic, one parse.  Bit-equal to the Column form
+    (tests/test_similarity.py)."""
+    v = f"CAST({vec_sql} AS ARRAY<DOUBLE>)"
+    projs = _hyperplane_projs_sql(v, planes)
+    bucket = "(" + _hyperplane_bucket_sql_from(projs) + ")"
+    entries = ", ".join(
+        f"named_struct('d', abs({pr}), 'i', {i})" for i, pr in enumerate(projs)
+    )
+    weak = f"slice(array_sort(array({entries})), 1, {n_probe - 1})"
+    pw = "CAST(power(2.0D, CAST(s.i AS DOUBLE)) AS BIGINT)"
+    bit = (
+        f"(CAST(floor(CAST({bucket} AS DOUBLE) / CAST({pw} AS DOUBLE)) "
+        "AS BIGINT) % 2)"
+    )
+    flip = f"{bucket} + {pw} - 2 * {bit} * {pw}"
+    return f"concat(array({bucket}), transform({weak}, s -> {flip}))"
+
+
 def ivf_assign(vec_col: Column, centroids: list[list[float]]) -> Column:
     """Nearest-centroid (list) id as a projection: argmin over literal
     centroids by squared L2 — no join, no shuffle, lowest-id tiebreak.

@@ -105,3 +105,45 @@ def test_sql_twins_match_column_forms(spark):
     for r in rows:
         assert r["a_col"] == r["a_sql"]
         assert list(r["c_col"]) == list(r["c_sql"])
+
+
+def test_hyperplane_sql_twins_match_column_forms(spark):
+    """The SQL-assembled twins of hyperplane_bucket / hyperplane_multiprobe
+    (one JVM-side parse instead of ~|planes| x dim py4j literal calls —
+    the r11 construct-cost fix for the LSH shortlist gates) must produce
+    bit-identical buckets and probe sequences to the Column-built
+    originals on every row, including exact-zero projections (sign
+    boundary) and the n_probe=1 empty-flip edge."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from inferdb_spark.operators.similarity import (
+        hyperplane_bucket,
+        hyperplane_bucket_sql,
+        hyperplane_multiprobe,
+        hyperplane_multiprobe_sql,
+        make_hyperplanes,
+    )
+
+    rng = np.random.RandomState(7)
+    vecs = [rng.uniform(-1, 1, 16).tolist() for _ in range(200)]
+    vecs.append([0.0] * 16)  # all projections exactly 0 -> no sign bits
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(len(vecs)), "embedding": vecs})
+    )
+    planes = make_hyperplanes(5, 16, seed=1234)
+    for n_probe in (1, 2, 4):
+        rows = df.select(
+            hyperplane_bucket(F.col("embedding"), planes).alias("b_col"),
+            F.expr(hyperplane_bucket_sql("`embedding`", planes)).alias("b_sql"),
+            hyperplane_multiprobe(F.col("embedding"), planes, n_probe).alias(
+                "p_col"
+            ),
+            F.expr(
+                hyperplane_multiprobe_sql("`embedding`", planes, n_probe)
+            ).alias("p_sql"),
+        ).collect()
+        for r in rows:
+            assert r["b_col"] == r["b_sql"]
+            assert list(r["p_col"]) == list(r["p_sql"])
