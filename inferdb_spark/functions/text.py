@@ -83,6 +83,62 @@ def word_ngrams(col: Column, n: int) -> Column:
     return bind_once(tokens(col), build)
 
 
+# --- textual SQL twins (the similarity.ivf_assign_sql pattern) ----------
+# Assemble the SAME expression trees as the Column helpers above as one
+# SQL string, so hot call sites (minhash/simhash fingerprints rebuilt per
+# bench iteration) pay ONE JVM-side parse instead of hundreds of py4j
+# round trips.  Trees and IEEE/regex semantics are identical, so outputs
+# are bit-equal (tests/test_dataprep.py pins the fingerprint twins).
+
+_EMPTY_STR_ARR = "CAST(array() AS ARRAY<STRING>)"
+
+
+def normalize_sql(expr: str) -> str:
+    """Textual twin of :func:`normalize`."""
+    return (
+        "trim(regexp_replace(regexp_replace(lower("
+        + expr
+        + "), '[^a-z0-9 ]', ' '), ' +', ' '))"
+    )
+
+
+def tokens_sql(expr: str) -> str:
+    """Textual twin of :func:`tokens`."""
+    n = normalize_sql(expr)
+    return (
+        f"CASE WHEN length({n}) = 0 THEN {_EMPTY_STR_ARR} "
+        f"ELSE split({n}, ' ') END"
+    )
+
+
+def char_ngrams_sql(expr: str, n: int) -> str:
+    """Textual twin of :func:`char_ngrams` (same bind_once shape)."""
+    inner = (
+        f"CASE WHEN length(nv) >= {n} "
+        f"THEN transform(sequence(1, length(nv) - {n - 1}), "
+        f"i -> substring(nv, i, {n})) "
+        f"ELSE {_EMPTY_STR_ARR} END"
+    )
+    return (
+        f"element_at(transform(array({normalize_sql(expr)}), "
+        f"nv -> {inner}), 1)"
+    )
+
+
+def word_ngrams_sql(expr: str, n: int) -> str:
+    """Textual twin of :func:`word_ngrams` (same bind_once shape)."""
+    inner = (
+        f"CASE WHEN size(tv) >= {n} "
+        f"THEN transform(sequence(1, size(tv) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(tv, i, {n}))) "
+        f"ELSE {_EMPTY_STR_ARR} END"
+    )
+    return (
+        f"element_at(transform(array({tokens_sql(expr)}), "
+        f"tv -> {inner}), 1)"
+    )
+
+
 def stopword_ratio(col: Column) -> Column:
     t = tokens(col)
     sw = F.size(F.filter(t, lambda w: w.isin(STOPWORDS)))

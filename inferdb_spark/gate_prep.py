@@ -193,7 +193,8 @@ def q_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant per-row cost."""
     d = load_table(spark, sf_dir, "documents")
     return d.select(
-        "doc_id", DD.simhash(F.col("text"), SIMHASH_BITS).alias("fingerprint")
+        "doc_id",
+        F.expr(DD.simhash_sql("`text`", SIMHASH_BITS)).alias("fingerprint"),
     )
 
 

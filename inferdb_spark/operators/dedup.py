@@ -103,6 +103,57 @@ def minhash_signature(
     return F.aggregate(hs, init, merge)
 
 
+def _shingle_hashes_sql(
+    text_sql: str, shingle_n: int, mode: str, hash_fn: str = "md5"
+) -> str:
+    """Textual twin of :func:`_shingle_hashes` — one parse, bit-equal."""
+    from inferdb_spark.functions.text import char_ngrams_sql, word_ngrams_sql
+
+    sh = (
+        char_ngrams_sql(text_sql, shingle_n)
+        if mode == "char"
+        else word_ngrams_sql(text_sql, shingle_n)
+    )
+    if hash_fn not in ("md5", "xxhash64"):
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
+    if hash_fn == "xxhash64":
+        elem = f"pmod(xxhash64(s), {MERSENNE_P})"
+    else:
+        elem = (
+            f"CAST(conv(substring(md5(s), 1, 13), 16, 10) AS BIGINT) "
+            f"% {MERSENNE_P}"
+        )
+    return f"transform(array_distinct({sh}), s -> {elem})"
+
+
+def minhash_signature_sql(
+    text_sql: str,
+    n_hashes: int = 32,
+    shingle_n: int = 4,
+    mode: str = "char",
+    seed: int = 42,
+    hash_fn: str = "md5",
+) -> str:
+    """Textual twin of :func:`minhash_signature` (the ivf_assign_sql
+    pattern): the SAME single-fold least-merge tree assembled as one SQL
+    string — one JVM-side parse instead of ~n_hashes x 3 + shingle-
+    pipeline py4j calls PER BENCH ITERATION (the signature tree is
+    rebuilt inside the timed region).  Identical arithmetic, bit-equal
+    signatures (tests/test_dataprep.py pins Column-vs-SQL equality)."""
+    hs = _shingle_hashes_sql(text_sql, shingle_n, mode, hash_fn)
+    params = perm_params(n_hashes, seed)
+    init = "array(" + ", ".join(
+        f"CAST({MERSENNE_P} AS BIGINT)" for _ in range(n_hashes)
+    ) + ")"
+    permed = "array(" + ", ".join(
+        f"({a} * x + {b}) % {MERSENNE_P}" for a, b in params
+    ) + ")"
+    return (
+        f"aggregate({hs}, {init}, "
+        f"(acc, x) -> zip_with(acc, {permed}, (u, v) -> least(u, v)))"
+    )
+
+
 def lsh_band_relation(
     df: DataFrame,
     id_col: str,
@@ -135,10 +186,15 @@ def lsh_band_relation(
         # runs it on ONE core (guide §2.2).  Signatures are per-row
         # deterministic — layout cannot affect the band relation.
         df = spread(df.select(F.col(id_col), F.col(text_col)))
+    # SQL textual twin: the signature tree is rebuilt per call (bench
+    # times it); one parse instead of hundreds of py4j round trips,
+    # bit-equal output (tests/test_dataprep.py)
     sig = df.select(
         F.col(id_col),
-        minhash_signature(
-            F.col(text_col), n_hashes, shingle_n, mode, seed, hash_fn
+        F.expr(
+            minhash_signature_sql(
+                f"`{text_col}`", n_hashes, shingle_n, mode, seed, hash_fn
+            )
         ).alias("sig"),
     )
     band_structs = F.array(
@@ -342,6 +398,34 @@ def simhash(text_col: Column, n_bits: int = 48) -> Column:
     return bind_once(F.aggregate(th, init, merge), fold_bits)
 
 
+def simhash_sql(text_sql: str, n_bits: int = 48) -> str:
+    """Textual twin of :func:`simhash` — the SAME vote-fold tree as one
+    SQL string (one parse vs ~4 x n_bits py4j calls per construction;
+    the fingerprint expression is rebuilt inside the bench's timed
+    region).  Bit-equal (tests/test_dataprep.py)."""
+    from inferdb_spark.functions.text import tokens_sql
+
+    th = (
+        f"transform({tokens_sql(text_sql)}, "
+        "t -> CAST(conv(substring(md5(t), 1, 13), 16, 10) AS BIGINT))"
+    )
+    init = "array(" + ", ".join("0" for _ in range(n_bits)) + ")"
+    bits = "array(" + ", ".join(
+        f"CASE WHEN (shiftright(x, {j}) & 1) = 1 THEN 1 ELSE -1 END"
+        for j in range(n_bits)
+    ) + ")"
+    fp = "CAST(0 AS BIGINT) + " + " + ".join(
+        f"CASE WHEN element_at(votes, {j + 1}) > 0 "
+        f"THEN CAST({2 ** j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for j in range(n_bits)
+    )
+    return (
+        f"element_at(transform(array(aggregate({th}, {init}, "
+        f"(acc, x) -> zip_with(acc, {bits}, (u, v) -> u + v))), "
+        f"votes -> {fp}), 1)"
+    )
+
+
 def hamming_distance(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
@@ -359,7 +443,7 @@ def simhash_near_pairs(
     # heavy map work; a one-row-group scan runs it on ONE core
     # (guide §2.2).  Fingerprints are per-row deterministic.
     fp_df = spread(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col), simhash(F.col(text_col), n_bits).alias("fp")
+        F.col(id_col), F.expr(simhash_sql(f"`{text_col}`", n_bits)).alias("fp")
     )
     n_bands = n_bits // band_bits
     bands = fp_df.select(

@@ -411,6 +411,17 @@ def k_core(
         eager=True
     )
     last_ckpt = e
+    # one count on the checkpointed seed decides join placement for every
+    # round (the _cc_min_label_loop pattern): the surviving-node set has
+    # at most 2x|edges| rows and only shrinks, so a seed under the cap
+    # stays under it.  Broadcasting it makes both semi-join probes
+    # map-side — the (larger) edge relation is no longer re-shuffled
+    # twice per round (guide §3.1); survival is placement-independent.
+    wrap = (
+        F.broadcast
+        if 2 * e.count() <= _BROADCAST_LABELS_CAP
+        else (lambda d: d)
+    )
     for _ in range(n_rounds):
         deg = (
             e.select(F.col("u").alias("n"))
@@ -420,8 +431,8 @@ def k_core(
         )
         keep = deg.filter(F.col("d") >= k).select("n")
         e = rotate_local_checkpoint(
-            e.join(keep, e["u"] == keep["n"], "left_semi")
-            .join(keep, F.col("v") == keep["n"], "left_semi"),
+            e.join(wrap(keep), e["u"] == keep["n"], "left_semi")
+            .join(wrap(keep), F.col("v") == keep["n"], "left_semi"),
             last_ckpt,
         )
         last_ckpt = e

@@ -296,3 +296,33 @@ def test_repetition_features_flags_loops(spark):
     out = {r.doc_id: r for r in TP.repetition_features(df).collect()}
     assert out[1].dup_bigram_frac > 0.9 and out[1].distinct_ratio < 0.1
     assert out[2].dup_bigram_frac < 0.1 and out[2].distinct_ratio > 0.9
+
+
+def test_fingerprint_sql_twins_match_column_forms(spark):
+    """The SQL-assembled twins of minhash_signature / simhash (one
+    JVM-side parse vs hundreds of py4j calls rebuilt per bench
+    iteration — the r11 construct fix) must be bit-equal to the
+    Column-built originals on every row, including the empty document
+    and both hash functions / shingle modes."""
+    d = _docs(spark)
+    for hash_fn in ("md5", "xxhash64"):
+        for mode, sn in (("char", 4), ("word", 2)):
+            rows = d.select(
+                DD.minhash_signature(
+                    F.col("text"), 16, sn, mode, 42, hash_fn
+                ).alias("c"),
+                F.expr(
+                    DD.minhash_signature_sql(
+                        "`text`", 16, sn, mode, 42, hash_fn
+                    )
+                ).alias("s"),
+            ).collect()
+            for r in rows:
+                assert list(r["c"]) == list(r["s"]), (hash_fn, mode)
+    for n_bits in (24, 48):
+        rows = d.select(
+            DD.simhash(F.col("text"), n_bits).alias("c"),
+            F.expr(DD.simhash_sql("`text`", n_bits)).alias("s"),
+        ).collect()
+        for r in rows:
+            assert r["c"] == r["s"], n_bits
